@@ -1,0 +1,106 @@
+"""Top-k cosine similarity search — the reference's core query.
+
+Reference: ``db.as_retriever(search_type="similarity", search_kwargs=
+{"k": k})`` over an in-memory exact store
+(/root/reference/conversadocs/bones.py:74, bones.py:78) — embed the
+query, exact cosine against ALL vectors, keep the k best (k in [1,5],
+default 3; /root/reference/app.py:116).
+
+Spark-first design:
+- Single query vector: the vector becomes a literal/broadcast scalar —
+  the scan streams once, computes sim per row inside codegen, and a
+  TakeOrderedAndProject keeps the global top-k (no full sort, no
+  shuffle of the data — only k rows per partition reach the driver
+  stage). This is exactly the plan that survives 100 TB: a full scan
+  with a constant-memory reducer.
+- Batch of queries: broadcast the (small) query side, per-query window
+  top-k. See ``knn_per_query``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from conversadocs_spark.functions.vector import cosine_similarity
+
+
+def knn_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Returns (id_col, sim) with sim rounded to 6 decimals
+    (oracle float rule) and deterministic tie-break on id.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q)
+    return (
+        vectors.select(F.col(id_col), F.round(sim, 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_self(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbours of one row of the table itself (query-by-id).
+
+    The 1-row query side is cross-joined via broadcast — Catalyst folds
+    it into a BroadcastNestedLoopJoin with a single broadcast row, so
+    the big side still streams exactly once.
+    """
+    q = vectors.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col("_qvec"))
+    return (
+        vectors.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(sim, 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_per_query(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k per query for a BATCH of query vectors.
+
+    Plan shape: broadcast(queries) × vectors → sim → per-query window
+    top-k. The corpus never shuffles; only Q×N sim rows flow into the
+    rank filter, and the window partitions by query_id (Q groups).
+    At scale, swap the crossJoin for an LSH bucket join
+    (operators/lsh.py) when Q×N is too large — same downstream shape.
+    """
+    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    w = (
+        Window.partitionBy(query_id_col)
+        .orderBy(F.desc("sim"), F.asc(id_col))
+    )
+    return (
+        vectors.crossJoin(F.broadcast(queries))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(sim, 6).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

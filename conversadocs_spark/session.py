@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults assume local[N] testing but are written for cluster scale:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+Arrow enabled for the pandas_udf hot paths, and shuffle partitions
+sized by env so the same code runs at sf0.001 and at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "conversadocs-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    - AQE: runtime coalescing + skew-join handling; at 100 TB this is
+      what turns a bad static shuffle count into a workable one.
+    - Arrow: all pandas_udf / mapInPandas traffic is Arrow-batched.
+    - Broadcast threshold left at default (10 MB): dimension tables
+      (region/nation/supplier) broadcast automatically; we additionally
+      hint with F.broadcast where the stats may not be known.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
