@@ -7,4 +7,11 @@ Importing this package registers every query module with the registry;
 from conversadocs_spark.plans.registry import ORACLES, QUERIES, register  # noqa: F401
 
 # Import for side effect: each module registers its queries.
-from conversadocs_spark.plans import vector  # noqa: E402,F401
+from conversadocs_spark.plans import (  # noqa: E402,F401
+    aggregates,
+    joins,
+    relational,
+    setops,
+    vector,
+    windows,
+)

@@ -1,0 +1,233 @@
+"""Relational substrate, part 3: aggregations (SURVEY.md §2B
+"Aggregations"). The reference's only aggregate is the map-reduce
+summarize concat (R14) and the "stuff" concat (R11) — generalized here
+to the full grouped/global/distinct/rollup/cube/collect surface.
+
+Exactness policy: money sums go through DECIMAL(18,x) casts (exact,
+summation-order-independent); averages are computed as exact decimal
+sum / count cast to double and rounded — so Spark and DuckDB agree
+bit-for-bit without tolerance hacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.plans.registry import register
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------
+# grouped aggregation — TPC-H Q1 pricing summary shape (bench headline)
+# --------------------------------------------------------------------------
+
+from conversadocs_spark.functions.money import (
+    SQL_CHARGE,
+    SQL_DISC_PRICE,
+    charge,
+    disc_price,
+)
+
+_AGG_GROUPED_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2)))        AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2)))   AS sum_base_price,
+       sum({SQL_DISC_PRICE})                         AS sum_disc_price,
+       sum({SQL_CHARGE})                             AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6)                          AS avg_qty,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6)                          AS avg_disc,
+       count(*)                                      AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_grouped", oracle=_AGG_GROUPED_ORACLE, tags=("agg", "bench"))
+def agg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical partial+final
+    hash-aggregate benchmark. One scan, one shuffle of 4-6 groups —
+    the plan is identical at 100 TB, which is why it's a bench query.
+    """
+    li = io.table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price()).alias("sum_disc_price"),
+            F.sum(charge()).alias("sum_charge"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_dec("l_discount", 6)).cast("double") / F.count("*"),
+                6,
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# global aggregation
+# --------------------------------------------------------------------------
+
+_AGG_GLOBAL_ORACLE = """
+SELECT count(*)                                          AS n_rows,
+       count(DISTINCT l_orderkey)                        AS n_orders,
+       min(l_shipdate)                                   AS first_ship,
+       max(l_shipdate)                                   AS last_ship,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2)))       AS total_price,
+       round(min(l_discount), 6)                         AS min_disc,
+       round(max(l_tax), 6)                              AS max_tax
+FROM lineitem
+"""
+
+
+@register("agg_global", oracle=_AGG_GLOBAL_ORACLE, tags=("agg",))
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregate: partial per partition, single final."""
+    li = io.table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.sum(_dec("l_extendedprice")).alias("total_price"),
+        F.round(F.min("l_discount"), 6).alias("min_disc"),
+        F.round(F.max("l_tax"), 6).alias("max_tax"),
+    )
+
+
+# --------------------------------------------------------------------------
+# distinct / dropDuplicates
+# --------------------------------------------------------------------------
+
+_AGG_DISTINCT_ORACLE = """
+SELECT DISTINCT o_orderstatus, o_orderpriority
+FROM orders
+"""
+
+
+@register("agg_distinct", oracle=_AGG_DISTINCT_ORACLE, tags=("agg",))
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT as hash aggregate over the pair of columns."""
+    return (
+        io.table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# rollup / cube (grouping sets)
+# --------------------------------------------------------------------------
+
+_AGG_ROLLUP_ORACLE = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_bal,
+       count(*)                                AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@register("agg_rollup", oracle=_AGG_ROLLUP_ORACLE, tags=("agg",))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation): per-nation, per-region subtotal, grand
+    total rows (NULL markers)."""
+    c = io.table(spark, sf_dir, "customer")
+    n = io.table(spark, sf_dir, "nation")
+    r = io.table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(_dec("c_acctbal")).alias("total_bal"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+_AGG_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       count(*)                               AS n_items,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", oracle=_AGG_CUBE_ORACLE, tags=("agg",))
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(returnflag, linestatus): all grouping-set combinations."""
+    li = io.table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# collect/concat aggregation — the reference's "stuff" combine (R11)
+# --------------------------------------------------------------------------
+
+_AGG_COLLECT_ORACLE = """
+SELECT l_orderkey,
+       string_agg(CAST(l_partkey AS VARCHAR), ','
+                  ORDER BY CAST(l_partkey AS VARCHAR)) AS part_list,
+       count(*)                                   AS n_parts
+FROM lineitem
+WHERE l_orderkey < 1000
+GROUP BY l_orderkey
+"""
+
+
+@register("agg_collect_stuff", oracle=_AGG_COLLECT_ORACLE, tags=("agg",))
+def agg_collect_stuff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's "stuff" combine (bones.py:82: k retrieved chunks
+    concatenated into one prompt) as a grouped collect+concat, made
+    deterministic by sorting the collected list before joining."""
+    li = io.table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("l_partkey").cast("string"))),
+            ",",
+        ).alias("part_list"),
+        F.count("*").alias("n_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# approximate aggregates (rows-only: approx answers differ by design)
+# --------------------------------------------------------------------------
+
+
+@register("agg_approx_distinct", tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) + exact percentile per group.
+
+    No SQL oracle: the HLL estimate is engine-specific. The driver
+    records a rows-only check; tests/test_aggregates.py asserts the
+    estimate is within 5% of the exact count.
+    """
+    o = io.table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"),
+        F.percentile_approx("o_totalprice", 0.5).alias("median_price"),
+    )

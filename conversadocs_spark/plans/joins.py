@@ -1,0 +1,274 @@
+"""Relational substrate, part 2: the join surface (SURVEY.md §2B
+"Joins"). The reference has no relational joins; its one "join" is the
+retrieval crossJoin in R9 (generalized in plans/vector.py). This module
+provides the equi/outer/semi/anti/cross/range/as-of family the engine
+needs as substrate.
+
+Scale notes: dimension sides (region/nation/supplier, filtered orders)
+are broadcast — either by Catalyst's size estimate or an explicit
+F.broadcast hint — so fact tables never shuffle for star joins. The
+as-of join is implemented with the union+window trick (one shuffle by
+key, no range-join explosion), which is the shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.plans.registry import register
+
+# --------------------------------------------------------------------------
+# inner equi-join
+# --------------------------------------------------------------------------
+
+_JOIN_INNER_ORACLE = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 100000
+"""
+
+
+@register("join_inner", oracle=_JOIN_INNER_ORACLE, tags=("join",))
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders ⋈ customer with filters pushed below the
+    join on both sides (Catalyst does this; .explain shows the filters
+    inside both scans)."""
+    o = io.table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 100000
+    )
+    c = io.table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# left outer join (customers with zero orders kept)
+# --------------------------------------------------------------------------
+
+_JOIN_LEFT_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+       count(o.o_orderkey)        AS n_orders,
+       sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_spent
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+"""
+
+
+@register("join_left", oracle=_JOIN_LEFT_ORACLE, tags=("join",))
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + group: customers with no orders appear with
+    n_orders=0 and NULL total_spent. DECIMAL cast keeps the sum exact
+    and engine-order-independent."""
+    c = io.table(spark, sf_dir, "customer")
+    o = io.table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# left semi / left anti (EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------------
+
+_JOIN_SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'F')
+"""
+
+
+@register("join_semi", oracle=_JOIN_SEMI_ORACLE, tags=("join",))
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one finished order."""
+    c = io.table(spark, sf_dir, "customer")
+    o = io.table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@register("join_anti", oracle=_JOIN_ANTI_ORACLE, tags=("join",))
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no urgent orders."""
+    c = io.table(spark, sf_dir, "customer")
+    o = io.table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# multi-way star join (TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+
+from conversadocs_spark.functions.money import SQL_DISC_PRICE, disc_price
+
+_JOIN_STAR_ORACLE = f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       sum({SQL_DISC_PRICE})                AS revenue,
+       count(*)                             AS n_lineitems
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY r.r_name, n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+"""
+
+
+@register("join_star", oracle=_JOIN_STAR_ORACLE, tags=("join", "bench"))
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join: revenue by region/nation/year.
+
+    Scale shape: nation+region broadcast (25/5 rows, hinted); customer
+    broadcasts under AQE at test sf and shuffles at 100 TB — either way
+    lineitem⋈orders is the only big exchange, and the o_orderdate
+    filter prunes orders before the join.
+    """
+    li = io.table(spark, sf_dir, "lineitem")
+    o = io.table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = io.table(spark, sf_dir, "customer")
+    n = io.table(spark, sf_dir, "nation")
+    r = io.table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(disc_price()).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# cross join + theta (non-equi range) join
+# --------------------------------------------------------------------------
+
+_JOIN_RANGE_ORACLE = """
+SELECT s.s_suppkey, c.c_custkey,
+       round(c.c_acctbal - s.s_acctbal, 2) AS bal_gap
+FROM supplier s
+JOIN customer c
+  ON c.c_acctbal BETWEEN s.s_acctbal - 5 AND s.s_acctbal + 5
+"""
+
+
+@register("join_range", oracle=_JOIN_RANGE_ORACLE, tags=("join",))
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join on a range predicate (no equi key): supplier-customer
+    account balances within ±5. Physical plan is a broadcast
+    nested-loop join with supplier (small side) broadcast — the correct
+    strategy when no hash key exists."""
+    s = io.table(spark, sf_dir, "supplier")
+    c = io.table(spark, sf_dir, "customer")
+    return (
+        c.join(
+            F.broadcast(s),
+            (F.col("c_acctbal") >= F.col("s_acctbal") - 5)
+            & (F.col("c_acctbal") <= F.col("s_acctbal") + 5),
+        )
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            F.round(F.col("c_acctbal") - F.col("s_acctbal"), 2).alias(
+                "bal_gap"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# as-of join (latest click at or before each purchase, per user)
+# --------------------------------------------------------------------------
+
+_JOIN_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT max(c.ts) FROM events c
+        WHERE c.user_id = p.user_id
+          AND c.event_type = 'click'
+          AND c.ts <= p.ts)                AS last_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
+@register("join_asof", oracle=_JOIN_ASOF_ORACLE, tags=("join",))
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union + running last() — the scalable form.
+
+    Instead of a per-row range join (quadratic blowup), tag clicks and
+    purchases, union them, and take the running max click-ts per user
+    ordered by (ts, tag) — one shuffle on user_id, linear work. The
+    tag orders clicks before purchases at equal ts so the `<=`
+    (inclusive) as-of semantics hold. DuckDB oracle uses a correlated
+    max subquery (ASOF JOIN drops unmatched rows; we keep them, like
+    the reference keeps unanswered queries with null sources).
+    """
+    ev = io.table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # clicks sort before purchases at identical ts => inclusive <=
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias(
+            "click_ts"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_click_ts", F.max("click_ts").over(w)
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )

@@ -1,0 +1,333 @@
+"""Relational substrate, part 1: scans, filters, scalar functions
+(SURVEY.md §2B "Projection / filter / scalar functions").
+
+The reference never does relational work (SURVEY.md §2A, "categories the
+reference does NOT implement"), but the engine needs this substrate both
+for the DuckDB-checked correctness surface and as the base the
+document/vector operators stand on.
+
+Oracle-stability rules used throughout plans/:
+- every computed column carries the same alias in Spark and SQL;
+- money/double aggregates go through DECIMAL casts so sums are exact
+  and order-independent (double summation order differs between
+  engines);
+- scalar double outputs are rounded to 6 (FIXTURES.md);
+- Spark F.log is natural log == DuckDB ln() (DuckDB log() is base-10);
+- Spark ceil/floor return BIGINT — DuckDB side casts to match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.plans.registry import register
+
+# --------------------------------------------------------------------------
+# scan + projection with predicate pushdown
+# --------------------------------------------------------------------------
+
+from conversadocs_spark.functions.money import SQL_DISC_PRICE, disc_price
+
+_SCAN_PROJECT_ORACLE = f"""
+SELECT l_orderkey, l_partkey, l_quantity,
+       {SQL_DISC_PRICE} AS revenue
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+  AND l_quantity > 45
+"""
+
+
+@register("scan_project", oracle=_SCAN_PROJECT_ORACLE, tags=("relational",))
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter over the fact table.
+
+    Both the shipdate range and the quantity filter must reach the
+    parquet scan (PushedFilters), and ReadSchema must carry only the 5
+    referenced columns — this is the pushdown/pruning contract that
+    makes a 100 TB scan affordable.
+    """
+    li = io.table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        disc_price().alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# compound predicates (reference R2's filter, generalized)
+# --------------------------------------------------------------------------
+
+_FILTER_PRED_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer
+WHERE (c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+       AND c_acctbal BETWEEN 100 AND 9000
+       AND c_name LIKE '%5%')
+   OR (NOT c_mktsegment = 'MACHINERY' AND c_acctbal < 0)
+   AND c_name IS NOT NULL
+"""
+
+
+@register("filter_pred", oracle=_FILTER_PRED_ORACLE, tags=("relational",))
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """=, IN, LIKE, BETWEEN, IS NULL, AND/OR/NOT — the reference's only
+    filter is an extension whitelist (bones.py:57-58); this is the full
+    predicate surface. NB: AND binds tighter than OR on both engines.
+    """
+    c = io.table(spark, sf_dir, "customer")
+    return c.where(
+        (
+            F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+            & F.col("c_acctbal").between(100, 9000)
+            & F.col("c_name").like("%5%")
+        )
+        | (
+            (~(F.col("c_mktsegment") == "MACHINERY"))
+            & (F.col("c_acctbal") < 0)
+            & F.col("c_name").isNotNull()
+        )
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+# --------------------------------------------------------------------------
+# string functions (reference R4/R5/R17 building blocks)
+# --------------------------------------------------------------------------
+
+_STRING_FUNCS_ORACLE = """
+SELECT p_partkey,
+       length(p_name)                                   AS name_len,
+       lower(p_brand)                                   AS brand_lower,
+       upper(p_type)                                    AS type_upper,
+       trim(p_name)                                     AS name_trim,
+       substring(p_name, 1, 5)                          AS name_head,
+       len(string_split(p_name, ' '))                   AS n_words,
+       regexp_extract(p_name, '([a-z]+)', 1)            AS first_word,
+       regexp_replace(p_name, ' ', '_', 'g')            AS snake_name,
+       concat_ws('|', p_brand, p_type)                  AS brand_type,
+       instr(p_name, 'a')                               AS a_pos
+FROM part
+WHERE p_partkey < 300
+"""
+
+
+@register("string_funcs", oracle=_STRING_FUNCS_ORACLE, tags=("relational",))
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface. NB Spark regexp_replace replaces all
+    occurrences by default; DuckDB needs the 'g' flag to match."""
+    p = io.table(spark, sf_dir, "part")
+    return p.where(F.col("p_partkey") < 300).select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.upper("p_type").alias("type_upper"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("snake_name"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.instr("p_name", "a").alias("a_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# date functions
+# --------------------------------------------------------------------------
+
+_DATE_FUNCS_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER)                 AS o_year,
+       CAST(month(o_orderdate) AS INTEGER)                AS o_month,
+       CAST(day(o_orderdate) AS INTEGER)                  AS o_day,
+       CAST(date_trunc('month', o_orderdate) AS DATE)     AS month_start,
+       CAST(o_orderdate AS DATE)                          AS o_date,
+       CAST(o_orderdate AS DATE) + 30                     AS due_date,
+       date_diff('day', DATE '1995-01-01',
+                 CAST(o_orderdate AS DATE))               AS days_since_epoch95
+FROM orders
+WHERE o_orderkey < 500
+"""
+
+
+@register("date_funcs", oracle=_DATE_FUNCS_ORACLE, tags=("relational",))
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar surface on o_orderdate (ms-precision timestamp).
+
+    Arg-order trap: Spark datediff(end, start), DuckDB
+    date_diff('day', start, end).
+    """
+    o = io.table(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month_start"
+        ),
+        F.to_date("o_orderdate").alias("o_date"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))
+        ).alias("days_since_epoch95"),
+    )
+
+
+# --------------------------------------------------------------------------
+# math functions
+# --------------------------------------------------------------------------
+
+_MATH_FUNCS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1)                           AS price_r1,
+       abs(l_discount - 0.05)                              AS disc_dev,
+       CAST(ceil(l_extendedprice) AS BIGINT)               AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT)              AS price_floor,
+       round(sqrt(l_quantity), 6)                          AS qty_sqrt,
+       round(pow(1 + l_tax, 2), 6)                         AS tax_sq,
+       round(ln(l_extendedprice), 6)                       AS price_ln,
+       round(exp(l_discount), 6)                           AS disc_exp
+FROM lineitem
+WHERE l_orderkey < 200
+"""
+
+
+@register("math_funcs", oracle=_MATH_FUNCS_ORACLE, tags=("relational",))
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface. Spark F.log == DuckDB ln (natural); Spark
+    ceil/floor return BIGINT so the oracle casts to match."""
+    li = io.table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") < 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# array functions (substrate under reference R6/R9 vector ops)
+# --------------------------------------------------------------------------
+
+_ARRAY_FUNCS_ORACLE = """
+SELECT vec_id,
+       len(embedding)                                       AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6)               AS first_elem,
+       round(CAST(list_max(embedding) AS DOUBLE), 6)        AS max_elem,
+       round(CAST(list_min(list_slice(embedding, 1, 8)) AS DOUBLE), 6)
+                                                            AS head_min,
+       round(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE))), 6)          AS elem_sum,
+       len(list_filter(embedding, x -> x > 0))              AS n_pos
+FROM embeddings
+WHERE vec_id < 100
+"""
+
+
+@register("array_funcs", oracle=_ARRAY_FUNCS_ORACLE, tags=("relational",))
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface over array<float> embeddings: size, index,
+    slice, min/max, lambda transform/filter/aggregate — the building
+    blocks of the cosine kernel (functions/vector.py)."""
+    e = io.table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.where(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(emb[0].cast("double"), 6).alias("first_elem"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("max_elem"),
+        F.round(
+            F.array_min(F.slice(emb, 1, 8)).cast("double"), 6
+        ).alias("head_min"),
+        F.round(
+            F.aggregate(
+                emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            6,
+        ).alias("elem_sum"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON functions (events.props)
+# --------------------------------------------------------------------------
+
+_JSON_FUNCS_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k')                    AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER)   AS k_int,
+       json_extract_string(props, '$.missing')              AS missing_key
+FROM events
+WHERE event_id < 500
+"""
+
+
+@register("json_funcs", oracle=_JSON_FUNCS_ORACLE, tags=("relational",))
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access on events.props (JSON string) — the Spark
+    mapping of the reference's open dict metadata (SURVEY.md §1.2):
+    dynamic keys probed null-tolerantly, as app.py:105-108 does with
+    its KeyError probe for `page`."""
+    ev = io.table(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") < 500).select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# conditional expressions (reference R3 fallback / R13 retry shapes)
+# --------------------------------------------------------------------------
+
+_CONDITIONAL_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debtor'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END                              AS tier,
+       coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_alias,
+       CASE WHEN c_acctbal > 0 THEN round(c_acctbal, 2)
+            ELSE 0 END                                      AS positive_bal
+FROM customer
+"""
+
+
+@register(
+    "conditional_funcs", oracle=_CONDITIONAL_ORACLE, tags=("relational",)
+)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise, coalesce, nullif — the declarative form of the
+    reference's imperative fallbacks (bones.py:61-64, bones.py:132-138).
+    """
+    c = io.table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "debtor")
+        .when(bal < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")),
+            F.lit("OTHER"),
+        ).alias("segment_alias"),
+        F.when(bal > 0, F.round(bal, 2)).otherwise(F.lit(0)).alias(
+            "positive_bal"
+        ),
+    )

@@ -1,0 +1,82 @@
+"""Relational substrate, part 5: global sort / limit / top-k and set
+operations (SURVEY.md §2B "Sort / limit / top-k / set ops").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.plans.registry import register
+
+# --------------------------------------------------------------------------
+# global top-k with explicit rank (order-insensitive-oracle-safe)
+# --------------------------------------------------------------------------
+
+_SORT_LIMIT_ORACLE = """
+SELECT o_orderkey, o_totalprice, o_orderdate,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+            AS INTEGER) AS pos
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("sort_limit_topk", oracle=_SORT_LIMIT_ORACLE, tags=("sort",))
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by price. Physical plan is TakeOrderedAndProject —
+    k rows per partition, no full sort (the same constant-memory shape
+    as the reference's top-k retrieval R9). An explicit `pos` column
+    pins the order because the oracle hash is order-insensitive."""
+    o = io.table(spark, sf_dir, "orders")
+    top = o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10)
+    # rank within the 10 survivors (cheap: 10 rows)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return top.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# union / intersect / except over yearly customer cohorts
+# --------------------------------------------------------------------------
+
+_SET_OPS_ORACLE = """
+WITH c96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1996),
+     c97 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1997)
+SELECT o_custkey, 'both'      AS cohort FROM (SELECT * FROM c96 INTERSECT SELECT * FROM c97)
+UNION ALL
+SELECT o_custkey, 'only_1996' AS cohort FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c97)
+UNION ALL
+SELECT o_custkey, 'only_1997' AS cohort FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c96)
+"""
+
+
+@register("set_ops", oracle=_SET_OPS_ORACLE, tags=("setop",))
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over 1996-vs-1997 customer
+    cohorts, labeled and recombined."""
+    o = io.table(spark, sf_dir, "orders")
+    c96 = (
+        o.where(F.year("o_orderdate") == 1996)
+        .select("o_custkey")
+        .distinct()
+    )
+    c97 = (
+        o.where(F.year("o_orderdate") == 1997)
+        .select("o_custkey")
+        .distinct()
+    )
+    both = c96.intersect(c97).withColumn("cohort", F.lit("both"))
+    only96 = c96.subtract(c97).withColumn("cohort", F.lit("only_1996"))
+    only97 = c97.subtract(c96).withColumn("cohort", F.lit("only_1997"))
+    return both.unionByName(only96).unionByName(only97)

@@ -1,0 +1,67 @@
+"""Phase-1 relational surface: every query must match its DuckDB oracle
+at sf0.01 (the driver's t2 gate, replicated locally)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.oracle import assert_query_matches_oracle
+
+RELATIONAL = [
+    "scan_project",
+    "filter_pred",
+    "string_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "json_funcs",
+    "conditional_funcs",
+    "join_inner",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_star",
+    "join_range",
+    "join_asof",
+    "agg_grouped",
+    "agg_global",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_collect_stuff",
+    "window_rank",
+    "window_analytic",
+    "window_frame",
+    "sort_limit_topk",
+    "set_ops",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_matches_oracle(spark, sf_oracle_dir, name):
+    assert_query_matches_oracle(spark, name, sf_oracle_dir)
+
+
+def test_approx_distinct_within_tolerance(spark, sf_oracle_dir):
+    """agg_approx_distinct has no SQL oracle (HLL is engine-specific);
+    assert the estimate lands within 5% of the exact count."""
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    approx = {
+        r["o_orderstatus"]: r["approx_custs"]
+        for r in QUERIES["agg_approx_distinct"](spark, sf_oracle_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["o_orderstatus"]: r["exact"]
+        for r in io.table(spark, sf_oracle_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
