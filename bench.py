@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect-to-count) after
+a warmup pass of the session. `value` is the sum of per-query seconds —
+the number the driver records in BENCH_r{N}.json and tracks within 2x
+per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# Headline queries: one per major operator family, each a plan whose
+# shape survives 100 TB (see docstrings in conversadocs_spark/plans/).
+HEADLINE = (
+    "agg_grouped",      # TPC-H Q1 hash aggregate over the fact table
+    "join_star",        # 5-way star join + grouped revenue
+    "window_rank",      # per-group top-k window
+    "join_asof",        # union+window as-of join on events
+    "knn_topk",         # flagship vector retrieval
+    "agg_collect_stuff",  # collect/concat ("stuff") aggregation
+    "set_ops",          # distinct cohorts + intersect/except
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from conversadocs_spark.plans import QUERIES
+    from conversadocs_spark.session import get_spark
+
+    spark = get_spark(app_name="conversadocs-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers with a trivial action so the first
+    # timed query doesn't pay session startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        # count() forces full execution of every operator in the plan
+        # without driver-side row materialization costs.
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
