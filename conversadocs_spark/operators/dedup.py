@@ -1,0 +1,224 @@
+"""Deduplication operators for large-scale text corpora (north-star
+surface: exact, n-gram Jaccard, MinHash LSH, SimHash).
+
+The reference rebuilds its corpus index from scratch per upload and
+never dedups (R7/R8); at 100 TB training-data scale dedup is the
+first-class operator these build on the reference's chunk/text model.
+
+Scale shapes:
+- exact: one hash-shuffle on a 64-hex digest, min-id winner per group.
+- n-gram Jaccard: exact pairwise — bounded candidate set only (it is
+  O(n^2)); the scaled path is MinHash LSH below.
+- MinHash LSH: per-row signatures (linear), banding -> bucket join
+  (near-linear when bands are selective), exact Jaccard re-check on
+  candidates only.
+- SimHash: per-row 64-bit signature; hamming-ball probing via band
+  rotation is left to the caller (bucket on signature prefixes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per normalized-text group.
+
+    dropDuplicates() picks an arbitrary survivor; a window min makes
+    the result deterministic (and therefore oracle-checkable).
+    """
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    w = Window.partitionBy("text_hash").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("text_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def word_ngrams(col: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as array<string> (pure Catalyst:
+    split -> sequence -> transform -> array_distinct)."""
+    toks = F.split(col, r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i + 1, n)
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+    )
+
+
+def jaccard(a: F.Column, b: F.Column) -> F.Column:
+    """|a ∩ b| / |a ∪ b| over distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+def dedup_ngram_pairs(
+    df: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all (id1 < id2) pairs with
+    similarity >= threshold. O(n^2) — use on bounded candidate sets;
+    the LSH variant is the at-scale path."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(F.col(text_col), n).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    sim = jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.round(sim, 6).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified by exact
+    Jaccard — the standard shingle->minhash->band->bucket-join pipeline
+    in pure DataFrame ops (xxhash64 with per-function seeds; no UDF).
+
+    rows/bands chosen so the S-curve threshold (1/bands)^(1/rows)
+    ~ matches ``threshold``. Returns (id1, id2, jaccard_sim) with
+    jaccard_sim >= threshold, exactly re-checked — so the output is
+    identical to the brute-force join whenever LSH recall is 1 for the
+    surviving pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(F.col(text_col), n).alias("shingles"),
+    )
+    # signature[i] = min over shingles of xxhash64(shingle, seed=i)
+    sig = sh.select(
+        "id",
+        "shingles",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "shingles",
+                        lambda s, seed=i: F.xxhash64(s, F.lit(seed)),
+                    )
+                )
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    # banding: hash each band slice; one row per (id, band, band_hash)
+    banded = sig.select(
+        "id",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    "sig",
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.shingles").alias("sh1"),
+            F.col("b.shingles").alias("sh2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    sim = jaccard(F.col("sh1"), F.col("sh2"))
+    return (
+        cand.select(
+            "id1", "id2", F.round(sim, 6).alias("jaccard_sim")
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def simhash64(col: F.Column) -> F.Column:
+    """64-bit SimHash of whitespace tokens, as a signed long column.
+
+    For each bit position, sum +1/-1 votes from each token's xxhash64
+    bit, then take the sign — all in Catalyst expressions (transform /
+    aggregate / shiftright / bitwise ops). Near-dups differ in few
+    bits; bucket by prefix for LSH-style candidate generation.
+    """
+    toks = F.array_distinct(F.split(col, r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(bit: int) -> F.Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for bit in range(64):
+        out = out + F.when(
+            bit_vote(bit) > 0,
+            F.shiftleft(F.lit(1).cast("long"), bit),
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    """Hamming distance between two 64-bit signatures (bit_count XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

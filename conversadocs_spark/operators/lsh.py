@@ -1,0 +1,127 @@
+"""Approximate nearest-neighbor search via seeded random-hyperplane
+LSH — the scale path for the reference's exact top-k retrieval (R9):
+at 100 TB a crossJoin(queries x corpus) is infeasible; bucketing by
+hyperplane sign bits prunes the candidate set to same-bucket rows, then
+exact cosine re-ranks survivors.
+
+Pure DataFrame ops end to end: the projection matrix is a fixed-seed
+numpy array folded into literal expressions (deterministic across runs
+and partitionings — no fit() state to persist). MLlib's
+BucketedRandomProjectionLSH covers the Euclidean case; this operator is
+cosine-native (sign-bit SimHash family), which matches the reference's
+similarity function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conversadocs_spark.functions.vector import cosine_similarity
+
+
+def hyperplane_bucket(
+    vec_col: F.Column, dim: int, n_planes: int = 8, seed: int = 42
+) -> F.Column:
+    """Bucket id = integer of sign bits of <v, r_j> for n_planes seeded
+    gaussian hyperplanes r_j. Same-bucket vectors are cosine-close with
+    high probability; multi-probe = re-run with another seed."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        r = planes[j]
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in r]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(
+            dot > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 8,
+    seeds: tuple[int, ...] = (42, 1337),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate per-query top-k: bucket both sides under each seed
+    (multi-probe improves recall), join on (seed, bucket), exact-cosine
+    re-rank the candidates.
+
+    Plan shape at scale: corpus bucketed once per seed (narrow map),
+    shuffle only on the bucket key; the final window ranks each query's
+    candidate set (<< corpus size). Compare with operators/knn.py's
+    exact `knn_per_query` to measure recall (tests enforce >= 0.8
+    recall@k on the fixtures).
+    """
+    from pyspark.sql import Window
+
+    v_bucketed = vectors.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        hyperplane_bucket(
+                            F.col(vec_col), dim, n_planes, s
+                        ).alias("bucket"),
+                    )
+                    for s in seeds
+                ]
+            )
+        ).alias("sb"),
+    ).select(id_col, vec_col, "sb.seed", "sb.bucket")
+
+    q_bucketed = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        hyperplane_bucket(
+                            F.col(query_vec_col), dim, n_planes, s
+                        ).alias("bucket"),
+                    )
+                    for s in seeds
+                ]
+            )
+        ).alias("sb"),
+    ).select(query_id_col, query_vec_col, "sb.seed", "sb.bucket")
+
+    cand = (
+        v_bucketed.join(
+            F.broadcast(q_bucketed), on=["seed", "bucket"], how="inner"
+        )
+        .where(F.col(id_col) != F.col(query_id_col))
+        .dropDuplicates([query_id_col, id_col])
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    return (
+        cand.select(
+            query_id_col, id_col, F.round(sim, 6).alias("sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,339 @@
+"""Text-analytics query surface over ``documents`` (reference R4/R5
+chunking, R15 provenance, R17 token counting, plus the north-star
+training-data operators: language-ID, quality scoring, fingerprinting,
+dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.functions.text import STOPWORDS, TOKEN_PATTERN
+from conversadocs_spark.operators.chunker import split_documents, split_fixed
+from conversadocs_spark.operators.dedup import (
+    dedup_exact,
+    dedup_ngram_pairs,
+    normalize_text,
+)
+from conversadocs_spark.plans.registry import register
+
+# --------------------------------------------------------------------------
+# chunking (R4/R5)
+# --------------------------------------------------------------------------
+
+_CHUNK_FIXED_ORACLE = """
+SELECT d.doc_id, CAST(g.i AS INTEGER) AS seq,
+       substring(d.text, CAST(g.i * 80 + 1 AS INTEGER), 100) AS chunk
+FROM documents d
+JOIN (SELECT unnest(range(0, 100)) AS i) g
+  ON g.i * 80 < length(d.text)
+"""
+
+
+@register("chunk_fixed", oracle=_CHUNK_FIXED_ORACLE, tags=("text",))
+def chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width chunk grid, size=100 overlap=20 (SQL-expressible
+    simplification of reference R4; the recursive splitter is
+    `chunk_split` below). Pure Catalyst — no Python."""
+    docs = io.table(spark, sf_dir, "documents")
+    return split_fixed(docs, chunk_size=100, overlap=20).select(
+        "doc_id", F.col("seq").cast("int").alias("seq"), "chunk"
+    )
+
+
+@register("chunk_split", tags=("text", "rows-only"))
+def chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive separator-cascade splitter (reference R4 semantics:
+    RecursiveCharacterTextSplitter(1000,150), bones.py:67-68 — here
+    size=120/overlap=30 to suit the ~300-char fixture docs).
+
+    Non-SQL-expressible (recursive algorithm) -> rows-only driver
+    check; determinism + bounds are frozen by golden/property tests in
+    tests/test_text.py.
+    """
+    docs = io.table(spark, sf_dir, "documents")
+    return split_documents(docs, chunk_size=120, overlap=30)
+
+
+# --------------------------------------------------------------------------
+# text stats (R17 generalized)
+# --------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = """
+SELECT doc_id, lang, source,
+       length(text)                                    AS n_chars_computed,
+       len(string_split(text, ' '))                    AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                                                       AS n_tokens_bpe,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')), 6)        AS avg_word_len
+FROM documents
+"""
+
+
+@register("text_stats", oracle=_TEXT_STATS_ORACLE, tags=("text",))
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: char/word/BPE-ish token counts (the engine's
+    stand-in for the reference's llama tokenizer count, R17
+    llamacppmodels.py:307-309) and mean word length."""
+    d = io.table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_computed"),
+        F.size(words).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN))).alias(
+            "n_tokens_bpe"
+        ),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.size(words),
+            6,
+        ).alias("avg_word_len"),
+    )
+
+
+_TEXT_STATS_LANG_ORACLE = """
+SELECT lang,
+       count(*)                                        AS n_docs,
+       sum(length(text))                               AS total_chars,
+       round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6)
+                                                       AS avg_words,
+       count(DISTINCT source)                          AS n_sources
+FROM documents
+GROUP BY lang
+"""
+
+
+@register(
+    "text_stats_by_lang", oracle=_TEXT_STATS_LANG_ORACLE, tags=("text",)
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level grouped stats per language label."""
+    d = io.table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(
+            F.avg(F.size(F.split(F.col("text"), " ")).cast("double")), 6
+        ).alias("avg_words"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+    )
+
+
+# --------------------------------------------------------------------------
+# language ID (north star; n-gram/stopword heuristic)
+# --------------------------------------------------------------------------
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        "len(list_intersect(list_distinct(string_split(lower(text), ' ')), "
+        f"[{words}]))"
+    )
+
+
+_LANG_ID_ORACLE = f"""
+SELECT doc_id, lang,
+       CASE
+         WHEN {_lang_score_sql('en')} >= greatest({_lang_score_sql('de')},
+              {_lang_score_sql('fr')}, {_lang_score_sql('es')},
+              {_lang_score_sql('zh')}, 1) THEN 'en'
+         WHEN {_lang_score_sql('de')} >= greatest({_lang_score_sql('fr')},
+              {_lang_score_sql('es')}, {_lang_score_sql('zh')}, 1) THEN 'de'
+         WHEN {_lang_score_sql('fr')} >= greatest({_lang_score_sql('es')},
+              {_lang_score_sql('zh')}, 1) THEN 'fr'
+         WHEN {_lang_score_sql('es')} >= greatest({_lang_score_sql('zh')}, 1)
+              THEN 'es'
+         WHEN {_lang_score_sql('zh')} >= 1 THEN 'zh'
+         ELSE 'unknown'
+       END AS predicted_lang
+FROM documents
+"""
+
+
+@register("lang_id", oracle=_LANG_ID_ORACLE, tags=("text",))
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID: score each language by distinct
+    function-word matches, pick the best with a fixed priority order
+    for ties, 'unknown' when nothing matches. Deterministic and fully
+    Catalyst-side (array_intersect over split tokens)."""
+    d = io.table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+
+    def score(lang: str) -> F.Column:
+        return F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+        )
+
+    order = ("en", "de", "fr", "es", "zh")
+    pred = F.lit("unknown")
+    # build CASE from the last branch backwards so earlier langs win ties
+    for i in range(len(order) - 1, -1, -1):
+        lang = order[i]
+        rest = [score(o) for o in order[i + 1 :]] + [F.lit(1)]
+        pred = F.when(score(lang) >= F.greatest(*rest) if len(rest) > 1 else score(lang) >= rest[0], lang).otherwise(pred)
+    return d.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+# --------------------------------------------------------------------------
+# quality scoring (north star)
+# --------------------------------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH scored AS (
+    SELECT doc_id,
+           length(text)                           AS n_chars_q,
+           len(string_split(text, ' '))           AS n_words,
+           len(list_distinct(string_split(text, ' ')))
+                                                  AS n_uniq_words,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                                                  AS n_punct
+    FROM documents
+)
+SELECT doc_id, n_chars_q, n_words,
+       round(CAST(n_uniq_words AS DOUBLE) / n_words, 6)  AS uniq_ratio,
+       round(CAST(n_punct AS DOUBLE) / n_chars_q, 6)     AS punct_ratio,
+       round(least(CAST(n_words AS DOUBLE) / 50, 1.0) * 0.4
+             + (CAST(n_uniq_words AS DOUBLE) / n_words) * 0.4
+             + (1 - least(CAST(n_punct AS DOUBLE) / n_chars_q, 1.0)) * 0.2,
+             6)                                          AS quality_score
+FROM scored
+"""
+
+
+@register("text_quality", oracle=_QUALITY_ORACLE, tags=("text",))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + lexical diversity +
+    punctuation penalty — the standard cheap pre-filter in training-data
+    pipelines. All ratios deterministic; weights fixed."""
+    d = io.table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("double")
+    n_uniq = F.size(F.array_distinct(words)).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"))
+    ).cast("double")
+    quality = (
+        F.least(n_words / 50, F.lit(1.0)) * 0.4
+        + (n_uniq / n_words) * 0.4
+        + (F.lit(1) - F.least(n_punct / n_chars, F.lit(1.0))) * 0.2
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_q"),
+        F.size(words).alias("n_words"),
+        F.round(n_uniq / n_words, 6).alias("uniq_ratio"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fingerprinting (north star) — bag-of-words sha256
+# --------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       sha256(array_to_string(list_sort(list_distinct(
+              string_split(lower(text), ' '))), ' '))   AS bow_fingerprint,
+       substring(sha256(lower(text)), 1, 8)             AS text_bucket
+FROM documents
+"""
+
+
+@register("doc_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("text",))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprints: sha256 over the sorted
+    bag-of-words (order-insensitive content identity) plus an 8-hex
+    prefix bucket of the raw-text hash (shard key shape)."""
+    d = io.table(spark, sf_dir, "documents")
+    bow = F.concat_ws(
+        " ",
+        F.sort_array(F.array_distinct(F.split(F.lower(F.col("text")), " "))),
+    )
+    return d.select(
+        "doc_id",
+        F.sha2(bow, 256).alias("bow_fingerprint"),
+        F.substring(F.sha2(F.lower(F.col("text")), 256), 1, 8).alias(
+            "text_bucket"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup (north star): exact + n-gram Jaccard
+# --------------------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+WITH doubled AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+ranked AS (
+    SELECT doc_id,
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS text_hash,
+           row_number() OVER (
+               PARTITION BY sha256(trim(regexp_replace(lower(text),
+                                                       '\\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+    FROM doubled
+)
+SELECT doc_id, text_hash FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_exact", oracle=_DEDUP_EXACT_ORACLE, tags=("text", "dedup"))
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic survivor (lowest doc_id per
+    normalized-text hash). The corpus is doubled with shifted ids so
+    the operator provably removes the copies (the fixtures have no
+    natural exact dups)."""
+    d = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup_exact(doubled).select("doc_id", "text_hash")
+
+
+_DEDUP_NGRAM_ORACLE = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]
+                  ELSE [text]
+             END) AS shingles
+    FROM documents
+    WHERE doc_id < 150
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+           AS jaccard_sim
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
+"""
+
+
+@register(
+    "dedup_ngram_jaccard", oracle=_DEDUP_NGRAM_ORACLE, tags=("text", "dedup")
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity join over a bounded
+    candidate set (doc_id < 150): all pairs with sim >= 0.05. The
+    unbounded/scaled variant is `dedup_minhash` (LSH, rows-only)."""
+    d = io.table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return dedup_ngram_pairs(d, threshold=0.05, n=3).select(
+        "id1", "id2", "jaccard_sim"
+    )

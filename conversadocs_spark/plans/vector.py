@@ -9,8 +9,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from conversadocs_spark import io
-from conversadocs_spark.operators.knn import knn_self
+from conversadocs_spark.functions.vector import cosine_similarity
+from conversadocs_spark.operators.knn import knn_per_query, knn_self
+from conversadocs_spark.operators.lsh import ann_topk_lsh
 from conversadocs_spark.plans.registry import register
+
+# Shared DuckDB fragment: exact cosine between two unnested embedding
+# rowsets joined on ordinality (FIXTURES.md: explicit unnest + SUM).
+_SQL_COSINE_PAIRS = """
+    SELECT a.vec_id AS {id1}, b.vec_id AS {id2},
+           SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE))
+           / (SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE)))
+              * SQRT(SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE)))) AS sim
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings {filter_a}) a
+    JOIN (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings {filter_b}) b USING (i)
+    {pair_pred}
+    GROUP BY a.vec_id, b.vec_id
+"""
 
 # DuckDB-side exact cosine vs one stored vector, via explicit unnest +
 # SUM(x*y) (FIXTURES.md: avoid version-dependent list_cosine_similarity).
@@ -59,3 +78,144 @@ def knn_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(F.broadcast(docs), "vec_id", "left").select(
         "vec_id", "sim", "source"
     )
+
+
+# --------------------------------------------------------------------------
+# batched per-query top-k (R9, batch form)
+# --------------------------------------------------------------------------
+
+_KNN_PER_QUERY_ORACLE = (
+    """
+WITH sims AS (
+"""
+    + _SQL_COSINE_PAIRS.format(
+        id1="query_id",
+        id2="vec_id",
+        filter_a="WHERE vec_id < 5",
+        filter_b="WHERE vec_id >= 5",
+        pair_pred="",
+    )
+    + """
+),
+ranked AS (
+    SELECT query_id, vec_id, round(sim, 6) AS sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY round(sim, 6) DESC, vec_id ASC) AS INTEGER) AS rank
+    FROM sims
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+"""
+)
+
+
+@register("knn_per_query", oracle=_KNN_PER_QUERY_ORACLE, tags=("vector",))
+def knn_per_query_query(spark, sf_dir):
+    """Batch retrieval (R9 for a set of queries): vectors vec_id<5 act
+    as the query batch, the rest as the corpus; exact cosine top-3 per
+    query via broadcast crossJoin + window rank. The LSH variant of the
+    same shape is `ann_topk` below."""
+    emb = io.table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return knn_per_query(corpus, queries, k=3)
+
+
+# --------------------------------------------------------------------------
+# threshold similarity join (north star: embedding-cosine near-dup)
+# --------------------------------------------------------------------------
+
+_SIM_JOIN_ORACLE = (
+    """
+WITH sims AS (
+"""
+    + _SQL_COSINE_PAIRS.format(
+        id1="id1",
+        id2="id2",
+        filter_a="WHERE vec_id < 200",
+        filter_b="WHERE vec_id < 200",
+        pair_pred="",
+    )
+    + """
+)
+SELECT id1, id2, round(sim, 6) AS sim
+FROM sims WHERE id1 < id2 AND round(sim, 6) >= 0.5
+"""
+)
+
+
+@register("similarity_join", oracle=_SIM_JOIN_ORACLE, tags=("vector",))
+def similarity_join(spark, sf_dir):
+    """All-pairs cosine >= 0.5 over a bounded id range — embedding-based
+    near-duplicate detection (north star). Exact quadratic form for the
+    oracle; `ann_topk` is the LSH-pruned shape for full-corpus scale."""
+    emb = io.table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = emb.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("emb1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("emb2")
+    )
+    sim = cosine_similarity(F.col("emb1"), F.col("emb2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") >= 0.5)
+    )
+
+
+# --------------------------------------------------------------------------
+# label centroids (grouped vector aggregation)
+# --------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+       round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6)
+           AS centroid_val
+FROM (SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY label, i
+"""
+
+
+@register("vector_centroid", oracle=_CENTROID_ORACLE, tags=("vector",))
+def vector_centroid(spark, sf_dir):
+    """Per-label element-wise centroid in long format (label, pos,
+    value). posexplode + grouped exact-decimal mean: the aggregation
+    shape behind IVF coarse quantizers and k-means steps. Long format
+    sidesteps array-reassembly order issues in the oracle compare."""
+    emb = io.table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(18,8)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("centroid_val")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-approximate top-k (rows-only; recall enforced in tests)
+# --------------------------------------------------------------------------
+
+
+@register("ann_topk", tags=("vector", "rows-only"))
+def ann_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN, the 100 TB path for R9: bucket-join
+    prunes candidates, exact cosine re-ranks. Approximate by design ->
+    no SQL oracle; tests/test_vector.py enforces recall@3 >= 0.8
+    against the exact `knn_per_query`."""
+    emb = io.table(spark, sf_dir, "embeddings")
+    dim = 64  # fixture dim (FIXTURES.md); operators stay dim-agnostic
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return ann_topk_lsh(corpus, queries, dim=dim, k=3)
