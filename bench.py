@@ -5,8 +5,9 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect-to-count) after
-a warmup pass of the session. `value` is the sum of per-query seconds —
+Each query is timed end-to-end (plan + execute + noop-format write, which
+materializes every output column) after a warmup pass of the session.
+`value` is the sum of per-query seconds —
 the number the driver records in BENCH_r{N}.json and tracks within 2x
 per BASELINE.json.
 """
@@ -51,9 +52,10 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        # count() forces full execution of every operator in the plan
-        # without driver-side row materialization costs.
-        fn(spark, sf_dir).count()
+        # noop-format write materializes EVERY output column end-to-end
+        # (count() would let Catalyst prune unreferenced aggregate and
+        # project expressions, undermeasuring the query).
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -35,10 +35,12 @@ from conversadocs_spark.functions.money import (
 
 _AGG_GROUPED_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2)))        AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2)))   AS sum_base_price,
-       sum({SQL_DISC_PRICE})                         AS sum_disc_price,
-       sum({SQL_CHARGE})                             AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                                                     AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                                                     AS sum_base_price,
+       round(CAST(sum({SQL_DISC_PRICE}) AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(sum({SQL_CHARGE}) AS DOUBLE), 6)     AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              / count(*), 6)                          AS avg_qty,
        round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
@@ -62,10 +64,19 @@ def agg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price()).alias("sum_disc_price"),
-            F.sum(charge()).alias("sum_charge"),
+            # sums accumulate in exact decimal; only the FINAL output is
+            # a rounded double (decimal runtime representation differs
+            # between engines and breaks the driver's value hash).
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias(
+                "sum_qty"
+            ),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double"), 2
+            ).alias("sum_base_price"),
+            F.round(F.sum(disc_price()).cast("double"), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum(charge()).cast("double"), 6).alias("sum_charge"),
             F.round(
                 F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6
             ).alias("avg_qty"),
@@ -135,7 +146,8 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_ROLLUP_ORACLE = """
 SELECT r.r_name AS region, n.n_name AS nation,
-       sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_bal,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+                                               AS total_bal,
        count(*)                                AS n_customers
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -158,7 +170,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region"), F.col("n_name").alias("nation")
         )
         .agg(
-            F.sum(_dec("c_acctbal")).alias("total_bal"),
+            F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias(
+                "total_bal"
+            ),
             F.count("*").alias("n_customers"),
         )
     )
@@ -167,7 +181,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AGG_CUBE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        count(*)                               AS n_items,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                                              AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -179,7 +194,9 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = io.table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_items"),
-        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias(
+            "sum_qty"
+        ),
     )
 
 

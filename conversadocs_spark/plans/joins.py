@@ -54,7 +54,8 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOIN_LEFT_ORACLE = """
 SELECT c.c_custkey, c.c_name,
        count(o.o_orderkey)        AS n_orders,
-       sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_spent
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                                  AS total_spent
 FROM customer c
 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_name
@@ -73,9 +74,14 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                "total_spent"
-            ),
+            # exact decimal sum internally; rounded-double FINAL column
+            # (engine decimal representations hash differently).
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_spent"),
         )
     )
 
@@ -135,7 +141,7 @@ from conversadocs_spark.functions.money import SQL_DISC_PRICE, disc_price
 _JOIN_STAR_ORACLE = f"""
 SELECT r.r_name AS region, n.n_name AS nation,
        CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-       sum({SQL_DISC_PRICE})                AS revenue,
+       round(CAST(sum({SQL_DISC_PRICE}) AS DOUBLE), 4) AS revenue,
        count(*)                             AS n_lineitems
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -176,7 +182,7 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
-            F.sum(disc_price()).alias("revenue"),
+            F.round(F.sum(disc_price()).cast("double"), 4).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )

@@ -32,7 +32,7 @@ from conversadocs_spark.functions.money import SQL_DISC_PRICE, disc_price
 
 _SCAN_PROJECT_ORACLE = f"""
 SELECT l_orderkey, l_partkey, l_quantity,
-       {SQL_DISC_PRICE} AS revenue
+       round(CAST({SQL_DISC_PRICE} AS DOUBLE), 4) AS revenue
 FROM lineitem
 WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
   AND l_quantity > 45
@@ -57,7 +57,11 @@ def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_partkey",
         "l_quantity",
-        disc_price().alias("revenue"),
+        # arithmetic stays exact decimal; the FINAL column is a rounded
+        # double because decimal runtime representation (Spark
+        # decimal(18,4) vs DuckDB DECIMAL(38,4)) breaks the driver's
+        # value hash even when every value is identical.
+        F.round(disc_price().cast("double"), 4).alias("revenue"),
     )
 
 

@@ -86,7 +86,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.length("text").alias("n_chars_computed"),
         F.size(words).alias("n_words"),
-        F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN))).alias(
+        # idx=0 = whole match: TOKEN_PATTERN has no capture group, and
+        # Spark's default idx=1 raises REGEX_GROUP_INDEX at runtime.
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0)).alias(
             "n_tokens_bpe"
         ),
         F.round(
@@ -218,7 +220,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_uniq = F.size(F.array_distinct(words)).cast("double")
     n_chars = F.length("text").cast("double")
     n_punct = F.size(
-        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"))
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
     ).cast("double")
     quality = (
         F.least(n_words / 50, F.lit(1.0)) * 0.4

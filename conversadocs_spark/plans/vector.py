@@ -141,14 +141,14 @@ WITH sims AS (
     + """
 )
 SELECT id1, id2, round(sim, 6) AS sim
-FROM sims WHERE id1 < id2 AND round(sim, 6) >= 0.5
+FROM sims WHERE id1 < id2 AND round(sim, 6) >= 0.3
 """
 )
 
 
 @register("similarity_join", oracle=_SIM_JOIN_ORACLE, tags=("vector",))
 def similarity_join(spark, sf_dir):
-    """All-pairs cosine >= 0.5 over a bounded id range — embedding-based
+    """All-pairs cosine >= 0.3 over a bounded id range — embedding-based
     near-duplicate detection (north star). Exact quadratic form for the
     oracle; `ann_topk` is the LSH-pruned shape for full-corpus scale."""
     emb = io.table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
@@ -162,7 +162,7 @@ def similarity_join(spark, sf_dir):
     return (
         a.join(b, F.col("id1") < F.col("id2"))
         .select("id1", "id2", F.round(sim, 6).alias("sim"))
-        .where(F.col("sim") >= 0.5)
+        .where(F.col("sim") >= 0.3)
     )
 
 

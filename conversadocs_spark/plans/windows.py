@@ -107,9 +107,10 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINDOW_FRAME_ORACLE = """
 SELECT event_id, user_id, ts,
-       sum(CAST(value AS DECIMAL(18,6)))
+       round(CAST(sum(CAST(value AS DECIMAL(18,6)))
            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE), 6)
            AS running_total,
        round(CAST(sum(CAST(value AS DECIMAL(18,6)))
            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
@@ -139,7 +140,9 @@ def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.sum(val).over(run).alias("running_total"),
+        F.round(F.sum(val).over(run).cast("double"), 6).alias(
+            "running_total"
+        ),
         F.round(
             F.sum(val).over(mov).cast("double") / F.count("*").over(mov), 6
         ).alias("moving_avg3"),
