@@ -126,16 +126,8 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 # BPE-ish token pattern: letter runs, digit runs, single other non-space
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
-# Ship this module BY VALUE inside UDF closures: the driver may import
-# the package from a sys.path entry that Spark's Python workers don't
-# share (e.g. the grading driver running from another cwd), so a
-# by-reference pickle of chunk_text would die with ModuleNotFoundError
-# on the executor.
-try:  # pragma: no cover - depends on pyspark internals
-    import sys as _sys
+# Ship this module BY VALUE inside UDF closures (see serde.py: workers
+# may not be able to import the package by path).
+from conversadocs_spark.serde import pickle_module_by_value
 
-    from pyspark import cloudpickle as _cloudpickle
-
-    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
-except Exception:  # noqa: BLE001
-    pass
+pickle_module_by_value(__name__)

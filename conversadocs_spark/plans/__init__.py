@@ -14,6 +14,7 @@ from conversadocs_spark.plans import (  # noqa: E402,F401
     relational,
     setops,
     text,
+    udfs,
     vector,
     windows,
 )

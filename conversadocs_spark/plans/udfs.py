@@ -1,0 +1,173 @@
+"""Python UDF surface (SURVEY.md §2B "UDF / UDAF / UDTF"): scalar
+pandas_udf, grouped-agg pandas_udf (UDAF), and grouped-map
+applyInPandas — each wired into an oracle-checked or rows-only query.
+
+Rationale: the reference's Python-side computations (R6 embed, R17
+token count, R18 generate) are per-row maps; the engine additionally
+needs the grouped forms for per-document reduce steps (R14). All
+kernels here are deterministic pure functions, so the queries stay
+hash-checkable where SQL can express the same value.
+
+Scale: every UDF below is Arrow-batched. Scalar UDFs are narrow maps
+(no shuffle); the grouped forms shuffle once on the group key — same
+exchange a built-in groupBy would do. The cost delta vs built-ins is
+serialization only, which is why plans/ prefers pure-Catalyst
+expressions everywhere a built-in exists (this module exists to prove
+the UDF path, not to replace codegen'd expressions).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.operators.embed import (
+    DEFAULT_EMBED_DIM,
+    mock_embed_udf,
+    token_count_udf,
+)
+from conversadocs_spark.plans.registry import register
+from conversadocs_spark.serde import pickle_module_by_value
+
+# --------------------------------------------------------------------------
+# scalar pandas_udf: token count (R17) — oracle-checked
+# --------------------------------------------------------------------------
+
+_TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS n_tokens
+FROM documents
+"""
+
+
+@register("udf_token_count", oracle=_TOKEN_COUNT_ORACLE, tags=("udf",))
+def udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas_udf token counter (the llama
+    tokenizer stand-in, llamacppmodels.py:307-309), oracle-checked
+    against DuckDB's regexp_extract_all — proving the Python-UDF path
+    end to end, not just built-ins."""
+    d = io.table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count_udf()(F.col("text")).alias("n_tokens")
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar pandas_udf: mock embed (R6) — rows-only (RNG not in SQL)
+# --------------------------------------------------------------------------
+
+
+@register("udf_embed_mock", tags=("udf", "rows-only"))
+def udf_embed_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mock embedding of every document (R6,
+    bones.py:71): hash-seeded unit vectors, Arrow-batched. Rows-only
+    check (the hash-RNG isn't SQL-expressible); tests/test_embed.py
+    enforces dim, unit norm, and determinism across partitionings."""
+    d = io.table(spark, sf_dir, "documents")
+    emb = mock_embed_udf(DEFAULT_EMBED_DIM)
+    out = d.select(
+        "doc_id",
+        emb(F.col("text")).alias("embedding"),
+    )
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            4,
+        ).alias("sq_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# UDAF: grouped-agg pandas_udf — price range per order status
+# --------------------------------------------------------------------------
+
+_UDAF_ORACLE = """
+SELECT o_orderstatus,
+       round(max(o_totalprice) - min(o_totalprice), 2) AS price_range
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("udaf_price_range", oracle=_UDAF_ORACLE, tags=("udf",))
+def udaf_price_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation as a GROUPED_AGG pandas_udf: per-status price
+    range. max/min are summation-order-independent, so the Arrow path
+    hash-matches the SQL oracle exactly. Plan: one shuffle on the
+    3-value group key — identical exchange to a built-in agg."""
+
+    @F.pandas_udf("double")
+    def price_range(prices: pd.Series) -> float:
+        return round(float(prices.max() - prices.min()), 2)
+
+    o = io.table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        price_range(F.col("o_totalprice")).alias("price_range")
+    )
+
+
+# --------------------------------------------------------------------------
+# grouped-map applyInPandas — per-customer order sequencing
+# --------------------------------------------------------------------------
+
+_GROUPED_MAP_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS INTEGER)                  AS seq,
+       date_diff('day',
+                 CAST(lag(o_orderdate) OVER w AS DATE),
+                 CAST(o_orderdate AS DATE))                  AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+@register(
+    "grouped_map_order_seq", oracle=_GROUPED_MAP_ORACLE, tags=("udf",)
+)
+def grouped_map_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (the per-document reduce-step shape,
+    R14): each customer's orders arrive as one pandas frame; the kernel
+    sorts and emits a sequence number + integer day gaps. Integer
+    outputs make the Arrow path bit-identical to the window-function
+    oracle. One shuffle on o_custkey — the same exchange a window
+    function would need."""
+
+    def seq_orders(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"]).reset_index(
+            drop=True
+        )
+        days = (
+            pdf["o_orderdate"].dt.normalize().diff().dt.days
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "seq": (pdf.index + 1).astype("int32"),
+                "days_since_prev": days.astype("Int64"),
+            }
+        )
+
+    o = io.table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return o.groupBy("o_custkey").applyInPandas(
+        seq_orders,
+        schema=(
+            "o_custkey long, o_orderkey long, seq int, "
+            "days_since_prev long"
+        ),
+    )
+
+
+pickle_module_by_value(__name__)
