@@ -122,26 +122,27 @@ def minhash_near_dups(
         F.col(id_col).alias("id"),
         word_ngrams(F.col(text_col), n).alias("shingles"),
     )
-    # signature[i] = min over shingles of xxhash64(shingle, seed=i)
+    # signature[i] = min over shingles of xxhash64(shingle, i). NB the
+    # per-i column must be built by a ONE-ARG closure: a two-parameter
+    # lambda (even with a default) makes pyspark's transform() pass the
+    # array INDEX as the second argument, silently replacing the seed.
+    def _minhash(seed: int) -> F.Column:
+        return F.array_min(
+            F.transform(
+                "shingles", lambda s: F.xxhash64(s, F.lit(seed))
+            )
+        )
+
     sig = sh.select(
         "id",
-        "shingles",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        "shingles",
-                        lambda s, seed=i: F.xxhash64(s, F.lit(seed)),
-                    )
-                )
-                for i in range(num_hashes)
-            ]
-        ).alias("sig"),
+        F.array(*[_minhash(i) for i in range(num_hashes)]).alias("sig"),
     )
-    # banding: hash each band slice; one row per (id, band, band_hash)
+    # banding: hash each band slice; one SLIM row (id, band, band_hash)
+    # per band — the shingle arrays deliberately do NOT enter this
+    # shuffle (they are re-joined by id only for surviving candidate
+    # pairs, keeping bucket-join exchange volume ~16 longs per doc).
     banded = sig.select(
         "id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
@@ -175,10 +176,24 @@ def minhash_near_dups(
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            F.col("a.shingles").alias("sh1"),
-            F.col("b.shingles").alias("sh2"),
         )
         .dropDuplicates(["id1", "id2"])
+    )
+    # exact re-check on candidates only: two id-keyed joins fetch the
+    # shingles of the (few) surviving pairs.
+    cand = (
+        cand.join(
+            sh.select(
+                F.col("id").alias("id1"), F.col("shingles").alias("sh1")
+            ),
+            "id1",
+        )
+        .join(
+            sh.select(
+                F.col("id").alias("id2"), F.col("shingles").alias("sh2")
+            ),
+            "id2",
+        )
     )
     sim = jaccard(F.col("sh1"), F.col("sh2"))
     return (

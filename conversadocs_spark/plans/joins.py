@@ -87,6 +87,70 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# right / full outer joins
+# --------------------------------------------------------------------------
+
+_JOIN_RIGHT_ORACLE = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderstatus
+FROM orders o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'O'
+WHERE c.c_custkey < 300
+"""
+
+
+@register("join_right", oracle=_JOIN_RIGHT_ORACLE, tags=("join",))
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join with a join-side predicate (kept in the ON
+    clause, not the WHERE — the outer-join semantics trap): customers
+    with no open orders still appear, with null order columns."""
+    o = io.table(spark, sf_dir, "orders")
+    c = io.table(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    return o.join(
+        c,
+        (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "O"),
+        "right",
+    ).select("c_custkey", "c_name", "o_orderkey", "o_orderstatus")
+
+
+_JOIN_FULL_ORACLE = """
+WITH hi_cust AS (
+    SELECT c_nationkey AS nationkey, count(*) AS n_rich_customers
+    FROM customer WHERE c_acctbal > 9000
+    GROUP BY c_nationkey
+),
+lo_supp AS (
+    SELECT s_nationkey AS nationkey, count(*) AS n_poor_suppliers
+    FROM supplier WHERE s_acctbal < 1000
+    GROUP BY s_nationkey
+)
+SELECT coalesce(h.nationkey, l.nationkey) AS nationkey,
+       h.n_rich_customers, l.n_poor_suppliers
+FROM hi_cust h
+FULL JOIN lo_supp l ON h.nationkey = l.nationkey
+"""
+
+
+@register("join_full", oracle=_JOIN_FULL_ORACLE, tags=("join",))
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two asymmetric aggregates (nations having
+    only rich customers OR only poor suppliers survive on one side
+    with nulls on the other)."""
+    c = io.table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    s = io.table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 1000)
+    hi = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_rich_customers")
+    )
+    lo = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_poor_suppliers")
+    )
+    return (
+        hi.join(lo, "nationkey", "full")
+        .select("nationkey", "n_rich_customers", "n_poor_suppliers")
+    )
+
+
+# --------------------------------------------------------------------------
 # left semi / left anti (EXISTS / NOT EXISTS)
 # --------------------------------------------------------------------------
 

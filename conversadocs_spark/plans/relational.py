@@ -297,6 +297,46 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# map functions: from_json -> map/struct access (SURVEY §2B map/json row)
+# --------------------------------------------------------------------------
+
+_MAP_FUNCS_ORACLE = """
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INTEGER)               AS n_keys,
+       array_to_string(list_sort(json_keys(props)), ',')    AS keys_sorted,
+       CAST(json_extract_string(props, '$.k') AS INTEGER)   AS k_via_map,
+       CAST(json_extract_string(props, '$.k') AS INTEGER)   AS k_via_struct,
+       CASE WHEN list_contains(json_keys(props), 'missing') THEN 1 ELSE 0
+            END                                             AS has_missing
+FROM events
+WHERE event_id < 500
+"""
+
+
+@register("map_funcs", oracle=_MAP_FUNCS_ORACLE, tags=("relational",))
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into MapType AND StructType, then map_keys /
+    element_at / map_contains_key — the full parsed-JSON access
+    surface (the reference's open metadata dict, SURVEY.md §1.2, as
+    typed columns instead of runtime KeyError probes)."""
+    ev = io.table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    as_map = F.from_json("props", "map<string,int>")
+    as_struct = F.from_json("props", "k int")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(as_map)).alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(as_map)), ",").alias(
+            "keys_sorted"
+        ),
+        F.element_at(as_map, "k").alias("k_via_map"),
+        as_struct.getField("k").alias("k_via_struct"),
+        F.when(F.map_contains_key(as_map, "missing"), 1)
+        .otherwise(0)
+        .alias("has_missing"),
+    )
+
+
+# --------------------------------------------------------------------------
 # conditional expressions (reference R3 fallback / R13 retry shapes)
 # --------------------------------------------------------------------------
 

@@ -6,7 +6,7 @@ dedup).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conversadocs_spark import io
@@ -15,6 +15,7 @@ from conversadocs_spark.operators.chunker import split_documents, split_fixed
 from conversadocs_spark.operators.dedup import (
     dedup_exact,
     dedup_ngram_pairs,
+    minhash_near_dups,
     normalize_text,
 )
 from conversadocs_spark.plans.registry import register
@@ -328,6 +329,94 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 """
 
 
+# --------------------------------------------------------------------------
+# tokenize + TF-IDF (north star; SURVEY §2B "tfidf / tokenize")
+# --------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tokens AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents WHERE doc_id < 100
+),
+terms AS (
+    SELECT doc_id, term FROM tokens
+    WHERE length(term) >= 4 AND regexp_matches(term, '^[a-z]+$')
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM terms),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln((CAST(n.n_docs AS DOUBLE) + 1)
+                            / (CAST(df.df AS DOUBLE) + 1)) , 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored) t
+WHERE rn <= 3
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("text",))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize -> TF -> DF -> smoothed TF-IDF -> top-3 terms per doc.
+
+    Pure DataFrame ops (explode + two grouped aggs + broadcast join +
+    window top-k) rather than MLlib HashingTF/IDF, because (a) exact
+    terms beat hashed buckets for an oracle-checkable surface and (b)
+    the plan is transparent: the DF side is a term-keyed aggregate that
+    broadcasts (vocabulary << corpus at any scale), so the only big
+    shuffle is the (doc_id, term) TF aggregation."""
+    d = io.table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    terms = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .where(
+            (F.length("term") >= 4) & F.col("term").rlike("^[a-z]+$")
+        )
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    # corpus size as a 1-row broadcast (no driver-side collect)
+    n = terms.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs").cast("double") + 1)
+                    / (F.col("df").cast("double") + 1)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
 @register(
     "dedup_ngram_jaccard", oracle=_DEDUP_NGRAM_ORACLE, tags=("text", "dedup")
 )
@@ -339,3 +428,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ngram_pairs(d, threshold=0.05, n=3).select(
         "id1", "id2", "jaccard_sim"
     )
+
+
+_DEDUP_MINHASH_ORACLE = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]
+                  ELSE [text]
+             END) AS shingles
+    FROM documents
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+           AS jaccard_sim
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash", oracle=_DEDUP_MINHASH_ORACLE, tags=("text", "dedup")
+)
+def dedup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs over the FULL document table — the
+    100 TB dedup path (shingle -> 64 minhashes -> 16-band bucket join
+    -> exact Jaccard re-check on candidates only; no all-pairs join
+    anywhere). The oracle is the brute-force exact-Jaccard join: at
+    threshold 0.5 every fixture near-dup pair has jaccard >= 0.9, where
+    the 16x4 banding miss probability is < 1e-7 — so LSH output equals
+    brute force and the query is hash-checkable, not just rows-only.
+    tests/test_dedup.py additionally pins recall=1 vs the exact join at
+    sf0.001."""
+    d = io.table(spark, sf_dir, "documents")
+    return minhash_near_dups(
+        d, threshold=0.5, n=3, num_hashes=64, bands=16
+    ).select("id1", "id2", "jaccard_sim")

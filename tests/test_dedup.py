@@ -1,0 +1,100 @@
+"""Dedup operator tests: MinHash LSH vs brute-force exact Jaccard,
+SimHash near-dup signal, exact-dedup idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.operators.dedup import (
+    dedup_exact,
+    dedup_ngram_pairs,
+    hamming64,
+    minhash_near_dups,
+    simhash64,
+)
+
+THRESHOLD = 0.5
+
+
+def test_minhash_matches_exact_jaccard(spark, sf_dir):
+    """At threshold 0.5 (fixture near-dups sit at jaccard >= 0.9) the
+    LSH pipeline must find exactly the brute-force pair set — recall 1
+    after the exact re-check, precision 1 by construction."""
+    docs = io.table(spark, sf_dir, "documents")
+    exact = {
+        (r.id1, r.id2)
+        for r in dedup_ngram_pairs(docs, threshold=THRESHOLD).collect()
+    }
+    approx = {
+        (r.id1, r.id2)
+        for r in minhash_near_dups(docs, threshold=THRESHOLD).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    assert approx == exact
+
+
+def test_minhash_deterministic_across_partitionings(spark, sf_dir):
+    docs = io.table(spark, sf_dir, "documents")
+    one = {
+        tuple(r)
+        for r in minhash_near_dups(
+            docs.repartition(1), threshold=THRESHOLD
+        ).collect()
+    }
+    many = {
+        tuple(r)
+        for r in minhash_near_dups(
+            docs.repartition(16), threshold=THRESHOLD
+        ).collect()
+    }
+    assert one == many
+
+
+def test_dedup_exact_idempotent(spark, sf_dir):
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    once = dedup_exact(doubled)
+    assert once.count() == docs.count()  # every copy removed
+    twice = dedup_exact(once.select("doc_id", "text"))
+    assert twice.count() == once.count()  # stable under re-application
+    # survivor is always the lowest id -> original rows win
+    assert once.where(F.col("doc_id") >= 10_000_000).count() == 0
+
+
+def test_simhash_separates_near_dups(spark, sf_dir):
+    """Near-dup pairs (exact jaccard >= 0.5) must have strictly smaller
+    mean SimHash hamming distance than random pairs."""
+    docs = io.table(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id", simhash64(F.col("text")).alias("sig")
+    ).cache()
+    pairs = dedup_ngram_pairs(docs, threshold=THRESHOLD).select(
+        "id1", "id2"
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("id1"), F.col("sig").alias("sig1")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id2"), F.col("sig").alias("sig2")
+    )
+    near = (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .agg(F.avg(hamming64(F.col("sig1"), F.col("sig2"))))
+        .first()[0]
+    )
+    rand = (
+        sigs.alias("x")
+        .crossJoin(sigs.alias("y"))
+        .where(F.col("x.doc_id") + 137 == F.col("y.doc_id"))
+        .agg(
+            F.avg(hamming64(F.col("x.sig"), F.col("y.sig")))
+        )
+        .first()[0]
+    )
+    sigs.unpersist()
+    assert near is not None and rand is not None
+    assert near < rand / 2, f"simhash near={near:.1f} rand={rand:.1f}"

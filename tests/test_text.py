@@ -1,0 +1,156 @@
+"""Text surface tests: chunker golden files + properties (the
+SURVEY §5.2 promise), fixed-width chunk grid, and text-stats kernels on
+punctuated input (regression for the regexp_extract_all group bug)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.functions.text import (
+    SENTENCE_SEPARATORS,
+    chunk_text,
+)
+from conversadocs_spark.operators.chunker import split_documents, split_fixed
+
+_GOLDEN_TEXT = (
+    "Alpha beta gamma delta.\n\n"
+    "Epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho.\n"
+    "Sigma tau upsilon phi chi psi omega. The quick brown fox jumps over "
+    "the lazy dog again and again."
+)
+
+# Frozen outputs of the pure kernel — any change to the algorithm must
+# consciously update these (chunk determinism is what makes the t2
+# hashes stable; SURVEY.md §7 "hard parts").
+_GOLDEN_40_10 = [
+    "Alpha beta gamma delta.\n\nEpsilon zeta ",
+    "ilon zeta eta theta iota kappa lambda ",
+    "pa lambda mu nu xi omicron pi rho.\n",
+    "n pi rho.\nSigma tau upsilon phi chi psi ",
+    "i chi psi omega. The quick brown fox ",
+    "brown fox jumps over the lazy dog again ",
+    "dog again and again.",
+]
+_GOLDEN_60_15 = [
+    "Alpha beta gamma delta.\n\nEpsilon zeta eta theta iota kappa ",
+    "eta iota kappa lambda mu nu xi omicron pi rho.\nSigma tau ",
+    "rho.\nSigma tau upsilon phi chi psi omega. The quick brown ",
+    "he quick brown fox jumps over the lazy dog again and again.",
+]
+_GOLDEN_SENT_50_10 = [
+    "Alpha beta gamma delta.\n\nEpsilon zeta eta theta ",
+    "eta theta iota kappa lambda mu nu xi omicron pi ",
+    "micron pi rho.\n",
+    "n pi rho.\nSigma tau upsilon phi chi psi omega. ",
+    "si omega. The quick brown fox jumps over the lazy ",
+    " the lazy dog again and again.",
+]
+
+
+def test_chunker_golden():
+    assert chunk_text(_GOLDEN_TEXT, 40, 10) == _GOLDEN_40_10
+    assert chunk_text(_GOLDEN_TEXT, 60, 15) == _GOLDEN_60_15
+    assert (
+        chunk_text(_GOLDEN_TEXT, 50, 10, SENTENCE_SEPARATORS)
+        == _GOLDEN_SENT_50_10
+    )
+
+
+def test_chunker_edge_cases():
+    assert chunk_text("", 40, 10) == []
+    assert chunk_text("tiny", 40, 10) == ["tiny"]
+    hard = chunk_text("a" * 95, 40, 10)
+    assert [len(c) for c in hard] == [40, 40, 35]
+    with pytest.raises(ValueError):
+        chunk_text("x", 10, 10)
+
+
+@pytest.mark.parametrize("size,overlap", [(40, 10), (120, 30), (1000, 150)])
+def test_chunker_properties(size, overlap):
+    chunks = chunk_text(_GOLDEN_TEXT, size, overlap)
+    # bound: no chunk exceeds the cap
+    assert all(len(c) <= size for c in chunks)
+    # coverage: every word of the input survives somewhere
+    joined = "".join(chunks)
+    for word in _GOLDEN_TEXT.split():
+        assert word in joined
+    # overlap: each successor starts with a suffix of its predecessor
+    for prev, nxt in zip(chunks, chunks[1:]):
+        k = min(overlap, len(prev), len(nxt))
+        probe = nxt[: max(k // 2, 1)]
+        assert probe in prev
+
+
+def test_split_documents_inherits_provenance(spark, sf_dir):
+    docs = io.table(spark, sf_dir, "documents").limit(20)
+    chunks = split_documents(docs, chunk_size=120, overlap=30)
+    assert chunks.columns == ["doc_id", "source", "seq", "chunk"]
+    assert chunks.where(F.col("chunk") == "").count() == 0
+    assert (
+        chunks.where(F.length("chunk") > 120).count() == 0
+    )
+    # seq is dense from 0 within each doc
+    bad_seq = (
+        chunks.groupBy("doc_id")
+        .agg(F.max("seq").alias("mx"), F.count("*").alias("n"))
+        .where(F.col("mx") != F.col("n") - 1)
+        .count()
+    )
+    assert bad_seq == 0
+
+
+def test_split_fixed_grid_covers_text(spark, sf_dir):
+    docs = io.table(spark, sf_dir, "documents").limit(20)
+    grid = split_fixed(docs, chunk_size=100, overlap=20)
+    rebuilt = (
+        grid.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seq", "chunk"))
+                    ),
+                    # strip the 20-char overlap from every chunk but the
+                    # first to reconstruct the original text
+                    lambda s: F.when(
+                        s["seq"] == 0, s["chunk"]
+                    ).otherwise(F.substring(s["chunk"], 21, 100)),
+                ),
+                "",
+            ).alias("rebuilt")
+        )
+    )
+    joined = docs.join(rebuilt, "doc_id")
+    assert joined.where(F.col("rebuilt") != F.col("text")).count() == 0
+
+
+def test_text_stats_survive_punctuated_corpus(spark, sf_dir):
+    """Regression: regexp_extract_all must use group 0 — this crashes
+    with REGEX_GROUP_INDEX if anyone reverts to the default idx=1."""
+    from conversadocs_spark.plans import QUERIES
+
+    punctuated = (
+        io.table(spark, sf_dir, "documents")
+        .limit(5)
+        .withColumn(
+            "text", F.concat(F.col("text"), F.lit(" (really?! yes; 100%)"))
+        )
+    )
+    punctuated.createOrReplaceTempView("_punct_docs")
+    # run the same expressions directly on punctuated text
+    out = punctuated.select(
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+        ).alias("n_punct"),
+    ).collect()
+    assert all(r.n_punct >= 6 for r in out)
+    # and the registered queries still execute on the standard fixtures
+    assert QUERIES["text_stats"](spark, sf_dir).count() > 0
+    assert QUERIES["text_quality"](spark, sf_dir).count() > 0

@@ -1,8 +1,10 @@
-"""Vector operator tests: flagship kNN vs DuckDB oracle."""
+"""Vector operator tests: flagship kNN vs DuckDB oracle + ANN recall
+floor (the promise at plans/vector.py ann_topk)."""
 
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.oracle import assert_query_matches_oracle
 
@@ -10,3 +12,29 @@ from tests.oracle import assert_query_matches_oracle
 @pytest.mark.parametrize("name", ["knn_topk"])
 def test_vector_query_matches_oracle(spark, sf_oracle_dir, name):
     assert_query_matches_oracle(spark, name, sf_oracle_dir)
+
+
+def test_ann_recall_at_3(spark, sf_oracle_dir):
+    """LSH-approximate top-3 must recover >= 0.8 of the exact top-3
+    neighbour set over the 5 fixture queries."""
+    from conversadocs_spark.plans import QUERIES
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["knn_per_query"](spark, sf_oracle_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["ann_topk"](spark, sf_oracle_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ANN recall@3 = {recall:.2f} < 0.8"
+
+
+def test_similarity_join_non_vacuous(spark, sf_oracle_dir):
+    """Regression guard: the threshold must keep the result non-empty
+    on the fixtures (a 0-row pass proves nothing)."""
+    from conversadocs_spark.plans import QUERIES
+
+    n = QUERIES["similarity_join"](spark, sf_oracle_dir).count()
+    assert n > 0
