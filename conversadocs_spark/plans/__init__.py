@@ -9,10 +9,12 @@ from conversadocs_spark.plans.registry import ORACLES, QUERIES, register  # noqa
 # Import for side effect: each module registers its queries.
 from conversadocs_spark.plans import (  # noqa: E402,F401
     aggregates,
+    eventtime,
     joins,
     rag,
     relational,
     setops,
+    streamqueries,
     text,
     udfs,
     vector,

@@ -1,0 +1,149 @@
+"""Event-time window semantics (SURVEY §2B phase 4) in BATCH mode,
+oracle-checked: tumbling, sliding, and session windows over ``events``.
+
+These are the exact groupings Structured Streaming maintains
+incrementally (``conversadocs_spark/streaming/`` runs the SAME column
+expressions over ``readStream``; tests/test_streaming.py proves
+stream-replay == these batch plans). Registering the batch form gives
+the driver hash-checkable correctness rows for the window semantics —
+the streaming execution path itself is verified by deterministic replay
+tests, which is the strongest check available for a non-SQL-expressible
+runtime mode.
+
+Exactness: value sums go through DECIMAL then rounded DOUBLE final
+columns (the plans/ decimal policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.plans.registry import register
+
+# --------------------------------------------------------------------------
+# tumbling window (6 h) per event type
+# --------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '6 hours', ts)                       AS win_start,
+       time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours'  AS win_end,
+       event_type,
+       count(*)                                                  AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                                                                 AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("window_tumbling", oracle=_TUMBLING_ORACLE, tags=("eventtime",))
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 6-hour tumbling windows per event type. Epoch-aligned on
+    both engines (Spark window() and DuckDB time_bucket() both anchor
+    at epoch-divisible boundaries for divisor intervals)."""
+    ev = io.table(spark, sf_dir, "events")
+    w = F.window("ts", "6 hours")
+    return ev.groupBy(w, "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total_value"),
+    ).select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# sliding window (12 h window, 6 h slide)
+# --------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH shifted AS (
+    SELECT e.ts, e.value,
+           time_bucket(INTERVAL '6 hours', e.ts)
+               - k.k * INTERVAL '6 hours'            AS win_start
+    FROM events e
+    JOIN (SELECT unnest(range(0, 2)) AS k) k ON true
+)
+SELECT win_start,
+       win_start + INTERVAL '12 hours'               AS win_end,
+       count(*)                                      AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                                                     AS total_value
+FROM shifted
+GROUP BY 1, 2
+"""
+
+
+@register("window_sliding", oracle=_SLIDING_ORACLE, tags=("eventtime",))
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-hour windows sliding every 6 hours: every event lands in
+    exactly two overlapping windows (window/slide = 2 copies — the
+    fan-out the streaming engine maintains incrementally)."""
+    ev = io.table(spark, sf_dir, "events")
+    w = F.window("ts", "12 hours", "6 hours")
+    return ev.groupBy(w).agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total_value"),
+    ).select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# session window (4 h gap) per user
+# --------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL '4 hours'
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       min(ts)                        AS session_start,
+       max(ts) + INTERVAL '4 hours'   AS session_end,
+       count(*)                       AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("window_session", oracle=_SESSION_ORACLE, tags=("eventtime",))
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 4-hour inactivity gap per user — the
+    batch form of the reference's per-session conversation state (R12).
+    Spark merges events whose gap < 4 h into one session whose end is
+    last_event + gap; the oracle reproduces that with the
+    gaps-and-islands idiom (lag + running sum)."""
+    ev = io.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "4 hours"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

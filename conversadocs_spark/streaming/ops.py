@@ -1,0 +1,96 @@
+"""Streaming window/dedup operators — the incremental form of
+plans/eventtime.py (same column expressions, so replaying the stream
+must reproduce the batch answers; tests/test_streaming.py asserts it).
+
+Watermarks bound state: a "1 hour" watermark means windows/sessions
+older than (max event time - 1 h) are finalized and their state
+dropped — at 100 TB/day this is what keeps the state store constant
+instead of unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _value_sum() -> F.Column:
+    return F.round(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+    ).alias("total_value")
+
+
+def stream_tumbling_agg(
+    events: DataFrame,
+    width: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling window counts/sums per event type (streaming form of
+    plans/eventtime.window_tumbling)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count("*").alias("n_events"), _value_sum())
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding_agg(
+    events: DataFrame,
+    width: str = "12 hours",
+    slide: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding window counts/sums (streaming form of window_sliding)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.count("*").alias("n_events"), _value_sum())
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_agg(
+    events: DataFrame,
+    gap: str = "4 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per user (streaming form of window_session).
+    Session state merges as events arrive and finalizes once the
+    watermark passes session_end — append mode emits exactly the
+    closed sessions."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event stream via dropDuplicatesWithinWatermark on
+    event_id: duplicates arriving within the watermark horizon are
+    suppressed while state stays bounded (ids older than the watermark
+    are forgotten — the at-scale contract for ingest retries)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -1,0 +1,153 @@
+"""Structured Streaming verification: deterministic replay must equal
+the batch twin (plans/eventtime.py), duplicates must be suppressed,
+and stateful session chat must be invariant to micro-batch slicing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.streaming.ops import (
+    stream_session_agg,
+    stream_sliding_agg,
+    stream_tumbling_agg,
+)
+from conversadocs_spark.streaming.source import (
+    read_events_stream,
+    stage_events_files,
+)
+from conversadocs_spark.streaming.state import session_chat
+
+STAGE = "/root/repo/.stream_stage"
+
+
+def _replay(stream_df, mode, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_dir):
+    out = os.path.join(STAGE, "test_" + os.path.basename(sf_dir))
+    return stage_events_files(spark, sf_dir, out, n_files=3)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, staged):
+    from conversadocs_spark.plans import QUERIES
+
+    got = {
+        tuple(r)
+        for r in _replay(
+            stream_tumbling_agg(read_events_stream(spark, staged)),
+            "complete",
+            "t_tumble",
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in QUERIES["window_tumbling"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir, staged):
+    from conversadocs_spark.plans import QUERIES
+
+    got = {
+        tuple(r)
+        for r in _replay(
+            stream_sliding_agg(read_events_stream(spark, staged)),
+            "complete",
+            "t_slide",
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in QUERIES["window_sliding"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_sessions_finalized_subset_of_batch(spark, sf_dir, staged):
+    """Append mode emits exactly the sessions closed by the final
+    watermark — every emitted session must appear verbatim in the
+    batch answer, and most sessions must have closed."""
+    from conversadocs_spark.plans import QUERIES
+
+    got = {
+        tuple(r)
+        for r in _replay(
+            stream_session_agg(read_events_stream(spark, staged)),
+            "append",
+            "t_sess",
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in QUERIES["window_session"](spark, sf_dir).collect()
+    }
+    assert got, "no sessions were finalized"
+    assert got <= want
+    assert len(got) >= len(want) * 0.5
+
+
+def test_stream_dedup_suppresses_retries(spark, sf_dir):
+    from conversadocs_spark.streaming.ops import stream_dedup
+
+    out = os.path.join(STAGE, "test_dup_" + os.path.basename(sf_dir))
+    stage_events_files(spark, sf_dir, out, n_files=3, duplicate_rows=True)
+    got = _replay(
+        stream_dedup(read_events_stream(spark, out)), "append", "t_dedup"
+    )
+    ev = io.table(spark, sf_dir, "events")
+    assert got.count() == ev.count()
+    assert {r.event_id for r in got.select("event_id").collect()} == {
+        r.event_id for r in ev.select("event_id").collect()
+    }
+
+
+def test_session_chat_invariant_to_slicing(spark, sf_dir, staged):
+    """The stateful chat must produce identical (turn, answer) history
+    whether the stream arrives as 1 or 3 micro-batches — state carries
+    the conversation across batch boundaries."""
+    one = {
+        tuple(r)
+        for r in _replay(
+            session_chat(
+                read_events_stream(spark, staged, max_files_per_trigger=3)
+            ),
+            "append",
+            "t_chat1",
+        ).collect()
+    }
+    three = {
+        tuple(r)
+        for r in _replay(
+            session_chat(
+                read_events_stream(spark, staged, max_files_per_trigger=1)
+            ),
+            "append",
+            "t_chat3",
+        ).collect()
+    }
+    assert one == three
+    # turn counts per user == event counts per user
+    ev = io.table(spark, sf_dir, "events")
+    per_user = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    max_turns: dict[int, int] = {}
+    for user_id, _eid, turn, _q, _a in one:
+        max_turns[user_id] = max(max_turns.get(user_id, 0), turn)
+    assert max_turns == per_user
