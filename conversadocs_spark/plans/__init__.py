@@ -10,6 +10,7 @@ from conversadocs_spark.plans.registry import ORACLES, QUERIES, register  # noqa
 from conversadocs_spark.plans import (  # noqa: E402,F401
     aggregates,
     eventtime,
+    ingestion,
     joins,
     rag,
     relational,
