@@ -208,32 +208,108 @@ def simhash64(col: F.Column) -> F.Column:
     """64-bit SimHash of whitespace tokens, as a signed long column.
 
     For each bit position, sum +1/-1 votes from each token's xxhash64
-    bit, then take the sign — all in Catalyst expressions (transform /
-    aggregate / shiftright / bitwise ops). Near-dups differ in few
-    bits; bucket by prefix for LSH-style candidate generation.
+    bit, then take the sign — all in Catalyst expressions. ONE
+    ``aggregate`` pass over the token hashes carries a 64-wide vote
+    array (``zip_with`` updates all counters per token); the sign bits
+    are then folded into a long as two 32-bit halves (an ``acc*2+bit``
+    horner fold per half never exceeds 2^32, so it cannot overflow
+    under ANSI mode). An earlier version ran 64 separate aggregate
+    passes — same O(64·|tokens|) work but a 64x larger expression tree,
+    which blew up codegen size and compile time.
     """
     toks = F.array_distinct(F.split(col, r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        hashes,
+        F.transform(bits, lambda b: F.lit(0)),
+        lambda acc, h: F.zip_with(
+            acc,
+            bits,
+            lambda a, b: a
+            + F.when(F.bit_get(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
 
-    def bit_vote(bit: int) -> F.Column:
+    def _fold(sl: F.Column) -> F.Column:
+        # [v_hi..v_lo] -> unsigned 32-bit word of sign bits
         return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
+            sl,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * 2
+            + F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
         )
 
-    out = F.lit(0).cast("long")
-    for bit in range(64):
-        out = out + F.when(
-            bit_vote(bit) > 0,
-            F.shiftleft(F.lit(1).cast("long"), bit),
-        ).otherwise(F.lit(0).cast("long"))
-    return out
+    hi = _fold(F.reverse(F.slice(votes, 33, 32)))  # bits 63..32
+    lo = _fold(F.reverse(F.slice(votes, 1, 32)))  # bits 31..0
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
 def hamming64(a: F.Column, b: F.Column) -> F.Column:
     """Hamming distance between two 64-bit signatures (bit_count XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 7,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs via banded bucket join — EXACT for the
+    reported radius: with 64/bands-bit bands, any pair within hamming
+    distance ``bands - 1`` leaves at least one band untouched
+    (pigeonhole), so the band join finds it and the output equals the
+    brute-force all-pairs join filtered to ``hamming <= max_hamming``
+    whenever ``max_hamming <= bands - 1`` (pinned by
+    tests/test_dedup.py::test_simhash_banded_equals_bruteforce).
+
+    Scale shape mirrors ``minhash_near_dups``: per-row signature
+    (linear), band explode into slim (id, band, band_val, sig) rows,
+    bucket-join on (band, band_val), hamming filter on candidates only
+    — no all-pairs join anywhere.
+    """
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            "banded join is only exact for max_hamming <= bands-1"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col)).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("sig", b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id1", "id2"])
+    )

@@ -17,6 +17,7 @@ from conversadocs_spark.operators.dedup import (
     dedup_ngram_pairs,
     minhash_near_dups,
     normalize_text,
+    simhash_near_dups,
 )
 from conversadocs_spark.plans.registry import register
 
@@ -468,3 +469,29 @@ def dedup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(
         d, threshold=0.5, n=3, num_hashes=64, bands=16
     ).select("id1", "id2", "jaccard_sim")
+
+
+@register("dedup_simhash", tags=("text", "dedup", "rows-only"))
+def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the documents table, banded bucket
+    join (operators/dedup.py:simhash_near_dups). The corpus is doubled
+    with a one-token-appended copy (ids +1000000) so the operator
+    provably catches injected near-dups: appending one token flips only
+    the few signature bits whose vote margin was ~0, landing the pair
+    well inside the hamming radius.
+
+    rows-only: the signature depends on Spark's xxhash64, which has no
+    DuckDB equivalent; instead tests/test_dedup.py pins the banded join
+    output equal to the brute-force all-pairs hamming join (the banding
+    is exact for hamming <= bands-1 by pigeonhole, not approximate).
+    Reference analog: near-dup detection over the uploaded corpus the
+    reference re-indexes wholesale (bones.py:107-119) and never dedups.
+    """
+    d = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    return simhash_near_dups(
+        d.unionByName(mutated), max_hamming=7, bands=8
+    ).select("id1", "id2", "hamming")

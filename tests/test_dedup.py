@@ -12,6 +12,7 @@ from conversadocs_spark.operators.dedup import (
     hamming64,
     minhash_near_dups,
     simhash64,
+    simhash_near_dups,
 )
 
 THRESHOLD = 0.5
@@ -98,3 +99,34 @@ def test_simhash_separates_near_dups(spark, sf_dir):
     sigs.unpersist()
     assert near is not None and rand is not None
     assert near < rand / 2, f"simhash near={near:.1f} rand={rand:.1f}"
+
+
+def test_simhash_banded_equals_bruteforce(spark, sf_dir):
+    """The banded simhash join must equal the brute-force all-pairs
+    hamming join at the same radius (banding is exact for
+    max_hamming <= bands-1 by pigeonhole, not a recall tradeoff)."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = docs.select(
+        "doc_id", simhash64(F.col("text")).alias("sig")
+    ).cache()
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    brute = {
+        (r.id1, r.id2, r.hamming)
+        for r in (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id1"),
+                F.col("b.doc_id").alias("id2"),
+                hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+            )
+            .where(F.col("hamming") <= 7)
+            .collect()
+        )
+    }
+    banded = {
+        (r.id1, r.id2, r.hamming)
+        for r in simhash_near_dups(docs, max_hamming=7, bands=8).collect()
+    }
+    sigs.unpersist()
+    assert banded == brute
