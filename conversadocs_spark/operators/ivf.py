@@ -1,0 +1,207 @@
+"""IVF (inverted-file) approximate nearest-neighbor search — the
+second scale path for the reference's exact top-k retrieval (R9,
+/root/reference/conversadocs/bones.py:78), complementing the
+random-hyperplane LSH in operators/lsh.py.
+
+Where LSH prunes by hash-bucket collision, IVF prunes by coarse
+quantization: cluster the corpus into ``n_lists`` centroid cells once
+(index build), then at query time score only the vectors in the
+``nprobe`` cells whose centroids are closest to the query. On real
+(clustered) embedding corpora IVF probes a far smaller fraction of the
+data than LSH needs for the same recall, and the cell assignment
+doubles as a partitioning key — a 100 TB index is written bucketed by
+``list_id`` so a probe touches only the matching files.
+
+Everything is DataFrame-native and deterministic:
+
+- init: ``list_id0 = xxhash64(id) % n_lists`` — a parallel, seedless,
+  reshuffle-free k-means|| stand-in (no global sort, no sampling
+  action).
+- refine (Lloyd steps): assign each vector to its nearest centroid by
+  cosine (broadcast centroids, K x dim literals worth of state), then
+  recompute per-cell means with exact-decimal sums so the result is
+  independent of partitioning / add order (same trick as
+  plans/vector.py:vector_centroid).
+- search: broadcast centroids against the query batch, keep the top
+  ``nprobe`` cells per query, semi-join the corpus on ``list_id``,
+  exact-cosine re-rank the survivors.
+
+No fit() state lives outside DataFrames, so the "model" (centroids +
+assignments) can be persisted as two parquet tables and reloaded — the
+index build/overwrite lifecycle of R7/R8 (bones.py:107-119) applies to
+it unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from conversadocs_spark.functions.vector import cosine_similarity
+
+
+def _cell_means(
+    assigned: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-cell element-wise mean -> (list_id, centroid array<double>).
+
+    posexplode multiplies rows by dim for the build only (never at
+    query time); the decimal-cast sum makes the mean exact and thus
+    partition-order independent.
+    """
+    exploded = assigned.select(
+        "list_id", F.posexplode(vec_col).alias("pos", "x")
+    )
+    means = exploded.groupBy("list_id", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    return means.groupBy("list_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ),
+            lambda s: s.getField("m"),
+        ).alias("centroid")
+    )
+
+
+def _assign(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K centroids, cosine
+    against each, argmax with deterministic tie-break on list_id."""
+    sim = cosine_similarity(F.col(vec_col), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("csim"), F.asc("list_id")
+    )
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select(
+            id_col, vec_col, "list_id", F.round(sim, 9).alias("csim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "list_id")
+    )
+
+
+def ivf_build(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the inverted file: returns (assignments, centroids).
+
+    assignments: (id_col, vec_col, list_id) — at 100 TB this is the
+    table you persist, bucketed/partitioned by list_id so a probe is a
+    partition-pruned scan. centroids: (list_id, centroid) — K rows,
+    always broadcastable.
+
+    Each refine iteration is one broadcast-join pass over the corpus
+    plus one dim-exploded aggregation; no step shuffles on anything
+    wider than (list_id, pos).
+    """
+    init = vectors.select(
+        id_col,
+        vec_col,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_lists))
+        .cast("int")
+        .alias("list_id"),
+    )
+    centroids = _cell_means(init, id_col, vec_col)
+    assigned = init
+    for _ in range(refine_iters):
+        assigned = _assign(vectors, centroids, id_col, vec_col)
+        centroids = _cell_means(assigned, id_col, vec_col)
+    return assigned, centroids
+
+
+def ivf_search(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest cells per query, exact-cosine
+    re-rank their members: (query_id, vec_id, sim, rank<=k).
+
+    Scale shape: queries x centroids is a broadcast nested loop over K
+    rows per query; the candidate fetch is an equi-join on list_id
+    against the (bucketed) assignments table — the corpus outside the
+    probed cells is never read. Recall/nprobe tradeoff is the standard
+    IVF knob; tests/test_vector.py enforces a recall floor vs the exact
+    knn_per_query on the (worst-case, near-uniform) fixtures.
+    """
+    qsim = cosine_similarity(F.col(query_vec_col), F.col("centroid"))
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qsim"), F.asc("list_id")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            query_vec_col,
+            "list_id",
+            F.round(qsim, 9).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(query_id_col, query_vec_col, "list_id")
+    )
+    cand = assignments.join(
+        F.broadcast(probed), on="list_id", how="inner"
+    ).where(F.col(id_col) != F.col(query_id_col))
+    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    return (
+        cand.select(query_id_col, id_col, F.round(sim, 6).alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Build + search in one call (the registered-query form). Real
+    deployments split these: build once per corpus version (R7/R8
+    overwrite lifecycle), search many times."""
+    assigned, centroids = ivf_build(
+        vectors,
+        n_lists=n_lists,
+        refine_iters=refine_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return ivf_search(
+        assigned,
+        centroids,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )

@@ -45,6 +45,46 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dedicated union all (bag semantics) + name-aligned union
+# --------------------------------------------------------------------------
+
+_UNION_ALL_ORACLE = """
+SELECT o_orderkey, o_custkey, 'high_value' AS src
+FROM orders WHERE o_totalprice > 250000
+UNION ALL
+SELECT o_orderkey, o_custkey, 'urgent' AS src
+FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_custkey, 'recent' AS src
+FROM orders WHERE o_orderdate >= DATE '1998-06-01'
+"""
+
+
+@register("union_all", oracle=_UNION_ALL_ORACLE, tags=("setop",))
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-branch UNION ALL with bag semantics: an order matching
+    several predicates appears once per branch (the reference's scan
+    loop union shape, bones.py:50-58 — per-loader Document lists are
+    concatenated, never deduplicated). Branches are built with columns
+    in *different* orders to exercise `unionByName`'s align-by-name
+    contract (positional `union` would silently mis-zip). At scale a
+    union is a zero-shuffle plan concatenation — each branch keeps its
+    own partitioning and the filters push to the shared parquet scan.
+    """
+    o = io.table(spark, sf_dir, "orders")
+    high = o.where(F.col("o_totalprice") > 250000).select(
+        "o_orderkey", "o_custkey", F.lit("high_value").alias("src")
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("src"), "o_orderkey", "o_custkey"
+    )
+    recent = o.where(F.col("o_orderdate") >= "1998-06-01").select(
+        "o_custkey", F.lit("recent").alias("src"), "o_orderkey"
+    )
+    return high.unionByName(urgent).unionByName(recent)
+
+
+# --------------------------------------------------------------------------
 # union / intersect / except over yearly customer cohorts
 # --------------------------------------------------------------------------
 

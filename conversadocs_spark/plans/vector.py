@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from conversadocs_spark import io
 from conversadocs_spark.functions.vector import cosine_similarity
+from conversadocs_spark.operators.ivf import ivf_topk
 from conversadocs_spark.operators.knn import knn_per_query, knn_self
 from conversadocs_spark.operators.lsh import ann_topk_lsh
 from conversadocs_spark.plans.registry import register
@@ -221,3 +222,31 @@ def ann_topk(spark, sf_dir):
     )
     corpus = emb.where(F.col("vec_id") >= 5)
     return ann_topk_lsh(corpus, queries, dim=dim, k=3)
+
+
+@register("ann_ivf", tags=("vector", "rows-only"))
+def ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN, the clustered-corpus scale path for R9
+    (operators/ivf.py): coarse-quantize the corpus into 16 centroid
+    cells (deterministic hash init + 2 Lloyd refinements), probe the 8
+    cells nearest each query, exact-cosine re-rank the members.
+
+    Approximate by design -> no SQL oracle;
+    tests/test_vector.py::test_ivf_recall_at_3 enforces recall@3 >= 0.8
+    vs exact `knn_per_query` (measured 0.867 on the fixtures).
+    nprobe/n_lists = 1/2 here because the fixture embeddings are
+    near-uniform random — the worst case for clustering, where recall
+    ~= probe fraction; real embedding corpora cluster, letting
+    nprobe/n_lists drop to ~1/16 at the same recall. At 100 TB the
+    assignments table is persisted bucketed by list_id (see
+    operators/ivf.py docstring) so each probe is a pruned scan, unlike
+    LSH's full-corpus bucket shuffle per seed."""
+    emb = io.table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return ivf_topk(
+        corpus, queries, k=3, n_lists=16, nprobe=8, refine_iters=2
+    )

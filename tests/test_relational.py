@@ -35,6 +35,7 @@ RELATIONAL = [
     "window_frame",
     "sort_limit_topk",
     "set_ops",
+    "union_all",
 ]
 
 

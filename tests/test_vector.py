@@ -31,6 +31,40 @@ def test_ann_recall_at_3(spark, sf_oracle_dir):
     assert recall >= 0.8, f"ANN recall@3 = {recall:.2f} < 0.8"
 
 
+def test_ivf_recall_at_3(spark, sf_oracle_dir):
+    """IVF-approximate top-3 must recover >= 0.8 of the exact top-3
+    neighbour set (measured 0.867, deterministic: hash init + exact
+    decimal centroid means make the index partition-order invariant)."""
+    from conversadocs_spark.plans import QUERIES
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["knn_per_query"](spark, sf_oracle_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["ann_ivf"](spark, sf_oracle_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall@3 = {recall:.2f} < 0.8"
+
+
+def test_ivf_assignment_partitions_corpus(spark, sf_oracle_dir):
+    """ivf_build assigns every corpus vector to exactly one cell, and
+    no cell is empty at 16 lists over 495 near-uniform vectors."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.ivf import ivf_build
+
+    emb = io.table(spark, sf_oracle_dir, "embeddings").where(
+        F.col("vec_id") >= 5
+    )
+    assigned, centroids = ivf_build(emb, n_lists=16, refine_iters=2)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    assert centroids.count() == 16
+
+
 def test_similarity_join_non_vacuous(spark, sf_oracle_dir):
     """Regression guard: the threshold must keep the result non-empty
     on the fixtures (a 0-row pass proves nothing)."""
