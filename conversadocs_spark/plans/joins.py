@@ -200,7 +200,11 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multi-way star join (TPC-H Q5 shape)
 # --------------------------------------------------------------------------
 
-from conversadocs_spark.functions.money import SQL_DISC_PRICE, disc_price
+from conversadocs_spark.functions.money import (
+    SQL_DISC_PRICE,
+    disc_price_e4,
+    sum_scaled,
+)
 
 _JOIN_STAR_ORACLE = f"""
 SELECT r.r_name AS region, n.n_name AS nation,
@@ -246,7 +250,12 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
-            F.round(F.sum(disc_price()).cast("double"), 4).alias("revenue"),
+            # scaled-integer revenue sum (functions/money.py): long
+            # product per row, DECIMAL(28,0) accumulation — exact-equal
+            # to the oracle's decimal formulation, ~2x cheaper per row.
+            F.round(sum_scaled(disc_price_e4(), 10000), 4).alias(
+                "revenue"
+            ),
             F.count("*").alias("n_lineitems"),
         )
     )

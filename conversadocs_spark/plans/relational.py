@@ -28,7 +28,7 @@ from conversadocs_spark.plans.registry import register
 # scan + projection with predicate pushdown
 # --------------------------------------------------------------------------
 
-from conversadocs_spark.functions.money import SQL_DISC_PRICE, disc_price
+from conversadocs_spark.functions.money import SQL_DISC_PRICE, disc_price_e4
 
 _SCAN_PROJECT_ORACLE = f"""
 SELECT l_orderkey, l_partkey, l_quantity,
@@ -57,11 +57,14 @@ def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_partkey",
         "l_quantity",
-        # arithmetic stays exact decimal; the FINAL column is a rounded
-        # double because decimal runtime representation (Spark
-        # decimal(18,4) vs DuckDB DECIMAL(38,4)) breaks the driver's
-        # value hash even when every value is identical.
-        F.round(disc_price().cast("double"), 4).alias("revenue"),
+        # exact scaled-integer product (functions/money.py), descaled
+        # in double; the FINAL column is a rounded double because
+        # decimal runtime representation (Spark decimal(18,4) vs DuckDB
+        # DECIMAL(38,4)) breaks the driver's value hash even when every
+        # value is identical.
+        F.round((disc_price_e4() / 10000).cast("double"), 4).alias(
+            "revenue"
+        ),
     )
 
 

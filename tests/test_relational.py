@@ -66,3 +66,39 @@ def test_approx_distinct_within_tolerance(spark, sf_oracle_dir):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
+
+
+def test_scaled_integer_money_path_is_exact(spark, sf_oracle_dir):
+    """The scaled-integer money fast path (functions/money.py cents/
+    disc_price_e4/charge_e6/sum_scaled) must be bit-identical to the
+    decimal reference formulation on every lineitem row and sum — this
+    is the claim that lets the bench queries run ~2x faster without
+    leaving the exactness policy."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.functions.money import (
+        charge,
+        charge_e6,
+        disc_price,
+        disc_price_e4,
+        sum_scaled,
+    )
+
+    li = io.table(spark, sf_oracle_dir, "lineitem")
+    diff = li.where(
+        (
+            F.round(disc_price().cast("double"), 4)
+            != F.round((disc_price_e4() / 10000).cast("double"), 4)
+        )
+        | (
+            F.round(charge().cast("double"), 6)
+            != F.round((charge_e6() / 1000000).cast("double"), 6)
+        )
+    ).count()
+    assert diff == 0
+    dec_sum, int_sum = li.select(
+        F.round(F.sum(disc_price()).cast("double"), 4).alias("d"),
+        F.round(sum_scaled(disc_price_e4(), 10000), 4).alias("i"),
+    ).first()
+    assert dec_sum == int_sum
