@@ -16,6 +16,7 @@ from conversadocs_spark.plans import (  # noqa: E402,F401
     rag,
     relational,
     setops,
+    skew,
     streamqueries,
     text,
     udfs,

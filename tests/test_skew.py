@@ -1,0 +1,79 @@
+"""Skew operators: the rewrites must be result-invariant (only the
+shuffle keys change), and the salt must be deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.operators.skew import salted_join, two_phase_distinct
+from tests.oracle import assert_query_matches_oracle
+
+
+def test_salted_join_equals_plain_join(spark, sf_oracle_dir):
+    li = io.table(spark, sf_oracle_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    o = (
+        io.table(spark, sf_oracle_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    plain = {
+        tuple(r)
+        for r in li.join(o, on="l_orderkey", how="inner").collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_join(
+            li, o, on="l_orderkey", salt_src="l_partkey", n_salt=8
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_preserves_outer_semantics(spark, sf_oracle_dir):
+    """Left outer: unmatched large-side rows must survive exactly once
+    (the salt column must not manufacture or drop null-extensions)."""
+    o = io.table(spark, sf_oracle_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = (
+        io.table(spark, sf_oracle_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    plain = {
+        tuple(r) for r in o.join(c, on="o_custkey", how="left").collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_join(
+            o, c, on="o_custkey", salt_src="o_orderkey", n_salt=4,
+            how="left",
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_two_phase_distinct_equals_count_distinct(spark, sf_oracle_dir):
+    li = io.table(spark, sf_oracle_dir, "lineitem")
+    direct = {
+        (r.l_returnflag, r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    two = {
+        (r.l_returnflag, r.n_distinct)
+        for r in two_phase_distinct(
+            li, ["l_returnflag"], "l_suppkey"
+        ).collect()
+    }
+    assert two == direct
+
+
+def test_skew_queries_match_oracle(spark, sf_oracle_dir):
+    assert_query_matches_oracle(spark, "join_skew_salted", sf_oracle_dir)
+    assert_query_matches_oracle(spark, "agg_skew_distinct", sf_oracle_dir)

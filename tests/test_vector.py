@@ -72,3 +72,33 @@ def test_similarity_join_non_vacuous(spark, sf_oracle_dir):
 
     n = QUERIES["similarity_join"](spark, sf_oracle_dir).count()
     assert n > 0
+
+
+def test_ivf_index_partition_pruning(spark, sf_oracle_dir, tmp_path):
+    """The 100 TB IVF story: persist assignments partitioned by
+    list_id, probe a cell subset, and the scan must prune to the
+    probed partitions (PartitionFilters in the plan + fewer files
+    read), so a query touches nprobe/n_lists of the index."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.ivf import ivf_build
+
+    emb = io.table(spark, sf_oracle_dir, "embeddings").where(
+        F.col("vec_id") >= 5
+    )
+    assigned, _ = ivf_build(emb, n_lists=16, refine_iters=1)
+    path = str(tmp_path / "ivf_index")
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+    probe = spark.read.parquet(path).where(F.col("list_id").isin(0, 1))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # pruned scan must touch only the 2 probed cells
+    assert (
+        probe.select("list_id").distinct().count() == 2
+    )
+    import os
+
+    all_parts = [
+        d for d in os.listdir(path) if d.startswith("list_id=")
+    ]
+    assert len(all_parts) == 16
