@@ -171,3 +171,53 @@ def grouped_map_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 pickle_module_by_value(__name__)
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (Spark 4 table function): generator form of the chunker
+# --------------------------------------------------------------------------
+
+_UDTF_CHUNK_ORACLE = """
+SELECT d.doc_id, CAST(g.i AS INTEGER) AS seq,
+       substring(d.text, CAST(g.i * 80 + 1 AS INTEGER), 100) AS chunk
+FROM documents d
+JOIN (SELECT unnest(range(0, 100)) AS i) g
+  ON g.i * 80 < length(d.text)
+"""
+
+
+@register("udtf_chunk_fixed", oracle=_UDTF_CHUNK_ORACLE, tags=("udf",))
+def udtf_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF (table function) — the native generator form
+    of SURVEY §2B row 51, complementing the pandas_udf+posexplode path
+    (`chunk_split`): one input row yields N (seq, chunk) rows from
+    eval(), consumed via LATERAL join. Output is identical to
+    `chunk_fixed`'s pure-Catalyst grid, so the exact same DuckDB oracle
+    hash-checks the UDTF path end to end.
+
+    Scale: the UDTF runs per-partition like any Arrow-batched Python
+    worker (narrow map, no shuffle); prefer the pure-Catalyst
+    `split_fixed` when the kernel is expressible — this query exists
+    to prove the UDTF surface, not to replace codegen.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seq int, chunk string")
+    class FixedChunker:
+        def eval(self, text: str):
+            if text is None:
+                return
+            size, step = 100, 80
+            for seq, start in enumerate(range(0, len(text), step)):
+                yield seq, text[start : start + size]
+
+    spark.udtf.register("fixed_chunker", FixedChunker)
+    io.table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_chunk_src"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.seq, c.chunk
+        FROM udtf_chunk_src d, LATERAL fixed_chunker(d.text) c
+        """
+    )

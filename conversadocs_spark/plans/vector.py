@@ -168,6 +168,77 @@ def similarity_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# embedding-cosine near-dup over documents (north star dedup variant)
+# --------------------------------------------------------------------------
+
+_DEDUP_EMBEDDING_ORACLE = (
+    """
+WITH sims AS (
+"""
+    + _SQL_COSINE_PAIRS.format(
+        id1="id1",
+        id2="id2",
+        filter_a="WHERE vec_id < 200",
+        filter_b="WHERE vec_id < 200",
+        pair_pred="",
+    )
+    + """
+)
+SELECT s.id1, s.id2, round(s.sim, 6) AS sim,
+       d1.source AS source1, d2.source AS source2
+FROM sims s
+JOIN documents d1 ON d1.doc_id = s.id1
+JOIN documents d2 ON d2.doc_id = s.id2
+WHERE s.id1 < s.id2 AND round(s.sim, 6) >= 0.3
+"""
+)
+
+
+@register("dedup_embedding", oracle=_DEDUP_EMBEDDING_ORACLE, tags=("vector", "dedup"))
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate DOCUMENT pairs: the fifth dedup
+    modality (exact / MinHash / SimHash / n-gram Jaccard live in
+    plans/text.py), anchored on the documents table with provenance —
+    doc ids pair via their embedding vectors (doc_id = vec_id per
+    FIXTURES.md), cosine >= 0.3, sources projected for review.
+
+    Exact quadratic form bounded to vec_id < 200 for the oracle;
+    `ann_topk`/`ann_ivf` are the pruned shapes that replace the
+    crossJoin at 100 TB (LSH bucket join / IVF cell probe), and
+    `similarity_join` is the same predicate without the provenance
+    join. Reference analog: the reference re-embeds and re-indexes the
+    corpus wholesale on upload (bones.py:107-119) and never dedups —
+    this is the pipeline-hygiene operator it lacks."""
+    emb = io.table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = emb.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("emb1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("emb2")
+    )
+    sim = cosine_similarity(F.col("emb1"), F.col("emb2"))
+    pairs = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") >= 0.3)
+    )
+    return (
+        pairs.join(
+            F.broadcast(docs), pairs.id1 == docs.doc_id, "inner"
+        )
+        .select("id1", "id2", "sim", F.col("source").alias("source1"))
+        .join(
+            F.broadcast(docs), F.col("id2") == docs.doc_id, "inner"
+        )
+        .select(
+            "id1", "id2", "sim", "source1",
+            F.col("source").alias("source2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # label centroids (grouped vector aggregation)
 # --------------------------------------------------------------------------
 

@@ -91,3 +91,57 @@ def test_no_driver_side_antipatterns(spark, name):
     scale) — the two bounded-by-design similarity ops are excluded
     from this sweep and documented in their docstrings."""
     assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-located join via bucketing (the 100 TB join strategy for
+    repeated large⋈large joins on the same key): both sides written
+    bucketBy(8, key) join WITHOUT an exchange on either side —
+    pre-shuffled data on disk replaces the runtime shuffle."""
+    from conversadocs_spark import io
+
+    o = io.table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    li = io.table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    # at test sf the small side would broadcast (also shuffle-free, but
+    # that hides the bucketing); force the sort-merge path the plan
+    # would take for a large⋈large join at scale
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (
+            o.write.mode("overwrite")
+            .option("path", str(tmp_path / "orders_b"))
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("bucketdemo.orders_b")
+        )
+        (
+            li.withColumnRenamed("l_orderkey", "o_orderkey")
+            .write.mode("overwrite")
+            .option("path", str(tmp_path / "lineitem_b"))
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("bucketdemo.lineitem_b")
+        )
+        ob = spark.table("bucketdemo.orders_b")
+        lb = spark.table("bucketdemo.lineitem_b")
+        joined = lb.join(ob, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert "SelectedBucketsCount" in plan
+        # and the join result is still correct
+        n = joined.count()
+        plain = li.join(
+            o, li.l_orderkey == o.o_orderkey, "inner"
+        ).count()
+        assert n == plain
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", prev_thresh
+        )
+        spark.sql("DROP TABLE IF EXISTS bucketdemo.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS bucketdemo.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo")

@@ -154,3 +154,40 @@ def test_text_stats_survive_punctuated_corpus(spark, sf_dir):
     # and the registered queries still execute on the standard fixtures
     assert QUERIES["text_stats"](spark, sf_dir).count() > 0
     assert QUERIES["text_quality"](spark, sf_dir).count() > 0
+
+
+# --------------------------------------------------------------------------
+# hypothesis fuzzing: chunker invariants over arbitrary inputs
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.text(
+    alphabet=st.sampled_from(list("ab cd\nef\n\n.!?xyz")), max_size=600
+)
+
+
+def _is_subsequence(needle: str, hay: str) -> bool:
+    it = iter(hay)
+    return all(ch in it for ch in needle)
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=_texts, size=st.integers(8, 120), data=st.data())
+def test_chunker_invariants_fuzz(text, size, data):
+    """For ANY input: chunks respect the size cap, drop no content
+    (the input is a subsequence of the concatenation — overlap only
+    duplicates, never deletes), and the function is deterministic."""
+    overlap = data.draw(st.integers(0, size - 1))
+    chunks = chunk_text(text, size, overlap)
+    assert all(len(c) <= size for c in chunks)
+    assert chunks == chunk_text(text, size, overlap)
+    joined = "".join(chunks)
+    # whitespace-only trailing fragments may be dropped (cur.strip()
+    # guard) — content coverage is over the stripped text
+    assert _is_subsequence(text.rstrip(), joined) or _is_subsequence(
+        text.strip(), joined
+    )
+    if text.strip():
+        assert chunks, "non-empty text must produce chunks"
