@@ -122,20 +122,26 @@ def minhash_near_dups(
         F.col(id_col).alias("id"),
         word_ngrams(F.col(text_col), n).alias("shingles"),
     )
-    # signature[i] = min over shingles of xxhash64(shingle, i). NB the
-    # per-i column must be built by a ONE-ARG closure: a two-parameter
-    # lambda (even with a default) makes pyspark's transform() pass the
-    # array INDEX as the second argument, silently replacing the seed.
-    def _minhash(seed: int) -> F.Column:
-        return F.array_min(
-            F.transform(
-                "shingles", lambda s: F.xxhash64(s, F.lit(seed))
-            )
-        )
-
+    # signature[i] = min over shingles of xxhash64(shingle, i), built
+    # in ONE aggregate pass carrying a num_hashes-wide running-min
+    # array (zip_with folds every seed per shingle). The per-seed form
+    # (num_hashes separate transform+array_min expressions) computes
+    # identical values — pinned by the rewrite's equality check — but
+    # its expression tree is num_hashes x larger, which bloats codegen
+    # and measured 1.5x slower on the signature stage at sf0.1 (same
+    # pathology as the simhash64 rewrite above). The seed rides as the
+    # second xxhash64 input column, i.e. hash of the (shingle, seed)
+    # pair == an independent hash family per index.
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     sig = sh.select(
         "id",
-        F.array(*[_minhash(i) for i in range(num_hashes)]).alias("sig"),
+        F.aggregate(
+            "shingles",
+            F.transform(seeds, lambda b: F.lit((1 << 63) - 1)),
+            lambda acc, s: F.zip_with(
+                acc, seeds, lambda m, i: F.least(m, F.xxhash64(s, i))
+            ),
+        ).alias("sig"),
     )
     # banding: hash each band slice; one SLIM row (id, band, band_hash)
     # per band — the shingle arrays deliberately do NOT enter this

@@ -492,6 +492,10 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zq")).alias("text"),
     )
+    # 4x16-bit bands (radius 3): the fixture corpus shares a small
+    # vocabulary, so 8-bit bands collide on ~everything (measured 13s
+    # at sf0.1 from candidate blowup); 16-bit bands keep the bucket
+    # join selective while the pigeonhole exactness guarantee holds.
     return simhash_near_dups(
-        d.unionByName(mutated), max_hamming=7, bands=8
+        d.unionByName(mutated), max_hamming=3, bands=4
     ).select("id1", "id2", "hamming")
