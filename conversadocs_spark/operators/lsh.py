@@ -5,11 +5,13 @@ hyperplane sign bits prunes the candidate set to same-bucket rows, then
 exact cosine re-ranks survivors.
 
 Pure DataFrame ops end to end: the projection matrix is a fixed-seed
-numpy array folded into literal expressions (deterministic across runs
-and partitionings — no fit() state to persist). MLlib's
-BucketedRandomProjectionLSH covers the Euclidean case; this operator is
-cosine-native (sign-bit SimHash family), which matches the reference's
-similarity function.
+numpy array (deterministic across runs and partitionings — no fit()
+state to persist) shipped as a broadcast one-row-per-seed DataFrame,
+NOT as literal expressions — plan size stays constant in dim, so
+dim-768+ embeddings do not bloat codegen (an earlier version inlined
+seeds x planes x dim literals). MLlib's BucketedRandomProjectionLSH
+covers the Euclidean case; this operator is cosine-native (sign-bit
+SimHash family), which matches the reference's similarity function.
 """
 
 from __future__ import annotations
@@ -21,30 +23,54 @@ from pyspark.sql import functions as F
 from conversadocs_spark.functions.vector import cosine_similarity
 
 
-def hyperplane_bucket(
-    vec_col: F.Column, dim: int, n_planes: int = 8, seed: int = 42
-) -> F.Column:
-    """Bucket id = integer of sign bits of <v, r_j> for n_planes seeded
-    gaussian hyperplanes r_j. Same-bucket vectors are cosine-close with
-    high probability; multi-probe = re-run with another seed."""
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    bucket = F.lit(0).cast("long")
-    for j in range(n_planes):
-        r = planes[j]
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(x)) for x in r]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(
-            dot > 0, F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
-    return bucket
+    return [
+        [float(x) for x in row]
+        for row in rng.standard_normal((n_planes, dim))
+    ]
+
+
+def planes_frame(
+    spark, dim: int, n_planes: int, seeds: tuple[int, ...]
+) -> DataFrame:
+    """(seed, planes array<array<double>>) — one row per probe seed.
+    Joined via broadcast so the projection matrix travels as DATA (a
+    broadcast variable), never as plan literals."""
+    return spark.createDataFrame(
+        [(s, _planes(dim, n_planes, s)) for s in seeds],
+        "seed int, planes array<array<double>>",
+    )
+
+
+def bucket_expr(vec_col: F.Column, planes_col: F.Column) -> F.Column:
+    """Bucket id = integer of sign bits of <v, r_j> over the planes
+    array: one aggregate pass with a nested dot-product lambda —
+    expression size independent of dim and n_planes. Horner fold over
+    descending j (acc*2 + bit_j) reproduces sum(2^j * bit_j) exactly
+    (shiftleft needs a literal shift, so it can't consume the lambda
+    index)."""
+    idx_desc = F.sequence(
+        F.size(planes_col) - 1, F.lit(0), F.lit(-1)
+    )
+    return F.aggregate(
+        idx_desc,
+        F.lit(0).cast("long"),
+        lambda acc, j: acc * 2
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.element_at(planes_col, j + 1),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
 
 
 DEFAULT_SEEDS: tuple[int, ...] = tuple(range(101, 109))
@@ -78,48 +104,36 @@ def ann_topk_lsh(
     near-uniform random (top-3 cosine ~0.35-0.44) — the ADVERSARIAL
     case, needing few bits + many seeds; clustered real corpora
     (near-dup sims >= 0.8) support 8-16 bits at far better prune
-    ratios with the same recall. At dim >= 768 the literal hyperplane
-    arrays bloat the plan (seeds x planes x dim literals): switch to a
-    broadcast planes DataFrame joined on seed before raising either
-    knob.
+    ratios with the same recall. The projection matrix rides in a
+    broadcast (seed, planes) DataFrame, so raising dim or either knob
+    grows the broadcast payload, not the plan.
     """
     from pyspark.sql import Window
 
-    v_bucketed = vectors.select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        hyperplane_bucket(
-                            F.col(vec_col), dim, n_planes, s
-                        ).alias("bucket"),
-                    )
-                    for s in seeds
-                ]
-            )
-        ).alias("sb"),
-    ).select(id_col, vec_col, "sb.seed", "sb.bucket")
+    spark = vectors.sparkSession
+    pf = planes_frame(spark, dim, n_planes, seeds)
 
-    q_bucketed = queries.select(
-        query_id_col,
-        query_vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        hyperplane_bucket(
-                            F.col(query_vec_col), dim, n_planes, s
-                        ).alias("bucket"),
-                    )
-                    for s in seeds
-                ]
-            )
-        ).alias("sb"),
-    ).select(query_id_col, query_vec_col, "sb.seed", "sb.bucket")
+    v_bucketed = (
+        vectors.crossJoin(F.broadcast(pf))
+        .select(
+            id_col,
+            vec_col,
+            "seed",
+            bucket_expr(F.col(vec_col), F.col("planes")).alias("bucket"),
+        )
+    )
+
+    q_bucketed = (
+        queries.crossJoin(F.broadcast(pf))
+        .select(
+            query_id_col,
+            query_vec_col,
+            "seed",
+            bucket_expr(
+                F.col(query_vec_col), F.col("planes")
+            ).alias("bucket"),
+        )
+    )
 
     cand = (
         v_bucketed.join(
