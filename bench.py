@@ -33,6 +33,7 @@ HEADLINE = (
     "knn_topk",         # flagship vector retrieval
     "agg_collect_stuff",  # collect/concat ("stuff") aggregation
     "set_ops",          # distinct cohorts + intersect/except
+    "rag_answer_pipeline",  # composed condense->retrieve->stuff->answer
 )
 
 
