@@ -102,3 +102,21 @@ def test_ivf_index_partition_pruning(spark, sf_oracle_dir, tmp_path):
         d for d in os.listdir(path) if d.startswith("list_id=")
     ]
     assert len(all_parts) == 16
+
+
+def test_ivf_build_is_partition_invariant(spark, sf_oracle_dir):
+    """The index must not depend on how the input happened to be
+    partitioned (hash init + exact-decimal centroid means are the
+    mechanisms): building over 3 vs 13 input partitions yields
+    identical assignments."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.ivf import ivf_build
+
+    emb = io.table(spark, sf_oracle_dir, "embeddings").where(
+        F.col("vec_id") >= 5
+    )
+    a1, _ = ivf_build(emb.repartition(3), n_lists=16, refine_iters=2)
+    a2, _ = ivf_build(emb.repartition(13), n_lists=16, refine_iters=2)
+    m1 = {(r.vec_id, r.list_id) for r in a1.collect()}
+    m2 = {(r.vec_id, r.list_id) for r in a2.collect()}
+    assert m1 == m2
