@@ -70,7 +70,17 @@ def salted_join(
         _SALT,
         F.explode(F.array(*[F.lit(i) for i in range(n_salt)])),
     )
-    return lhs.join(rhs, on=keys + [_SALT], how=how).drop(_SALT)
+    # Force a sort-merge join: salting targets exactly the case where
+    # the build side is too big to broadcast — left to itself Catalyst
+    # may still try to broadcast the n_salt-fold replica (it OOM'd a
+    # default-memory driver at 10x test scale), which would also defeat
+    # the point (a broadcast join has no skewed shuffle to fix). Merge
+    # rather than shuffle_hash: the hash build is unspillable and died
+    # on the same 10x data in a small-memory session; sort-merge spills.
+    return (
+        lhs.join(rhs.hint("merge"), on=keys + [_SALT], how=how)
+        .drop(_SALT)
+    )
 
 
 def two_phase_distinct(

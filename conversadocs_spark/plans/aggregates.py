@@ -42,8 +42,8 @@ SELECT l_returnflag, l_linestatus,
                                                      AS sum_qty,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                                                      AS sum_base_price,
-       round(CAST(sum({SQL_DISC_PRICE}) AS DOUBLE), 4) AS sum_disc_price,
-       round(CAST(sum({SQL_CHARGE}) AS DOUBLE), 6)     AS sum_charge,
+       round(CAST(sum({SQL_DISC_PRICE}) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum({SQL_CHARGE}) AS DOUBLE), 2)     AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              / count(*), 6)                          AS avg_qty,
        round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
@@ -85,8 +85,14 @@ def agg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(sum_cents("qty_c"), 2).alias("sum_qty"),
         F.round(sum_scaled("price_c", 100), 2).alias("sum_base_price"),
-        F.round(sum_scaled("disc_e4", 10000), 4).alias("sum_disc_price"),
-        F.round(sum_scaled("charge_e6", 1000000), 6).alias("sum_charge"),
+        # money SUM outputs are emitted at cents (round 2), not at the
+        # product scale (4/6 dp): cross-engine round(double, d) only
+        # agrees while |sum| * 10^d < 2^53 (DuckDB's float round is
+        # identity past that; Spark's BigDecimal round is not), and a
+        # 6-dp rounding of a ~5e10 sum already crosses it — caught by
+        # the 10x-scale oracle gate, invisible at sf0.01.
+        F.round(sum_scaled("disc_e4", 10000), 2).alias("sum_disc_price"),
+        F.round(sum_scaled("charge_e6", 1000000), 2).alias("sum_charge"),
         F.round(sum_cents("qty_c") / F.count("*"), 6).alias("avg_qty"),
         F.round(sum_cents("disc_e6", 1000000) / F.count("*"), 6).alias(
             "avg_disc"

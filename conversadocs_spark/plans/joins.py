@@ -209,7 +209,7 @@ from conversadocs_spark.functions.money import (
 _JOIN_STAR_ORACLE = f"""
 SELECT r.r_name AS region, n.n_name AS nation,
        CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-       round(CAST(sum({SQL_DISC_PRICE}) AS DOUBLE), 4) AS revenue,
+       round(CAST(sum({SQL_DISC_PRICE}) AS DOUBLE), 2) AS revenue,
        count(*)                             AS n_lineitems
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -253,7 +253,9 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             # scaled-integer revenue sum (functions/money.py): long
             # product per row, DECIMAL(28,0) accumulation — exact-equal
             # to the oracle's decimal formulation, ~2x cheaper per row.
-            F.round(sum_scaled(disc_price_e4(), 10000), 4).alias(
+            # Emitted at cents: see the sum-rounding note in
+            # plans/aggregates.py agg_grouped.
+            F.round(sum_scaled(disc_price_e4(), 10000), 2).alias(
                 "revenue"
             ),
             F.count("*").alias("n_lineitems"),

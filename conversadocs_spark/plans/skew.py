@@ -17,7 +17,7 @@ _JOIN_SKEW_ORACLE = """
 SELECT o.o_orderpriority,
        round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
              * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
-             AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+             AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
        count(*) AS n_items
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
@@ -48,7 +48,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, o, on="l_orderkey", salt_src="l_partkey", n_salt=8
     )
     return joined.groupBy("o_orderpriority").agg(
-        F.round(sum_scaled("disc_e4", 10000), 4).alias("revenue"),
+        # cents output: see the sum-rounding note in plans/aggregates.py
+        F.round(sum_scaled("disc_e4", 10000), 2).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
