@@ -70,12 +70,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        # noop-format write materializes EVERY output column end-to-end
-        # (count() would let Catalyst prune unreferenced aggregate and
-        # project expressions, undermeasuring the query).
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of 2 runs at the target sf: run-to-run noise on a busy
+        # box is ~±0.5 s across the suite; the min is the stable
+        # steady-state figure the regression budget should track.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # noop-format write materializes EVERY output column
+            # end-to-end (count() would let Catalyst prune unreferenced
+            # aggregate and project expressions, undermeasuring).
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

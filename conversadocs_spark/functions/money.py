@@ -73,6 +73,14 @@ def charge() -> Column:
 # instead of 2-3 BigDecimal multiplies, ~2e16 rows/group of headroom.
 # Narrow inputs (quantity cents <= 5e3/row -> ~2e15 rows/group of long
 # headroom) may sum in plain long via `sum_cents`.
+#
+# Output typing: SUM columns are emitted as round(double, 2) — cents.
+# Cross-engine round(double, d) only agrees while |sum|*10^d < 2^53
+# (DuckDB's float round is identity beyond that; Spark's BigDecimal
+# round is exact), so product-scale rounding (4/6 dp) diverged at a
+# ~5e10 sum in 10x-scale gate runs. Cents hold to |sum| ~ $9e13 per
+# group; past that, emit the exact DECIMAL and compare as strings
+# instead of doubles.
 
 
 def cents(col: str | Column, scale: int = 100) -> Column:
