@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Run the full DuckDB oracle gate against a scaled dataset produced
+by scripts/make_scale_dataset.py — the same check the driver performs
+at sf0.01, at 10x (or any) scale. This is how the two scale-only bugs
+in BASELINE.md's "Scaling check" section were caught (money-sum
+rounding past the 2^53 double envelope; salted-join replica broadcast
+OOM): the sf0.01 gate cannot see either.
+
+Usage:
+    python scripts/scale_gate.py [SF_DIR]      # default /tmp/sf1
+
+Queries whose ORACLE is intentionally quadratic and unbounded
+(dedup_minhash: brute-force all-pairs Jaccard, hours in single-threaded
+DuckDB at 50k docs while the Spark side takes ~27s) are run
+Spark-side-only.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+#: oracle is brute-force-quadratic over the full table: skip the
+#: DuckDB side at scale, still execute + count the Spark side
+QUADRATIC_ORACLES = {"dedup_minhash"}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main() -> None:
+    import duckdb
+
+    import __spark_entry__ as entry
+    from conversadocs_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    spark = get_spark(app_name="scale-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        glob = "/*.parquet" if os.path.isdir(path) else ""
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{path}{glob}'"
+        )
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+
+    def norm(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        cell = lambda v: round(v, 6) if isinstance(v, float) else v  # noqa: E731
+        return [cols[i] for i in order], sorted(
+            [tuple(cell(r[i]) for i in order) for r in rows], key=str
+        )
+
+    bad = []
+    checked = 0
+    for name in sorted(oracles):
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir)
+            if name in QUADRATIC_ORACLES:
+                n = sdf.count()
+                print(
+                    f"{name}: spark-only rows={n}"
+                    f" ({time.time() - t0:.1f}s)",
+                    flush=True,
+                )
+                continue
+            sc, sr = norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+            cur = con.execute(oracles[name])
+            oc, orr = norm(
+                [d[0] for d in cur.description], cur.fetchall()
+            )
+            ok = sc == oc and sr == orr
+            if not ok:
+                bad.append(name)
+            checked += 1
+            print(
+                f"{name}: {'OK' if ok else 'MISMATCH'}"
+                f" ({time.time() - t0:.1f}s)",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001 — gate must report, not die
+            bad.append(name)
+            print(f"{name}: ERR {str(e)[:120]}", flush=True)
+    print("oracle-checked:", checked)
+    print("MISMATCHES:", bad if bad else "none")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
