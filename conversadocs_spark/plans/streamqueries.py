@@ -92,3 +92,37 @@ def streaming_session_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage(spark, sf_dir, duplicate_rows=False)
     ev = read_events_stream(spark, path)
     return _replay(session_chat(ev), "append")
+
+
+@register("streaming_foreachbatch_sink", tags=("streaming", "rows-only"))
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental index build (R19 analog + R7/R8
+    lifecycle, incremental form): the 3-micro-batch events replay is
+    written batch-by-batch into a parquet index partitioned by
+    batch_id (idempotent overwrite-per-partition — a redelivered batch
+    replaces itself instead of duplicating). Returns the re-read
+    index; rows must equal the staged input
+    (tests/test_streaming.py::test_foreachbatch_sink_idempotent also
+    re-delivers a batch and asserts no duplication)."""
+    import shutil
+
+    from conversadocs_spark.streaming.ops import (
+        foreach_batch_index_writer,
+    )
+
+    path = _stage(spark, sf_dir, duplicate_rows=False)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    index_dir = os.path.join(_STAGE_ROOT, f"fb_index_{tag}")
+    ckpt = os.path.join(
+        _STAGE_ROOT, f"fb_ckpt_{tag}_{os.getpid()}_{next(_COUNTER)}"
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ev = read_events_stream(spark, path)
+    q = (
+        ev.writeStream.foreachBatch(foreach_batch_index_writer(index_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(index_dir)

@@ -94,3 +94,31 @@ def stream_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def foreach_batch_index_writer(index_dir: str):
+    """foreachBatch sink (reference R19's closest Spark analog,
+    llamacppmodels.py:256-305 streaming emission; SURVEY §2A maps it to
+    "closest analog foreachBatch"): each micro-batch lands as one
+    idempotent parquet partition ``batch_id=N`` under ``index_dir``.
+
+    Idempotency contract: foreachBatch may redeliver a batch after
+    failure WITH THE SAME batch_id — overwrite-by-partition makes the
+    retry a no-op instead of a duplicate (the same
+    overwrite-not-append reasoning as the R7/R8 batch index rebuild in
+    sources/sink.py, applied incrementally). Readers see the growing
+    index as plain partitioned parquet.
+    """
+
+    def write(batch_df, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option(
+                "partitionOverwriteMode", "dynamic"
+            )  # replace only this batch's partition on retry
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+
+    return write

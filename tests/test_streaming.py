@@ -151,3 +151,38 @@ def test_session_chat_invariant_to_slicing(spark, sf_dir, staged):
     for user_id, _eid, turn, _q, _a in one:
         max_turns[user_id] = max(max_turns.get(user_id, 0), turn)
     assert max_turns == per_user
+
+
+def test_foreachbatch_sink_idempotent(spark, sf_dir, tmp_path):
+    """A redelivered micro-batch (same batch_id) must replace its own
+    partition, not append duplicates — the failure-retry contract of
+    foreachBatch."""
+    from conversadocs_spark import io
+    from conversadocs_spark.streaming.ops import foreach_batch_index_writer
+
+    ev = io.table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    index_dir = str(tmp_path / "fb_index")
+    writer = foreach_batch_index_writer(index_dir)
+    first = ev.limit(40)
+    second = ev.limit(100).subtract(first)
+    writer(first, 0)
+    writer(second, 1)
+    n_before = spark.read.parquet(index_dir).count()
+    writer(first, 0)  # redelivery of batch 0
+    after = spark.read.parquet(index_dir)
+    assert after.count() == n_before
+    assert after.select("event_id").distinct().count() == n_before
+
+
+def test_foreachbatch_replay_covers_input(spark, sf_dir):
+    """The streamed index must contain exactly the staged events."""
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    idx = QUERIES["streaming_foreachbatch_sink"](spark, sf_dir)
+    n_events = io.table(spark, sf_dir, "events").count()
+    assert idx.count() == n_events
+    assert idx.select("event_id").distinct().count() == n_events
+    assert idx.select("batch_id").distinct().count() >= 2
