@@ -499,3 +499,135 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(
         d.unionByName(mutated), max_hamming=3, bands=4
     ).select("id1", "id2", "hamming")
+
+
+# --------------------------------------------------------------------------
+# composed corpus-cleaning pipeline (the 100 TB training-data shape)
+# --------------------------------------------------------------------------
+
+_CORPUS_CLEAN_ORACLE = f"""
+WITH doubled AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+survivors AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (
+                   PARTITION BY sha256(trim(regexp_replace(lower(text),
+                                                           '\\s+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+        FROM doubled) WHERE rn = 1
+),
+scored AS (
+    SELECT doc_id, text,
+           round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50,
+                       1.0) * 0.4
+                 + (CAST(len(list_distinct(string_split(text, ' ')))
+                         AS DOUBLE) / len(string_split(text, ' '))) * 0.4
+                 + (1 - least(CAST(len(regexp_extract_all(text,
+                       '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text), 1.0))
+                   * 0.2,
+                 6) AS quality_score
+    FROM survivors
+)
+SELECT doc_id, quality_score,
+       CASE
+         WHEN {_lang_score_sql('en')} >= greatest({_lang_score_sql('de')},
+              {_lang_score_sql('fr')}, {_lang_score_sql('es')},
+              {_lang_score_sql('zh')}, 1) THEN 'en'
+         WHEN {_lang_score_sql('de')} >= greatest({_lang_score_sql('fr')},
+              {_lang_score_sql('es')}, {_lang_score_sql('zh')}, 1) THEN 'de'
+         WHEN {_lang_score_sql('fr')} >= greatest({_lang_score_sql('es')},
+              {_lang_score_sql('zh')}, 1) THEN 'fr'
+         WHEN {_lang_score_sql('es')} >= greatest({_lang_score_sql('zh')}, 1)
+              THEN 'es'
+         WHEN {_lang_score_sql('zh')} >= 1 THEN 'zh'
+         ELSE 'unknown'
+       END AS predicted_lang
+FROM scored
+WHERE quality_score >= 0.72
+  AND CASE
+         WHEN {_lang_score_sql('en')} >= greatest({_lang_score_sql('de')},
+              {_lang_score_sql('fr')}, {_lang_score_sql('es')},
+              {_lang_score_sql('zh')}, 1) THEN 'en'
+         ELSE 'other'
+      END = 'en'
+"""
+
+
+@register("corpus_clean", oracle=_CORPUS_CLEAN_ORACLE, tags=("text", "dedup"))
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline — dedup -> quality
+    filter -> language filter in ONE declarative plan, the end-to-end
+    shape this engine exists for at 100 TB (each stage alone is a
+    registered query; this proves they compose without materialization
+    barriers).
+
+    Stages: (1) exact dedup with deterministic survivor over a corpus
+    doubled with exact copies (operators/dedup.py:dedup_exact — one
+    hash shuffle); (2) heuristic quality score, keep >= 0.72 (drops
+    ~40% of fixture docs — a discriminating threshold, not vacuous);
+    (3) stopword language ID, keep 'en' (drops the 'unknown' tail).
+    All pure Catalyst: the whole pipeline is one scan + one
+    dedup-window shuffle; the quality/lang stages are narrow maps that
+    fuse into the same stage, and Catalyst pushes nothing through the
+    window (correct: the dedup must see every row).
+
+    Reference analog: none — the reference re-indexes raw uploads
+    wholesale (bones.py:107-119); this is the hygiene layer the north
+    star adds on top.
+    """
+    d = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    survivors = dedup_exact(doubled).select("doc_id", "text")
+
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("double")
+    n_uniq = F.size(F.array_distinct(words)).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("double")
+    quality = F.round(
+        F.least(n_words / 50, F.lit(1.0)) * 0.4
+        + (n_uniq / n_words) * 0.4
+        + (F.lit(1) - F.least(n_punct / n_chars, F.lit(1.0))) * 0.2,
+        6,
+    )
+
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+
+    def score(lang: str) -> F.Column:
+        return F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+            )
+        )
+
+    order = ("en", "de", "fr", "es", "zh")
+    pred = F.lit("unknown")
+    for i in range(len(order) - 1, -1, -1):
+        lang = order[i]
+        rest = [score(o) for o in order[i + 1 :]] + [F.lit(1)]
+        cond = (
+            score(lang) >= F.greatest(*rest)
+            if len(rest) > 1
+            else score(lang) >= rest[0]
+        )
+        pred = F.when(cond, lang).otherwise(pred)
+
+    return (
+        survivors.select(
+            "doc_id",
+            quality.alias("quality_score"),
+            pred.alias("predicted_lang"),
+        )
+        .where(
+            (F.col("quality_score") >= 0.72)
+            & (F.col("predicted_lang") == "en")
+        )
+    )
