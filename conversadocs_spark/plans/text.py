@@ -59,6 +59,26 @@ def chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_documents(docs, chunk_size=120, overlap=30)
 
 
+@register("chunk_sentences", tags=("text", "rows-only"))
+def chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The summarize-variant chunker (reference R5, bones.py:160-165):
+    same recursive splitter with the sentence-aware separator cascade
+    ["\\n\\n", "\\n", "(?<=\\. )", " ", ""] — the regex-lookbehind
+    sentence boundary the reference passes for map-reduce
+    summarization — and the R5 wide/low-overlap geometry (scaled to
+    the ~300-char fixture docs as 200/10; the reference uses 2000/100
+    on full pages). Rows-only like `chunk_split`; the kernel is the
+    same golden-tested pure function (functions/text.py:chunk_text).
+    """
+    docs = io.table(spark, sf_dir, "documents")
+    return split_documents(
+        docs,
+        chunk_size=200,
+        overlap=10,
+        separators=("\n\n", "\n", r"(?<=\. )", " ", ""),
+    )
+
+
 # --------------------------------------------------------------------------
 # text stats (R17 generalized)
 # --------------------------------------------------------------------------
