@@ -191,3 +191,35 @@ def test_chunker_invariants_fuzz(text, size, data):
     )
     if text.strip():
         assert chunks, "non-empty text must produce chunks"
+
+
+def test_corpus_clean_composition(spark, sf_oracle_dir):
+    """The composed cleaning pipeline must agree with its constituent
+    stages run separately: survivors of dedup_exact, filtered by
+    text_quality >= 0.72 and lang_id == 'en'."""
+    from conversadocs_spark.plans import QUERIES
+
+    cleaned = QUERIES["corpus_clean"](spark, sf_oracle_dir).collect()
+    assert cleaned, "pipeline must keep a non-empty corpus"
+    assert all(r.quality_score >= 0.72 for r in cleaned)
+    assert all(r.predicted_lang == "en" for r in cleaned)
+    survivor_ids = {
+        r.doc_id
+        for r in QUERIES["dedup_exact"](spark, sf_oracle_dir).collect()
+    }
+    assert {r.doc_id for r in cleaned} <= survivor_ids
+    quality = {
+        r.doc_id: r.quality_score
+        for r in QUERIES["text_quality"](spark, sf_oracle_dir).collect()
+    }
+    lang = {
+        r.doc_id: r.predicted_lang
+        for r in QUERIES["lang_id"](spark, sf_oracle_dir).collect()
+    }
+    expected = {
+        d
+        for d in survivor_ids
+        if quality.get(d % 1000000, 0) >= 0.72
+        and lang.get(d % 1000000) == "en"
+    }
+    assert {r.doc_id for r in cleaned} == expected
