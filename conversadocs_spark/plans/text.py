@@ -125,8 +125,8 @@ _TEXT_STATS_LANG_ORACLE = """
 SELECT lang,
        count(*)                                        AS n_docs,
        sum(length(text))                               AS total_chars,
-       round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6)
-                                                       AS avg_words,
+       round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+             / count(*), 6)                            AS avg_words,
        count(DISTINCT source)                          AS n_sources
 FROM documents
 GROUP BY lang
@@ -142,8 +142,17 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).alias("total_chars"),
+        # Exact-integer sum then a single division: avg(double) merges
+        # partial sums in shuffle-fetch order, which can flip the 6th
+        # decimal run-to-run (the one hash-flaky row in CORRECTNESS_r02).
+        # An integer sum is exact regardless of merge order, so the
+        # rounded quotient is deterministic.
         F.round(
-            F.avg(F.size(F.split(F.col("text"), " ")).cast("double")), 6
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
         ).alias("avg_words"),
         F.count_distinct(F.col("source")).alias("n_sources"),
     )
