@@ -57,12 +57,26 @@ def salted_join(
     explode the small side across all ``n_salt`` salt values, then join
     on (keys + salt).
 
-    Result is row-for-row identical to ``large.join(small, on, how)``;
+    For ``how`` in {'inner', 'left', 'left_semi', 'left_anti'} the
+    result is row-for-row identical to ``large.join(small, on, how)``;
     the only change is the shuffle key, which now spreads any hot join
     key over ``n_salt`` reducers. Cost: the small side is duplicated
     ``n_salt`` times into the exchange — keep ``n_salt`` at the level
     of the observed skew factor, not higher.
+
+    Right/full outer are rejected: the small side is exploded
+    ``n_salt``-fold, so a small-side row whose key never meets a
+    large-side row (or whose salt value never occurs for that key)
+    would null-extend once per salt replica instead of once. To salt a
+    right-outer join, swap the sides and use ``how='left'``.
     """
+    if how not in {"inner", "left", "left_semi", "left_anti"}:
+        raise ValueError(
+            "salted_join preserves semantics only for how in "
+            "{'inner','left','left_semi','left_anti'}; got "
+            f"{how!r}. For right/full outer, salt the preserved side "
+            "(swap large/small) instead."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salt)).cast("int")
     lhs = large.withColumn(_SALT, salt)
@@ -89,10 +103,15 @@ def two_phase_distinct(
     """Skew-safe COUNT(DISTINCT distinct_col) GROUP BY group_keys:
     dedupe on (group_keys, distinct_col) first — a shuffle keyed by the
     well-spread combined key — then count per group over the (much
-    smaller) deduped set. Returns (group_keys..., n_distinct)."""
+    smaller) deduped set. Returns (group_keys..., n_distinct).
+
+    Counts ``count(distinct_col)``, not ``count(*)``: dropDuplicates
+    keeps one (group, NULL) survivor per group, and SQL
+    COUNT(DISTINCT x) ignores NULLs — counting the column (which skips
+    NULLs) keeps the two in agreement on nullable columns."""
     return (
         df.select(*group_keys, distinct_col)
         .dropDuplicates(group_keys + [distinct_col])
         .groupBy(*group_keys)
-        .agg(F.count("*").alias("n_distinct"))
+        .agg(F.count(F.col(distinct_col)).alias("n_distinct"))
     )

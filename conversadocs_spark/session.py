@@ -31,10 +31,19 @@ def get_spark(
     - maxPartitionBytes: scan-split size. Spark's 128m default makes a
       sf0.1 fixture file a 3-way split, so 3 of local[32] cores do the
       partial aggregate; 8m splits it ~16 ways (measured 2x on the Q1
-      shape). On a real cluster at 100 TB keep the 128m default — 8m
-      would explode into ~12M tasks; set SPARK_GRAFT_MAX_PARTITION_BYTES.
+      shape). The 8m override is applied ONLY when running local[N]
+      (master is None): a cluster deployment through
+      get_spark(master=...) keeps Spark's 128m default — 8m at 100 TB
+      would explode into ~12M tasks. SPARK_GRAFT_MAX_PARTITION_BYTES
+      overrides in either mode.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Local-test split tuning must not leak to cluster deployments: the
+    # env var wins if set, local mode gets 8m, a real master keeps
+    # Spark's own default.
+    max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES") or (
+        "8m" if master is None else None
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -45,11 +54,14 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
-        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    if max_part is not None:
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", max_part
+        )
+    builder = (
+        builder
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -35,8 +35,13 @@ OFFSETS: dict[str, dict[str, int]] = {
     "supplier": {"s_suppkey": 100_000},
     "part": {"p_partkey": 1_000_000},
     "events": {"event_id": 100_000_000, "user_id": 1_000_000},
-    "documents": {"doc_id": 1_000_000},
-    "embeddings": {"vec_id": 1_000_000},
+    # doc_id/vec_id stride must clear the +1_000_000 offset the dedup /
+    # corpus_clean queries use to inject synthetic near-dup copies —
+    # with a 1M stride the injected ids collide with real rows of the
+    # next copy and the "injected duplicate" construction silently
+    # stops meaning what it claims at scale.
+    "documents": {"doc_id": 100_000_000},
+    "embeddings": {"vec_id": 100_000_000},
 }
 
 

@@ -3,6 +3,7 @@ shuffle keys change), and the salt must be deterministic."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from conversadocs_spark import io
@@ -55,6 +56,33 @@ def test_salted_join_preserves_outer_semantics(spark, sf_oracle_dir):
         ).collect()
     }
     assert salted == plain
+
+
+def test_salted_join_rejects_right_full_outer(spark, sf_oracle_dir):
+    """The exploded small side would null-extend once per salt replica
+    for small-side-only keys — right/full must be refused, not wrong."""
+    o = io.table(spark, sf_oracle_dir, "orders")
+    c = io.table(spark, sf_oracle_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(o, c, on="o_custkey", salt_src="o_orderkey", how=how)
+
+
+def test_two_phase_distinct_ignores_nulls(spark):
+    """COUNT(DISTINCT x) skips NULLs; the two-phase form must too (the
+    deduped set keeps one (group, NULL) survivor that count(col) must
+    not count)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", None), ("b", None)],
+        "g string, x int",
+    )
+    got = {
+        (r.g, r.n_distinct)
+        for r in two_phase_distinct(df, ["g"], "x").collect()
+    }
+    assert got == {("a", 1), ("b", 0)}
 
 
 def test_two_phase_distinct_equals_count_distinct(spark, sf_oracle_dir):
