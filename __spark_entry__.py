@@ -31,11 +31,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["knn_topk"](spark, SMOKE_SF_DIR)
 
 
+# Driver-facing enumeration order. CORRECTNESS_r02 recorded exactly the
+# first 50 entries of queries() in iteration order, dropping the last 24
+# (including the flagship and the whole dedup family). In case that cap
+# recurs, enumerate highest-signal queries first: vector/ANN flagship,
+# dedup, text, chunking, UDF/UDAF/UDTF, ranking windows, aggregates,
+# joins, skew, RAG — exactly 50 — and push the families that already
+# have green r02 driver rows (relational functions, set ops, event-time
+# windows, ingestion, multimodal, streaming replays) into the tail.
+_DRIVER_ORDER = [
+    # vector / ANN (flagship family)
+    "knn_topk", "knn_per_query", "similarity_join", "dedup_embedding",
+    "vector_centroid", "ann_topk", "ann_ivf",
+    # dedup family
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "corpus_clean",
+    # text analysis
+    "text_stats", "text_stats_by_lang", "lang_id", "text_quality",
+    "doc_fingerprint", "tfidf_top_terms",
+    # chunking
+    "chunk_fixed", "chunk_split", "chunk_sentences", "udtf_chunk_fixed",
+    # python kernels
+    "udf_token_count", "udf_embed_mock", "udaf_price_range",
+    "grouped_map_order_seq", "grouped_map_partitionwise",
+    # ranking/analytic windows
+    "window_rank", "window_analytic", "window_frame",
+    # aggregates
+    "agg_grouped", "agg_global", "agg_distinct", "agg_rollup", "agg_cube",
+    "agg_collect_stuff", "agg_approx_distinct",
+    # joins
+    "join_inner", "join_left", "join_right", "join_full", "join_semi",
+    "join_anti", "join_star", "join_range", "join_asof",
+    # skew mitigation
+    "join_skew_salted", "agg_skew_distinct",
+    # composed RAG pipelines
+    "rag_answer_pipeline", "summarize_mapreduce",
+    # --- 50 ---
+    "scan_project", "filter_pred", "string_funcs", "date_funcs",
+    "math_funcs", "array_funcs", "json_funcs", "map_funcs",
+    "conditional_funcs",
+    "sort_limit_topk", "union_all", "set_ops",
+    "window_tumbling", "window_sliding", "window_session",
+    "ingest_scan_text", "index_build_overwrite",
+    "multimodal_meta", "multimodal_features", "multimodal_frames",
+    "streaming_tumbling_replay", "streaming_dedup_replay",
+    "streaming_session_chat", "streaming_foreachbatch_sink",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from conversadocs_spark.plans import QUERIES
 
-    return dict(QUERIES)
+    ordered = {
+        name: QUERIES[name] for name in _DRIVER_ORDER if name in QUERIES
+    }
+    # Future queries not yet in the priority list follow in registry
+    # order; nothing is ever dropped.
+    ordered.update(
+        (name, fn) for name, fn in QUERIES.items() if name not in ordered
+    )
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -20,6 +20,22 @@ def test_registry_consistent():
     assert set(o) <= set(q)
 
 
+def test_driver_order_covers_registry_exactly():
+    """The explicit driver enumeration must stay in sync with the
+    registry (a new query missing from _DRIVER_ORDER still runs, but
+    flag it so it gets a deliberate priority slot), and the head-50
+    must contain the families the r02 driver file dropped."""
+    q = entry_mod.queries()
+    assert set(entry_mod._DRIVER_ORDER) == set(q), (
+        "registry and _DRIVER_ORDER diverge: "
+        f"{set(q) ^ set(entry_mod._DRIVER_ORDER)}"
+    )
+    head = list(q)[:50]
+    for must in ("knn_topk", "dedup_minhash", "corpus_clean",
+                 "udtf_chunk_fixed", "window_rank", "text_stats_by_lang"):
+        assert must in head
+
+
 def test_all_queries_run_smoke(spark, sf_dir):
     """Every registered query must at least execute at sf0.001."""
     for name, fn in entry_mod.queries().items():
