@@ -11,17 +11,20 @@ column filter, and per-format parsing inside an Arrow ``mapInPandas``
 — so adding a format is adding a kernel function, not a new scan.
 
 Format support in this container: txt/md (utf-8 decode) and html (tag
-strip) parse for real; the binary formats (pdf/doc/docx/enex/epub/
-odt/ppt/pptx) have their parser STUBBED with a deterministic
-placeholder (clearly marked below) because the parsing libraries are
-not installed — the Spark-side plumbing (scan, dispatch, batch shape,
-schema, provenance) is identical either way and is what's tested.
+strip) parse inline; pdf/docx/pptx/odt/epub/enex parse REAL bytes via
+the stdlib kernels in ``formats.py`` (zipfile/zlib/xml.etree — see
+that module for the pypdf production upgrade path). Only legacy OLE
+``.doc``/``.ppt`` fall back to a deterministic, clearly-marked
+placeholder row — their parser has no stdlib implementation. Either
+way the Spark-side plumbing (scan, dispatch, batch shape, schema,
+provenance) is identical and tested.
 """
 
 from __future__ import annotations
 
 import os
 import re
+import shutil
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,22 +32,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from conversadocs_spark.serde import pickle_module_by_value
+from conversadocs_spark.sources import formats
 
 #: extension -> parser kind, mirroring the reference's EXTENSIONS table
-#: (bones.py:32-44). "text"/"html" parse here; "stub" marks formats
-#: whose real parser library is not in this container.
+#: (bones.py:32-44). "text"/"html" parse inline; "kernel" dispatches
+#: to the stdlib parsers in formats.PARSERS (which degrade to a
+#: placeholder row on unparseable/unsupported bytes).
 EXTENSIONS: dict[str, str] = {
     ".txt": "text",
     ".md": "text",
     ".html": "html",
-    ".pdf": "stub",
-    ".doc": "stub",
-    ".docx": "stub",
-    ".enex": "stub",
-    ".epub": "stub",
-    ".odt": "stub",
-    ".ppt": "stub",
-    ".pptx": "stub",
+    ".pdf": "kernel",
+    ".doc": "kernel",
+    ".docx": "kernel",
+    ".enex": "kernel",
+    ".epub": "kernel",
+    ".odt": "kernel",
+    ".ppt": "kernel",
+    ".pptx": "kernel",
 }
 
 #: R3: the default corpus used when a scan yields nothing, standing in
@@ -76,19 +81,26 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             raw = bytes(content).decode("utf-8", errors="replace")
             text = _WS_RE.sub(" ", _TAG_RE.sub(" ", raw)).strip()
             out.append({"source": path, "page": None, "text": text})
-        elif kind == "stub":
-            # STUB: real parser (PyPDF/Unstructured/EverNote analog)
-            # not available in this container. Deterministic
-            # placeholder keeps the pipeline testable; swap this
-            # branch for the real decoder in production.
-            out.append(
-                {
-                    "source": path,
-                    "page": 1,
-                    "text": f"[unparsed {ext} document: "
-                    f"{len(bytes(content))} bytes]",
-                }
-            )
+        elif kind == "kernel":
+            data = bytes(content)
+            try:
+                rows = formats.PARSERS[ext](data)
+                out.extend(
+                    {"source": path, "page": page, "text": text}
+                    for page, text in rows
+                )
+            except formats.ParseError:
+                # Unparseable bytes or a format with no in-container
+                # parser (legacy OLE .doc/.ppt): deterministic marked
+                # placeholder instead of failing the task.
+                out.append(
+                    {
+                        "source": path,
+                        "page": 1,
+                        "text": f"[unparsed {ext} document: "
+                        f"{len(data)} bytes]",
+                    }
+                )
         # unknown extensions were filtered before the kernel (R2)
     return pd.DataFrame(out, columns=["source", "page", "text"])
 
@@ -143,11 +155,21 @@ def scan_documents(spark: SparkSession, path: str) -> DataFrame:
 def stage_text_corpus(
     spark: SparkSession, sf_dir: str, out_dir: str, n_docs: int = 50
 ) -> str:
-    """Materialize fixture documents as loose .txt/.md/.html files (plus
-    one unknown-extension decoy that ingestion must drop) so
-    scan_documents has a real mixed-format directory to read."""
+    """Materialize fixture documents as loose files cycling through the
+    supported formats — text (.txt/.md/.html) AND real binary
+    containers (.docx/.pdf/.pptx/.odt/.epub/.enex built by
+    fixtures.py) — plus one unknown-extension decoy that ingestion
+    must drop, so scan_documents has a genuine mixed-format directory
+    exercising every real parse kernel. Each staged file carries one
+    fixture document (single page/slide/note), so the scan yields
+    exactly ``n_docs`` rows."""
     from conversadocs_spark import io
+    from conversadocs_spark.sources import fixtures
 
+    # Re-staging must be idempotent: clear leftovers from a previous
+    # staging (e.g. an older extension cycle) or the scan sees extras.
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     rows = (
         io.table(spark, sf_dir, "documents")
@@ -155,21 +177,31 @@ def stage_text_corpus(
         .select("doc_id", "text")
         .collect()
     )
-    exts = (".txt", ".md", ".html")
+    binary_builders = {
+        ".docx": lambda t: fixtures.make_docx([t]),
+        ".pdf": lambda t: fixtures.make_pdf([t]),
+        ".pptx": lambda t: fixtures.make_pptx([t]),
+        ".odt": lambda t: fixtures.make_odt([t]),
+        ".epub": lambda t: fixtures.make_epub([t]),
+        ".enex": lambda t: fixtures.make_enex([("note", t)]),
+    }
+    exts = (".txt", ".md", ".html", *binary_builders)
     for r in rows:
         ext = exts[r.doc_id % len(exts)]
-        body = r.text
-        if ext == ".html":
-            body = f"<html><body><p>{body}</p></body></html>"
-        with open(
-            os.path.join(out_dir, f"doc_{r.doc_id:05d}{ext}"),
-            "w",
-            encoding="utf-8",
-        ) as f:
-            f.write(body)
+        path = os.path.join(out_dir, f"doc_{r.doc_id:05d}{ext}")
+        if ext in binary_builders:
+            with open(path, "wb") as f:
+                f.write(binary_builders[ext](r.text))
+        else:
+            body = r.text
+            if ext == ".html":
+                body = f"<html><body><p>{body}</p></body></html>"
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(body)
     with open(os.path.join(out_dir, "ignore_me.xyz"), "w") as f:
         f.write("unsupported format — must be dropped by the scan")
     return out_dir
 
 
+pickle_module_by_value(formats.__name__)
 pickle_module_by_value(__name__)
