@@ -29,17 +29,34 @@ plan shape.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, FloatType, IntegerType
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from conversadocs_spark.functions.text import TOKEN_PATTERN
 from conversadocs_spark.serde import pickle_module_by_value
 
 DEFAULT_EMBED_DIM = 64  # fixture embedding dim (FIXTURES.md)
+
+#: Set to a sentence-transformers model name (or "1" for the
+#: reference's all-MiniLM-L6-v2, bones.py:71) to route embed_texts
+#: through the real encoder. Unset = deterministic mock (the oracle
+#: surface's determinism rule, SURVEY.md §5.2).
+REAL_EMBED_ENV = "SPARK_GRAFT_REAL_EMBED"
+
+_DEFAULT_MODEL = "sentence-transformers/all-MiniLM-L6-v2"
 
 
 def _embed_one(text: str, dim: int) -> list[float]:
@@ -67,6 +84,82 @@ def mock_embed_udf(dim: int = DEFAULT_EMBED_DIM):
         return texts.map(lambda t: _embed_one(t, dim))
 
     return embed
+
+
+def real_embed_map(model_name: str = _DEFAULT_MODEL, batch_size: int = 64):
+    """mapInPandas ITERATOR kernel for a real sentence-transformer
+    (reference R6, bones.py:71): the model loads ONCE per Python
+    worker task — the per-partition init pattern proven in
+    operators/multimodal.py — then encodes Arrow batches, appending a
+    unit-normalized float32 ``embedding`` column.
+
+    Import-guarded: sentence-transformers is not in this container, so
+    the kernel raises a clear actionable error at *execution* time if
+    the library is missing. The plumbing (iterator form, batch shape,
+    schema contract) is real and tested via the mock."""
+
+    def embed_iter(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        try:
+            from sentence_transformers import (  # type: ignore
+                SentenceTransformer,
+            )
+        except ImportError as e:  # pragma: no cover - lib not installed
+            raise ImportError(
+                "real embedding path requires sentence-transformers "
+                "(pip install sentence-transformers); unset "
+                f"{REAL_EMBED_ENV} to use the deterministic mock"
+            ) from e
+        model = SentenceTransformer(model_name)  # once per task
+        for pdf in batches:
+            vecs = model.encode(
+                pdf["text"].fillna("").tolist(),
+                batch_size=batch_size,
+                normalize_embeddings=True,
+            )
+            out = pdf.copy()
+            out["embedding"] = [
+                np.asarray(v, dtype=np.float32).tolist() for v in vecs
+            ]
+            yield out
+
+    return embed_iter
+
+
+def embed_texts(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = DEFAULT_EMBED_DIM,
+    model_name: str | None = None,
+) -> DataFrame:
+    """Append an ``embedding array<float>`` column to ``df``.
+
+    Default: the deterministic mock pandas_udf (retry-safe, oracle
+    surface). If ``model_name`` is given — or the ``SPARK_GRAFT_
+    REAL_EMBED`` env var is set ("1" means the reference's MiniLM) —
+    the real sentence-transformer runs via the mapInPandas iterator
+    kernel instead. Same output schema either way, so downstream knn /
+    index / dedup plans are oblivious to which encoder produced the
+    vectors."""
+    name = model_name or os.environ.get(REAL_EMBED_ENV)
+    if not name:
+        return df.withColumn(
+            "embedding", mock_embed_udf(dim)(F.col(text_col))
+        )
+    if name == "1":
+        name = _DEFAULT_MODEL
+    src = df
+    if text_col != "text":
+        src = df.withColumnRenamed(text_col, "text")
+    schema = StructType(
+        src.schema.fields
+        + [StructField("embedding", ArrayType(FloatType()))]
+    )
+    out = src.mapInPandas(real_embed_map(name), schema=schema)
+    if text_col != "text":
+        out = out.withColumnRenamed("text", text_col)
+    return out
 
 
 def token_count_udf():

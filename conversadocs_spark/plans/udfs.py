@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from conversadocs_spark import io
 from conversadocs_spark.operators.embed import (
     DEFAULT_EMBED_DIM,
+    embed_texts,
     mock_embed_udf,
     token_count_udf,
 )
@@ -52,6 +53,33 @@ def udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = io.table(spark, sf_dir, "documents")
     return d.select(
         "doc_id", token_count_udf()(F.col("text")).alias("n_tokens")
+    )
+
+
+@register("embed_corpus", tags=("udf", "rows-only"))
+def embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 embed through the pluggable encoder front door: mock by
+    default (deterministic oracle surface), the real
+    sentence-transformer mapInPandas path when SPARK_GRAFT_REAL_EMBED
+    is set (operators/embed.py:embed_texts). Output shape is encoder-
+    independent, which is the point: downstream vector plans don't
+    change when the real model is swapped in."""
+    d = io.table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    emb = embed_texts(d, text_col="text")
+    return emb.select(
+        "doc_id",
+        "lang",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            4,
+        ).alias("sq_norm"),
     )
 
 

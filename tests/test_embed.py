@@ -4,18 +4,24 @@ between the pandas_udf token counter and the pure-Catalyst expression."""
 
 from __future__ import annotations
 
+import importlib.util
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from conversadocs_spark import io
-from conversadocs_spark.functions.text import TOKEN_PATTERN
 from conversadocs_spark.operators.embed import (
     DEFAULT_EMBED_DIM,
+    REAL_EMBED_ENV,
     _embed_one,
+    embed_texts,
     mock_embed_udf,
     token_count_udf,
 )
+from conversadocs_spark.functions.text import TOKEN_PATTERN
+
+_HAVE_ST = importlib.util.find_spec("sentence_transformers") is not None
 
 
 def test_embed_kernel_deterministic_unit_norm():
@@ -45,6 +51,60 @@ def test_embed_udf_dim_and_determinism_across_partitionings(spark, sf_dir):
     assert one == many
     dims = {len(e) for _, e in one}
     assert dims == {DEFAULT_EMBED_DIM}
+
+
+def test_embed_texts_default_is_mock(spark, sf_dir, monkeypatch):
+    """Without the env flag, embed_texts must be byte-identical to the
+    deterministic mock UDF — the oracle surface's determinism rule."""
+    monkeypatch.delenv(REAL_EMBED_ENV, raising=False)
+    docs = io.table(spark, sf_dir, "documents").limit(50)
+    via_front_door = {
+        (r.doc_id, tuple(r.embedding))
+        for r in embed_texts(docs).select("doc_id", "embedding").collect()
+    }
+    emb = mock_embed_udf(DEFAULT_EMBED_DIM)
+    direct = {
+        (r.doc_id, tuple(r.embedding))
+        for r in docs.select(
+            "doc_id", emb(F.col("text")).alias("embedding")
+        ).collect()
+    }
+    assert via_front_door == direct
+
+
+def test_embed_texts_env_flag_routes_to_real_kernel(
+    spark, sf_dir, monkeypatch
+):
+    """Flag set but library absent: the real path must be selected
+    (schema gains the embedding column pre-execution) and fail at
+    execution with the actionable install message — not silently fall
+    back to the mock."""
+    if _HAVE_ST:  # pragma: no cover - lib not in this container
+        pytest.skip("sentence-transformers installed; covered below")
+    monkeypatch.setenv(REAL_EMBED_ENV, "1")
+    docs = io.table(spark, sf_dir, "documents").limit(5)
+    out = embed_texts(docs)
+    assert "embedding" in out.columns  # plan built via the real path
+    with pytest.raises(Exception, match="sentence-transformers"):
+        out.collect()
+
+
+@pytest.mark.skipif(
+    not _HAVE_ST, reason="sentence-transformers not installed"
+)
+def test_embed_texts_real_model(spark, sf_dir, monkeypatch):  # pragma: no cover
+    """Production path: real encoder, unit-normalized vectors, stable
+    dim, schema identical to the mock path."""
+    monkeypatch.setenv(REAL_EMBED_ENV, "1")
+    docs = io.table(spark, sf_dir, "documents").limit(8)
+    rows = embed_texts(docs).select("doc_id", "embedding").collect()
+    assert len(rows) == 8
+    dims = {len(r.embedding) for r in rows}
+    assert len(dims) == 1
+    for r in rows:
+        assert math.isclose(
+            sum(x * x for x in r.embedding), 1.0, rel_tol=1e-3
+        )
 
 
 def test_token_count_udf_matches_catalyst_expression(spark, sf_dir):
