@@ -34,6 +34,7 @@ HEADLINE = (
     "agg_collect_stuff",  # collect/concat ("stuff") aggregation
     "set_ops",          # distinct cohorts + intersect/except
     "rag_answer_pipeline",  # composed condense->retrieve->stuff->answer
+    "dedup_minhash",    # signature 100 TB op: shingle->minhash->band join
 )
 
 

@@ -47,7 +47,15 @@ def dedup_exact(
 
 def word_ngrams(col: F.Column, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles as array<string> (pure Catalyst:
-    split -> sequence -> transform -> array_distinct)."""
+    split -> sequence -> transform -> array_distinct).
+
+    NOTE: ``col`` should be an already-materialized token ARRAY or a
+    plain column reference, not a nested expression — this function
+    references its input once per array element inside ``transform``
+    lambdas, and Catalyst re-evaluates a nested expression (e.g. a
+    regex split) at every reference: measured 10x on the shingle
+    stage. ``shingle_docs`` below is the fused two-step form the
+    dedup operators use."""
     toks = F.split(col, r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
@@ -61,6 +69,30 @@ def word_ngrams(col: F.Column, n: int = 3) -> F.Column:
             F.array(F.concat_ws(" ", toks))
         )
     )
+
+
+def shingle_docs(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingles) with the token array materialized FIRST, so the
+    n-gram lambdas slice a computed array attribute instead of
+    re-running the regex split once per element (the naive inlined
+    form cost 10x on the shingle stage at sf0.1)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), r"\s+").alias("toks"),
+    )
+    t = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))
+    )
+    shingles = F.array_distinct(
+        F.when(F.size(t) >= n, grams).otherwise(
+            F.array(F.concat_ws(" ", t))
+        )
+    )
+    return toks.select("id", shingles.alias("shingles"))
 
 
 def jaccard(a: F.Column, b: F.Column) -> F.Column:
@@ -80,10 +112,7 @@ def dedup_ngram_pairs(
     """Exact n-gram Jaccard similarity join: all (id1 < id2) pairs with
     similarity >= threshold. O(n^2) — use on bounded candidate sets;
     the LSH variant is the at-scale path."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_ngrams(F.col(text_col), n).alias("shingles"),
-    )
+    sh = shingle_docs(df, text_col, id_col, n)
     a = sh.alias("a")
     b = sh.alias("b")
     sim = jaccard(F.col("a.shingles"), F.col("b.shingles"))
@@ -118,10 +147,7 @@ def minhash_near_dups(
     surviving pairs.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_ngrams(F.col(text_col), n).alias("shingles"),
-    )
+    sh = shingle_docs(df, text_col, id_col, n)
     # signature[i] = min over shingles of xxhash64(shingle, i), built
     # in ONE aggregate pass carrying a num_hashes-wide running-min
     # array (zip_with folds every seed per shingle). The per-seed form
