@@ -37,46 +37,80 @@ def _digest(s: str) -> str:
     return hashlib.sha256(s.encode("utf-8")).hexdigest()[:16]
 
 
-def _chat_fn(
-    key: tuple,
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.exists:
-        turn, hist = state.get
-    else:
-        turn, hist = 0, ""
-    out: list[dict] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for _, row in pdf.iterrows():
-            turn += 1
-            question = str(row["props"])
-            answer = f"ANSWER[{_digest(question + chr(10) + hist)}]"
-            hist = _digest(f"{hist}|{question}|{answer}")
-            out.append(
-                {
-                    "user_id": user_id,
-                    "event_id": row["event_id"],
-                    "turn": turn,
-                    "question": question,
-                    "answer": answer,
-                }
-            )
-    state.update((turn, hist))
-    yield pd.DataFrame(
-        out,
-        columns=["user_id", "event_id", "turn", "question", "answer"],
-    )
+def chat_turn(
+    turn: int, hist: str, question: str, reset: bool
+) -> tuple[int, str, str]:
+    """One conversation step: (turn, hist) x (question, reset?) ->
+    (turn', hist', answer). The SINGLE definition of the R12 state
+    transition — the streaming operator and the test's batch twin both
+    call it, so replay-equals-batch checks pin values, not just counts.
+
+    ``reset`` mirrors the reference's two history-clear paths
+    (``recall_previous_messages=False`` -> ``clr_history()``,
+    bones.py:129-130, and the explicit clear button, bones.py:275-277):
+    history empties BEFORE the question is answered, exactly like
+    ``clr_history`` running ahead of ``convchain``'s QA call; the turn
+    counter keeps counting (it is engine bookkeeping, not history)."""
+    if reset:
+        hist = ""
+    turn += 1
+    answer = f"ANSWER[{_digest(question + chr(10) + hist)}]"
+    hist = _digest(f"{hist}|{question}|{answer}")
+    return turn, hist, answer
 
 
-def session_chat(events: DataFrame) -> DataFrame:
+def _make_chat_fn(reset_type: str | None):
+    def _chat_fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            turn, hist = state.get
+        else:
+            turn, hist = 0, ""
+        out: list[dict] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                reset = (
+                    reset_type is not None
+                    and str(row["event_type"]) == reset_type
+                )
+                question = str(row["props"])
+                turn, hist, answer = chat_turn(
+                    turn, hist, question, reset
+                )
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "event_id": row["event_id"],
+                        "turn": turn,
+                        "question": question,
+                        "answer": answer,
+                    }
+                )
+        state.update((turn, hist))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "turn", "question", "answer"],
+        )
+
+    return _chat_fn
+
+
+def session_chat(
+    events: DataFrame, reset_type: str | None = None
+) -> DataFrame:
     """Per-user stateful chat over an event stream (streaming DF in,
     streaming DF out). Turns are ordered by (ts, event_id) within each
-    micro-batch and the counter persists across batches."""
+    micro-batch and the counter persists across batches. Events whose
+    ``event_type`` equals ``reset_type`` clear the conversation
+    history before being answered (the reference's clr_history,
+    bones.py:275-277)."""
     return events.groupBy("user_id").applyInPandasWithState(
-        _chat_fn,
+        _make_chat_fn(reset_type),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

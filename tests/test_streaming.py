@@ -19,7 +19,7 @@ from conversadocs_spark.streaming.source import (
     read_events_stream,
     stage_events_files,
 )
-from conversadocs_spark.streaming.state import session_chat
+from conversadocs_spark.streaming.state import chat_turn, session_chat
 
 STAGE = "/root/repo/.stream_stage"
 
@@ -151,6 +151,78 @@ def test_session_chat_invariant_to_slicing(spark, sf_dir, staged):
     for user_id, _eid, turn, _q, _a in one:
         max_turns[user_id] = max(max_turns.get(user_id, 0), turn)
     assert max_turns == per_user
+
+
+def _batch_chat_reference(rows, reset_type=None):
+    """Driver-side batch twin of the streaming chat: the same
+    chat_turn transition applied over (ts, event_id)-ordered events
+    per user — the value-level oracle for replay equality."""
+    expected = set()
+    per_user: dict[int, tuple[int, str]] = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        turn, hist = per_user.get(r.user_id, (0, ""))
+        reset = reset_type is not None and r.event_type == reset_type
+        turn, hist, answer = chat_turn(turn, hist, str(r.props), reset)
+        per_user[r.user_id] = (turn, hist)
+        expected.add((r.user_id, r.event_id, turn, str(r.props), answer))
+    return expected
+
+
+def test_session_chat_values_equal_batch_twin(spark, sf_dir, staged):
+    """Replay-equals-batch at VALUE level: every (turn, question,
+    answer) row of the streamed chat must match the driver-computed
+    transition chain — pinning turn ordering and history threading
+    (R12 semantics), not just row counts."""
+    got = {
+        tuple(r)
+        for r in _replay(
+            session_chat(
+                read_events_stream(spark, staged, max_files_per_trigger=1)
+            ),
+            "append",
+            "t_chat_vals",
+        ).collect()
+    }
+    ev = io.table(spark, sf_dir, "events").collect()
+    assert got == _batch_chat_reference(ev)
+
+
+def test_session_chat_reset_clears_history(spark, sf_dir, staged):
+    """History-clear semantics (bones.py:129-130, 275-277): an event of
+    the reset type empties the history BEFORE it is answered — its
+    answer must equal the no-history answer for the same question —
+    while the turn counter keeps counting; later turns chain off the
+    post-reset history."""
+    reset_type = "purchase"  # present in the fixture event mix
+    got = {
+        tuple(r)
+        for r in _replay(
+            session_chat(
+                read_events_stream(
+                    spark, staged, max_files_per_trigger=1
+                ),
+                reset_type=reset_type,
+            ),
+            "append",
+            "t_chat_reset",
+        ).collect()
+    }
+    ev = io.table(spark, sf_dir, "events").collect()
+    assert got == _batch_chat_reference(ev, reset_type=reset_type)
+    # spot-pin the clear itself: every reset event's streamed answer is
+    # the empty-history answer, independent of anything before it
+    reset_events = {
+        (r.user_id, r.event_id): str(r.props)
+        for r in ev
+        if r.event_type == reset_type
+    }
+    streamed = {(u, e): (t, q, a) for (u, e, t, q, a) in got}
+    assert reset_events, "fixture has no reset-type events"
+    for key, question in reset_events.items():
+        turn, q, answer = streamed[key]
+        _, _, fresh_answer = chat_turn(0, "", question, False)
+        assert answer == fresh_answer
+        assert turn >= 1
 
 
 def test_foreachbatch_sink_idempotent(spark, sf_dir, tmp_path):
