@@ -273,8 +273,49 @@ def vector_centroid(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# LSH-approximate top-k (rows-only; recall enforced in tests)
+# LSH-approximate top-k (rows-only; recall enforced in tests AND in-plan)
 # --------------------------------------------------------------------------
+
+
+def _with_recall_audit(
+    ann: DataFrame, exact: DataFrame, k: int, floor: float
+) -> DataFrame:
+    """Annotate an ANN result with per-query ``recall_at_k`` vs the
+    exact top-k, computed IN-PLAN, and keep rows only while the mean
+    recall over the query batch clears ``floor``.
+
+    This makes retrieval-quality drift visible to the driver's
+    rows-only check: healthy output keeps its k x |Q| row count; if a
+    regression drops mean recall below the floor the query returns 0
+    rows — a loud, count-level signal. The exact reference runs over
+    the (small) query batch only — the same sampled-recall audit you
+    would run beside an ANN index at 100 TB, not a full-corpus scan.
+    The window operates on the already-top-k rows (k x |Q|), so its
+    cost is negligible at any corpus size."""
+    from pyspark.sql import Window
+
+    hits = ann.join(
+        exact.select("query_id", "vec_id", F.lit(1).alias("_hit")),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    per_query = Window.partitionBy("query_id")
+    whole_batch = Window.partitionBy()
+    out = hits.withColumn(
+        "recall_at_k",
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).over(per_query)
+            / F.lit(k),
+            6,
+        ),
+    )
+    return (
+        out.withColumn(
+            "_mean_recall", F.avg("recall_at_k").over(whole_batch)
+        )
+        .where(F.col("_mean_recall") >= floor)
+        .drop("_hit", "_mean_recall")
+    )
 
 
 @register("ann_topk", tags=("vector", "rows-only"))
@@ -284,7 +325,12 @@ def ann_topk(spark, sf_dir):
     no SQL oracle; tests/test_vector.py::test_ann_recall_at_3 enforces
     recall@3 >= 0.8 against the exact `knn_per_query` (measured 0.93
     with the 3-plane/8-seed defaults on the uniform-random fixtures —
-    the worst case for LSH; see operators/lsh.py tuning notes)."""
+    the worst case for LSH; see operators/lsh.py tuning notes).
+
+    The output additionally carries an in-plan ``recall_at_k`` audit
+    column vs the exact top-k on the query batch, and empties itself
+    (0 rows) if mean recall drops below 0.8 — so the driver's
+    rows-only count also observes retrieval-quality drift."""
     emb = io.table(spark, sf_dir, "embeddings")
     dim = 64  # fixture dim (FIXTURES.md); operators stay dim-agnostic
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -292,7 +338,9 @@ def ann_topk(spark, sf_dir):
         F.col("embedding").alias("query_vec"),
     )
     corpus = emb.where(F.col("vec_id") >= 5)
-    return ann_topk_lsh(corpus, queries, dim=dim, k=3)
+    ann = ann_topk_lsh(corpus, queries, dim=dim, k=3)
+    exact = knn_per_query(corpus, queries, k=3)
+    return _with_recall_audit(ann, exact, k=3, floor=0.8)
 
 
 @register("ann_ivf", tags=("vector", "rows-only"))
@@ -311,13 +359,19 @@ def ann_ivf(spark, sf_dir):
     nprobe/n_lists drop to ~1/16 at the same recall. At 100 TB the
     assignments table is persisted bucketed by list_id (see
     operators/ivf.py docstring) so each probe is a pruned scan, unlike
-    LSH's full-corpus bucket shuffle per seed."""
+    LSH's full-corpus bucket shuffle per seed.
+
+    Carries the same in-plan ``recall_at_k`` audit as `ann_topk`
+    (floor 0.8, empty output on drift) so the driver's rows-only count
+    observes quality, not just execution."""
     emb = io.table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
     corpus = emb.where(F.col("vec_id") >= 5)
-    return ivf_topk(
+    ann = ivf_topk(
         corpus, queries, k=3, n_lists=16, nprobe=8, refine_iters=2
     )
+    exact = knn_per_query(corpus, queries, k=3)
+    return _with_recall_audit(ann, exact, k=3, floor=0.8)

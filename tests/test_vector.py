@@ -23,12 +23,16 @@ def test_ann_recall_at_3(spark, sf_oracle_dir):
         (r.query_id, r.vec_id)
         for r in QUERIES["knn_per_query"](spark, sf_oracle_dir).collect()
     }
-    approx = {
-        (r.query_id, r.vec_id)
-        for r in QUERIES["ann_topk"](spark, sf_oracle_dir).collect()
-    }
+    rows = QUERIES["ann_topk"](spark, sf_oracle_dir).collect()
+    approx = {(r.query_id, r.vec_id) for r in rows}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"ANN recall@3 = {recall:.2f} < 0.8"
+    # in-plan audit: the recall column agrees with the measured value
+    # and the floor gate kept the rows (healthy output is non-empty)
+    assert rows, "recall audit emptied a healthy ANN result"
+    per_query = {r.query_id: r.recall_at_k for r in rows}
+    mean_in_plan = sum(per_query.values()) / len(per_query)
+    assert abs(mean_in_plan - recall) < 1e-6
 
 
 def test_ivf_recall_at_3(spark, sf_oracle_dir):
@@ -41,12 +45,14 @@ def test_ivf_recall_at_3(spark, sf_oracle_dir):
         (r.query_id, r.vec_id)
         for r in QUERIES["knn_per_query"](spark, sf_oracle_dir).collect()
     }
-    approx = {
-        (r.query_id, r.vec_id)
-        for r in QUERIES["ann_ivf"](spark, sf_oracle_dir).collect()
-    }
+    rows = QUERIES["ann_ivf"](spark, sf_oracle_dir).collect()
+    approx = {(r.query_id, r.vec_id) for r in rows}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall@3 = {recall:.2f} < 0.8"
+    assert rows, "recall audit emptied a healthy IVF result"
+    per_query = {r.query_id: r.recall_at_k for r in rows}
+    mean_in_plan = sum(per_query.values()) / len(per_query)
+    assert abs(mean_in_plan - recall) < 1e-6
 
 
 def test_ivf_assignment_partitions_corpus(spark, sf_oracle_dir):
