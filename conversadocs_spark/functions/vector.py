@@ -44,6 +44,12 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 
 def l2_normalize(a: Column) -> Column:
-    """a / ||a||_2 as array<double>; keeps downstream dot == cosine."""
+    """a / ||a||_2 as array<double>; keeps downstream dot == cosine.
+
+    NOTE: the norm expression is referenced inside the transform
+    lambda, and Catalyst re-evaluates non-attribute expressions once
+    per element (no CSE across lambda bodies — see shingle_docs in
+    operators/dedup.py for the measured 10x case). For hot paths,
+    bind the norm as a column first and divide by the attribute."""
     n = l2_norm(a)
     return F.transform(a, lambda x: x.cast("double") / n)
