@@ -71,6 +71,21 @@ def word_ngrams(col: F.Column, n: int = 3) -> F.Column:
     )
 
 
+def shingles_from_tokens(t: F.Column, n: int) -> F.Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column. ``t`` must be a plain column reference to a computed
+    array attribute (see the lambda-recompute note on word_ngrams)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))
+    )
+    return F.array_distinct(
+        F.when(F.size(t) >= n, grams).otherwise(
+            F.array(F.concat_ws(" ", t))
+        )
+    )
+
+
 def shingle_docs(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
@@ -82,17 +97,9 @@ def shingle_docs(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), r"\s+").alias("toks"),
     )
-    t = F.col("toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))
+    return toks.select(
+        "id", shingles_from_tokens(F.col("toks"), n).alias("shingles")
     )
-    shingles = F.array_distinct(
-        F.when(F.size(t) >= n, grams).otherwise(
-            F.array(F.concat_ws(" ", t))
-        )
-    )
-    return toks.select("id", shingles.alias("shingles"))
 
 
 def jaccard(a: F.Column, b: F.Column) -> F.Column:
@@ -262,7 +269,21 @@ def minhash_near_dups(
         .dropDuplicates(["id1", "id2"])
     )
     # exact re-check on candidates only: two id-keyed joins fetch the
-    # shingles of the (few) surviving pairs.
+    # shingles of the surviving pairs. Each join branch shingles the
+    # full corpus once (Catalyst pushes projections down, never up
+    # through a join) — so the re-check costs two corpus-linear
+    # shingle passes on top of the signature pass.
+    #
+    # REJECTED alternative (measured, do not resurrect blindly):
+    # joining cand against the raw (id, text) columns and shingling
+    # AFTER the join makes the re-check O(candidate PAIRS) instead of
+    # O(corpus). That wins when pairs are rare (~1.15x at sf0.1, 256
+    # pairs over 5k docs) but each doc's shingles are then recomputed
+    # once per pair it appears in — and near-dup corpora have high
+    # pair multiplicity by construction (a k-copy duplicate group
+    # yields k(k-1)/2 pairs). The 10x gate's 10-copy groups made it
+    # 3x SLOWER (12.3s -> 33.9s at sf1, 250k pairs over 50k docs).
+    # Corpus-linear is the shape that survives 100 TB.
     cand = (
         cand.join(
             sh.select(
