@@ -215,6 +215,14 @@ def minhash_near_dups(
     # pathology as the simhash64 rewrite above). The seed rides as the
     # second xxhash64 input column, i.e. hash of the (shingle, seed)
     # pair == an independent hash family per index.
+    #
+    # REJECTED: Kirsch-Mitzenmacher double hashing (h_i = h1 + i*h2,
+    # 2 string hashes per shingle instead of num_hashes) measured no
+    # faster even with (h1, h2) pre-materialized as structs — 3-word
+    # shingles hash cheaply, the 64-wide fold dominates — and the
+    # correlated family MISSED 2 of 256 fixture pairs at jaccard
+    # 0.92/0.96 (independence predicts ~1e-13 misses), breaking
+    # LSH-equals-brute-force and with it the oracle check.
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     sig = sh.select(
         "id",
