@@ -82,9 +82,30 @@ def test_window_rank_single_shuffle_no_global_sort(spark):
     assert "rangepartitioning" not in plan  # no global sort
 
 
+def test_dedup_minhash_is_bucketed_not_all_pairs(spark):
+    """The signature 100 TB operator must keep its bucketed shape:
+    candidates come from ONE in-bucket collect_set expansion grouped
+    on (band, band_hash) — never a cartesian/all-pairs join — and at
+    test sf the exact re-check broadcasts the slim (id1, id2) pair
+    side, adding no exchange beyond the bucket groupBy + pair dedup."""
+    plan = _plan(spark, "dedup_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "collect_set" in plan  # bucket_pairs expansion, not self-join
+    assert "hashpartitioning(band" in plan  # bucket join on band keys
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 @pytest.mark.parametrize(
     "name",
-    ["agg_grouped", "join_star", "window_rank", "set_ops", "union_all"],
+    [
+        "agg_grouped",
+        "join_star",
+        "window_rank",
+        "set_ops",
+        "union_all",
+        "dedup_minhash",
+    ],
 )
 def test_no_driver_side_antipatterns(spark, name):
     """No query plan may contain a cartesian product (unbounded at
