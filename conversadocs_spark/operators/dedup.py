@@ -205,16 +205,25 @@ def minhash_near_dups(
     """
     rows_per_band = num_hashes // bands
     sh = shingle_docs(df, text_col, id_col, n)
-    # signature[i] = min over shingles of xxhash64(shingle, i), built
-    # in ONE aggregate pass carrying a num_hashes-wide running-min
-    # array (zip_with folds every seed per shingle). The per-seed form
-    # (num_hashes separate transform+array_min expressions) computes
-    # identical values — pinned by the rewrite's equality check — but
-    # its expression tree is num_hashes x larger, which bloats codegen
-    # and measured 1.5x slower on the signature stage at sf0.1 (same
-    # pathology as the simhash64 rewrite above). The seed rides as the
-    # second xxhash64 input column, i.e. hash of the (shingle, seed)
-    # pair == an independent hash family per index.
+    # signature[i] = min over shingles of xxhash64(h(shingle), i),
+    # built in ONE aggregate pass carrying a num_hashes-wide
+    # running-min array (zip_with folds every seed per shingle). The
+    # per-seed form (num_hashes separate transform+array_min
+    # expressions) computes identical values but its expression tree
+    # is num_hashes x larger, which bloats codegen and measured 1.5x
+    # slower on the signature stage at sf0.1 (same pathology as the
+    # simhash64 rewrite above).
+    #
+    # Two-level hashing: each shingle STRING is hashed to a long
+    # exactly once (the materialized `hs` transform below — per
+    # element, not per seed), and the per-seed family re-hashes that
+    # fixed-width long. Cost per shingle drops from
+    # O(len * num_hashes) to O(len + num_hashes) while the family
+    # stays independent (seed rides as the second xxhash64 column;
+    # cross-shingle long collisions are 2^-64 — unlike the REJECTED
+    # correlated double-hashing family below). Identical 256-pair
+    # output and ~5% at sf1; the term it removes grows with shingle
+    # width, not corpus size.
     #
     # REJECTED: Kirsch-Mitzenmacher double hashing (h_i = h1 + i*h2,
     # 2 string hashes per shingle instead of num_hashes) measured no
@@ -224,13 +233,17 @@ def minhash_near_dups(
     # 0.92/0.96 (independence predicts ~1e-13 misses), breaking
     # LSH-equals-brute-force and with it the oracle check.
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = sh.select(
+    hs = sh.select(
+        "id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
+    )
+    sig = hs.select(
         "id",
         F.aggregate(
-            "shingles",
+            "hs",
             F.transform(seeds, lambda b: F.lit((1 << 63) - 1)),
-            lambda acc, s: F.zip_with(
-                acc, seeds, lambda m, i: F.least(m, F.xxhash64(s, i))
+            lambda acc, h: F.zip_with(
+                acc, seeds, lambda m, i: F.least(m, F.xxhash64(h, i))
             ),
         ).alias("sig"),
     )
