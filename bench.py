@@ -71,11 +71,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        # min of 2 runs at the target sf: run-to-run noise on a busy
-        # box is ~±0.5 s across the suite; the min is the stable
+        # min of 3 runs at the target sf: run-to-run noise on a busy
+        # box is ~±0.5 s across the suite (and background load spikes
+        # can inflate a single pass by 40%); the min is the stable
         # steady-state figure the regression budget should track.
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             # noop-format write materializes EVERY output column
             # end-to-end (count() would let Catalyst prune unreferenced
