@@ -121,10 +121,17 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# total_chars is CAST to BIGINT because DuckDB's sum(BIGINT) returns
+# HUGEINT (int128): a pandas/arrow fetch of the oracle result renders it
+# as float64/decimal128 ("366052.0") while Spark emits int64 ("366052"),
+# which breaks any value-hash comparison even when the numbers agree.
+# (This, not float-avg accumulation order, was the persistent r02/r04
+# driver hash mismatch: a fetchall()-based compare sees Python ints on
+# both sides and passes, which is why the flake never reproduced locally.)
 _TEXT_STATS_LANG_ORACLE = """
 SELECT lang,
        count(*)                                        AS n_docs,
-       sum(length(text))                               AS total_chars,
+       CAST(sum(length(text)) AS BIGINT)               AS total_chars,
        round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
              / count(*), 6)                            AS avg_words,
        count(DISTINCT source)                          AS n_sources

@@ -61,7 +61,14 @@ def stage_events_files(
         F.ntile(n_files).over(
             Window.orderBy(F.asc("ts"), F.asc("event_id"))
         ),
-    ).withColumn("ts", F.unix_micros("ts"))
+    ).withColumn(
+        # cast first: the driver's parquet writes ts as TIMESTAMP or
+        # TIMESTAMP_NTZ depending on generation round, and unix_micros
+        # only accepts the former. Session tz is pinned to UTC, so the
+        # NTZ->TZ cast is a deterministic identity on the wall clock.
+        "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+    )
     os.makedirs(out_dir, exist_ok=True)
     for i in range(1, n_files + 1):
         part = ranked.where(F.col("_slice") == i).drop("_slice")
