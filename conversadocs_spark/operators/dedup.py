@@ -18,6 +18,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -233,10 +234,19 @@ def minhash_near_dups(
     # 0.92/0.96 (independence predicts ~1e-13 misses), breaking
     # LSH-equals-brute-force and with it the oracle check.
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    # The hashed-shingle table is consumed THREE times (the signature
+    # pass plus both exact-re-check join branches), and Catalyst
+    # recomputes an unpersisted subtree per reference — so without the
+    # persist the corpus is tokenized+shingled+hashed three times.
+    # MEMORY_AND_DISK holds one slim (id, array<long>) row per doc
+    # (~8B/shingle; spills, never OOMs), turning the operator into ONE
+    # parse pass + three cache reads. At cluster scale this is the
+    # standard compute-once shape; the cache is LRU-evictable after
+    # the query completes.
     hs = sh.select(
         "id",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = hs.select(
         "id",
         F.aggregate(
@@ -290,10 +300,8 @@ def minhash_near_dups(
         .dropDuplicates(["id1", "id2"])
     )
     # exact re-check on candidates only: two id-keyed joins fetch the
-    # shingles of the surviving pairs. Each join branch shingles the
-    # full corpus once (Catalyst pushes projections down, never up
-    # through a join) — so the re-check costs two corpus-linear
-    # shingle passes on top of the signature pass.
+    # hashed shingles of the surviving pairs from the persisted `hs`
+    # relation — each branch is a cache read, not a corpus re-parse.
     #
     # REJECTED alternative (measured, do not resurrect blindly):
     # joining cand against the raw (id, text) columns and shingling
@@ -305,16 +313,24 @@ def minhash_near_dups(
     # yields k(k-1)/2 pairs). The 10x gate's 10-copy groups made it
     # 3x SLOWER (12.3s -> 33.9s at sf1, 250k pairs over 50k docs).
     # Corpus-linear is the shape that survives 100 TB.
+    # The re-check compares HASHED shingle sets (the persisted `hs`
+    # longs), not the strings: |A∩B|/|A∪B| is preserved exactly unless
+    # two distinct shingles of a candidate pair collide in 64 bits
+    # (P ~ s^2/2^64 per pair — vanishing, and pinned against the
+    # brute-force STRING oracle by the test suite). Longs compare
+    # cheaper than strings in array_intersect/array_union, and the
+    # cached read replaces a full re-shingling of the corpus per
+    # branch.
     cand = (
         cand.join(
-            sh.select(
-                F.col("id").alias("id1"), F.col("shingles").alias("sh1")
+            hs.select(
+                F.col("id").alias("id1"), F.col("hs").alias("sh1")
             ),
             "id1",
         )
         .join(
-            sh.select(
-                F.col("id").alias("id2"), F.col("shingles").alias("sh2")
+            hs.select(
+                F.col("id").alias("id2"), F.col("hs").alias("sh2")
             ),
             "id2",
         )
