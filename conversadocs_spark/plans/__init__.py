@@ -13,6 +13,7 @@ from conversadocs_spark.plans import (  # noqa: E402,F401
     ingestion,
     joins,
     multimodal,
+    pipeline,
     rag,
     relational,
     setops,

@@ -1,0 +1,268 @@
+"""Training-data pipeline operators: deterministic split/shuffle,
+stratified sampling, PII redaction, benchmark-contamination screening,
+and sequence packing.
+
+These are the corpus-preparation steps a 100 TB training pipeline runs
+AFTER cleaning/dedup (plans/text.py) and BEFORE tokenized examples are
+written. The reference app stops at retrieval (it re-indexes uploads,
+/root/reference/conversadocs/bones.py:107-119); these generalize its
+corpus model to the training-prep surface the brief names first-class.
+
+Determinism rule: anything sampled or shuffled derives from md5 of a
+seeded key string — md5 produces identical lowercase hex in Spark and
+DuckDB, so every query here is oracle-checkable (no rand(), which
+breaks retries on both engines). A hex-prefix threshold (first 2 chars
+< 'cd' ~ 205/256 = 80.1%) gives per-row Bernoulli behavior that is
+reproducible, partition-invariant, and embarrassingly parallel — the
+100 TB shape for split/sample (no global coordination at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.operators.dedup import shingle_docs
+from conversadocs_spark.operators.packing import pack_documents
+from conversadocs_spark.plans.registry import register
+
+
+def _seeded_md5(seed: str, col: F.Column) -> F.Column:
+    return F.md5(F.concat(F.lit(seed), col.cast("string")))
+
+
+# --------------------------------------------------------------------------
+# train/test split + deterministic shuffle key
+# --------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                 < 'cd'
+            THEN 'train' ELSE 'test' END          AS split,
+       md5('s42:' || CAST(doc_id AS VARCHAR))     AS shuffle_key
+FROM documents
+"""
+
+
+@register("corpus_split_shuffle", oracle=_SPLIT_ORACLE, tags=("pipeline",))
+def corpus_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~80/20 train/test split plus a deterministic shuffle key.
+
+    The shuffle key IS the operator output (not a materialized global
+    rank): training order is realized at write time with
+    ``repartitionByRange(N, "shuffle_key").sortWithinPartitions(...)``,
+    which scales as a range-partitioned sort instead of the single-task
+    global row_number a rank column would force. Per-row md5 keeps both
+    the split and the order stable under retries and repartitioning.
+    """
+    d = io.table(spark, sf_dir, "documents")
+    h = _seeded_md5("s42:", F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        F.when(F.substring(h, 1, 2) < "cd", "train")
+        .otherwise("test")
+        .alias("split"),
+        h.alias("shuffle_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stratified sampling per language
+# --------------------------------------------------------------------------
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5('samp42:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      < CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+"""
+
+
+@register("stratified_sample", oracle=_SAMPLE_ORACLE, tags=("pipeline",))
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: downsample the
+    majority language (en: 25%) while keeping half of everything else
+    — the standard language-rebalancing step. Hex thresholds: '40' =
+    64/256, '80' = 128/256. Unlike df.sample(), the decision is a pure
+    function of (seed, doc_id), so resamples, retries, and speculative
+    re-execution all agree — at 100 TB a rand()-based sample is not
+    reproducible across task re-runs."""
+    d = io.table(spark, sf_dir, "documents")
+    h2 = F.substring(_seeded_md5("samp42:", F.col("doc_id")), 1, 2)
+    rate = F.when(F.col("lang") == "en", "40").otherwise("80")
+    return d.where(h2 < rate).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SSN_RE = r"\d{3}-\d{2}-\d{4}"
+
+_PII_ORACLE = rf"""
+WITH p AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com now'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' ssn 123-45-6789 on file' ELSE '' END AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_SSN_RE}')) AS BIGINT)
+           AS n_ssns,
+       regexp_replace(
+           regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_SSN_RE}', '<SSN>', 'g')                AS redacted
+FROM p
+"""
+
+
+@register("pii_redact", oracle=_PII_ORACLE, tags=("pipeline",))
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and mask email/SSN patterns per document.
+
+    The synthetic corpus contains no PII (verified: zero digits or
+    '@'), so the query deterministically injects one email per
+    doc_id%5==0 and one SSN per doc_id%7==0 in-plan — the same
+    injected-positives idiom dedup_simhash uses — and the oracle
+    performs the identical injection, making the redaction itself
+    (not just the plumbing) hash-checked. Pure regexp_replace /
+    regexp_extract_all: JVM-side, row-parallel, scale-clean. Both
+    patterns are in the common Java-regex/RE2 subset (no lookaround,
+    no backreferences) so the engines agree exactly."""
+    d = io.table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(did % 7 == 0, F.lit(" ssn 123-45-6789 on file")).otherwise(
+            ""
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_SSN_RE), 0))
+        .cast("long")
+        .alias("n_ssns"),
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"),
+            _SSN_RE,
+            "<SSN>",
+        ).alias("redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark-contamination screen (eval n-gram overlap)
+# --------------------------------------------------------------------------
+
+_CONTAM_N = 5
+
+_CONTAM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(t) >= {_CONTAM_N}
+                  THEN [array_to_string(t[i:i+{_CONTAM_N - 1}], ' ')
+                        for i in range(1, len(t) - {_CONTAM_N - 2})]
+                  ELSE [array_to_string(t, ' ')]
+             END) AS grams
+    FROM toks
+),
+ev AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20
+),
+tr AS (
+    SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+    FROM g WHERE doc_id >= 20
+)
+SELECT t.doc_id,
+       CAST(t.n_grams AS BIGINT)                        AS n_grams,
+       CAST(count(e.gram) AS BIGINT)                    AS n_shared,
+       round(CAST(count(e.gram) AS DOUBLE) / t.n_grams, 6)
+                                                        AS contamination
+FROM tr t LEFT JOIN ev e USING (gram)
+GROUP BY t.doc_id, t.n_grams
+"""
+
+
+@register("contamination_ngram", oracle=_CONTAM_ORACLE, tags=("pipeline",))
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-doc overlap with a held-out eval set's word
+    5-grams — the decontamination screen run before training so eval
+    answers aren't memorized from leaked copies. Eval set here: the
+    first 20 docs (whose near-duplicates the fixture corpus contains
+    by construction, so the screen provably fires).
+
+    Scale shape: the eval side collapses to DISTINCT grams and is
+    broadcast (eval suites are small — thousands of docs — while the
+    training side is the 100 TB one); the training side explodes to
+    (doc, gram) rows and aggregates back per doc. One broadcast join +
+    one partial-aggregated groupBy; no shuffle carries gram strings of
+    the big side twice."""
+    d = io.table(spark, sf_dir, "documents")
+    g = shingle_docs(d, "text", "doc_id", _CONTAM_N)
+    ev = (
+        g.where(F.col("id") < 20)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tr = g.where(F.col("id") >= 20).select(
+        F.col("id").alias("doc_id"),
+        F.size("shingles").cast("long").alias("n_grams"),
+        F.explode("shingles").alias("gram"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("_hit").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_grams"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sequence packing (rows-only: greedy state is not ANSI-expressible)
+# --------------------------------------------------------------------------
+
+
+@register("seq_pack", tags=("pipeline", "rows-only"))
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of documents into 256-token context
+    windows, grouped by source (operators/packing.py). rows-only: the
+    greedy bin boundary is a cumsum with data-dependent resets, which
+    has no ANSI-SQL window form; tests/test_pipeline.py pins the
+    invariants instead (every doc packed exactly once, no pack over
+    budget except single oversized docs, pack ids dense and contiguous
+    in doc order)."""
+    d = io.table(spark, sf_dir, "documents")
+    return pack_documents(d, budget=256)

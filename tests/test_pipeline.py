@@ -1,0 +1,139 @@
+"""Training-data pipeline operators (plans/pipeline.py).
+
+Oracle parity for the four SQL-expressible queries, invariants for
+seq_pack (greedy packing has no ANSI form), and non-vacuity checks so
+a regression can't pass by producing empty output.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conversadocs_spark.operators.packing import pack_documents
+from conversadocs_spark.plans import QUERIES
+from tests.oracle import assert_query_matches_oracle
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+ORACLE_CHECKED = [
+    "corpus_split_shuffle",
+    "stratified_sample",
+    "pii_redact",
+    "contamination_ngram",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_pipeline_query_matches_oracle(spark, name):
+    assert_query_matches_oracle(spark, name, SF_ORACLE)
+
+
+def test_split_is_deterministic_and_near_80_20(spark):
+    df = QUERIES["corpus_split_shuffle"](spark, SF_ORACLE)
+    counts = dict(
+        (r["split"], r["count"])
+        for r in df.groupBy("split").count().collect()
+    )
+    total = sum(counts.values())
+    assert counts["train"] / total == pytest.approx(0.8, abs=0.05)
+    # pure function of doc_id: a repartitioned rerun agrees row-for-row
+    again = (
+        QUERIES["corpus_split_shuffle"](spark, SF_ORACLE)
+        .repartition(7)
+        .collect()
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, again))
+
+
+def test_stratified_sample_downsamples_majority(spark):
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    base = dict(
+        (r["lang"], r["count"])
+        for r in d.groupBy("lang").count().collect()
+    )
+    samp = dict(
+        (r["lang"], r["count"])
+        for r in QUERIES["stratified_sample"](spark, SF_ORACLE)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    # en kept at ~25%, others at ~50% (64/256 and 128/256 hex gates)
+    assert samp["en"] / base["en"] == pytest.approx(0.25, abs=0.1)
+    for lang in base:
+        if lang != "en":
+            assert samp[lang] / base[lang] == pytest.approx(0.5, abs=0.15)
+
+
+def test_pii_redact_masks_everything_it_counts(spark):
+    df = QUERIES["pii_redact"](spark, SF_ORACLE)
+    hit = df.where((F.col("n_emails") > 0) | (F.col("n_ssns") > 0))
+    assert hit.count() > 0  # injection fired
+    # nothing matching either pattern survives in the redacted text
+    from conversadocs_spark.plans.pipeline import _EMAIL_RE, _SSN_RE
+
+    leftover = df.where(
+        F.col("redacted").rlike(_EMAIL_RE)
+        | F.col("redacted").rlike(_SSN_RE)
+    )
+    assert leftover.count() == 0
+    # every counted hit produced a placeholder
+    bad = hit.where(
+        ((F.col("n_emails") > 0) & ~F.col("redacted").contains("<EMAIL>"))
+        | ((F.col("n_ssns") > 0) & ~F.col("redacted").contains("<SSN>"))
+    )
+    assert bad.count() == 0
+
+
+def test_contamination_screen_fires_on_near_dups(spark):
+    df = QUERIES["contamination_ngram"](spark, SF_ORACLE)
+    flagged = df.where(F.col("n_shared") > 0)
+    # fixture corpus contains near-duplicates of the eval docs by
+    # construction (the dedup family's 25-pair groups), so the screen
+    # must flag at least one training doc — and never all of them.
+    n_flagged, n_total = flagged.count(), df.count()
+    assert 0 < n_flagged < n_total
+    assert (
+        df.where(
+            (F.col("contamination") < 0) | (F.col("contamination") > 1)
+        ).count()
+        == 0
+    )
+
+
+def test_seq_pack_invariants(spark):
+    budget = 256
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    packed = pack_documents(d, budget=budget).collect()
+    assert len(packed) == d.count()  # every doc packed exactly once
+    by_pack: dict[tuple, list] = {}
+    for r in packed:
+        by_pack.setdefault((r["source"], r["pack_id"]), []).append(r)
+    for (_, _), rows in by_pack.items():
+        total = sum(r["n_tokens"] for r in rows)
+        # over-budget only when a single oversized doc forced it
+        assert total <= budget or len(rows) == 1
+        # pack positions dense from 0 in doc_id order
+        rows.sort(key=lambda r: r["doc_id"])
+        assert [r["pack_pos"] for r in rows] == list(range(len(rows)))
+    # pack ids dense per source
+    for source in {r["source"] for r in packed}:
+        ids = sorted(
+            {r["pack_id"] for r in packed if r["source"] == source}
+        )
+        assert ids == list(range(len(ids)))
+
+
+def test_seq_pack_greedy_boundary(spark):
+    """A doc that would overflow the running pack opens a new pack —
+    pinned on a hand-built group where the boundary is unambiguous."""
+    rows = [(i, "s", "w " * n) for i, n in enumerate([100, 100, 100])]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    # token counts are 101 each (trailing split token), budget 210:
+    # docs 0+1 fit (202), doc 2 overflows -> pack 1
+    out = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_documents(df, budget=210).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 1}
