@@ -80,7 +80,8 @@ _DRIVER_ORDER = [
     "conditional_funcs",
     "sort_limit_topk", "union_all", "set_ops",
     "window_tumbling", "window_sliding", "window_session",
-    "ingest_scan_text", "index_build_overwrite",
+    "ingest_scan_text", "scan_csv_roundtrip", "scan_json_roundtrip",
+    "index_build_overwrite",
     "multimodal_meta", "multimodal_features", "multimodal_frames",
     "streaming_tumbling_replay", "streaming_dedup_replay",
     "streaming_session_chat", "streaming_foreachbatch_sink",

@@ -1,11 +1,16 @@
-"""Driver-visible ingestion queries (rows-only): the reference's entry
-point (R1/R2/R3 multi-format scan) and its index lifecycle (R7/R8
-overwrite build), run against scratch directories under the repo.
+"""Driver-visible ingestion queries: the reference's entry point
+(R1/R2/R3 multi-format scan), its index lifecycle (R7/R8 overwrite
+build), and structured text-format sources (CSV / JSON lines), run
+against scratch directories under the repo.
 
-Rows-only because file scanning and parquet writes aren't
-SQL-expressible over the fixture views; tests/test_ingest.py carries
-the behavioral assertions (unknown-extension drop, tag stripping,
-empty-scan fallback, overwrite-replaces, dynamic partition overwrite).
+The directory-scan and index-lifecycle queries are rows-only (file
+scanning and parquet writes aren't SQL-expressible over the fixture
+views; tests/test_ingest.py carries the behavioral assertions). The
+CSV/JSON round-trips ARE oracle-checked: the staged files derive from
+a parquet table, so the DuckDB oracle reads the parquet view directly
+and the value-hash proves the text-format write+read preserved every
+cell (doubles, microsecond timestamps, quoted strings) — the actual
+failure mode of text sources.
 """
 
 from __future__ import annotations
@@ -47,6 +52,89 @@ def ingest_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         F.regexp_extract("source", r"(\.[a-z]+)$", 1).alias("ext"),
         "page",
+    )
+
+
+# Spark's default timestampNTZFormat keeps only milliseconds; the
+# fixture timestamps carry real microseconds, so both the writer and
+# the reader pin a 6-digit fractional format (truncation here is the
+# classic silent CSV fidelity bug this query exists to catch).
+_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+_CSV_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderkey % 97 = 0
+"""
+
+
+@register("scan_csv_roundtrip", oracle=_CSV_ORACLE, tags=("ingest",))
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source: stage an orders slice as headered CSV, read it back
+    with an EXPLICIT schema (never schema inference — at 100 TB
+    inference is a full extra pass over the data), and hash-check the
+    parsed rows against the parquet ground truth. Exercises doubles,
+    timestamp_ntz with microseconds, and quoted strings."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"csv_{tag}")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    (
+        io.table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select(*cols)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("timestampNTZFormat", _NTZ_FMT)
+        .csv(path)
+    )
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string"
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampNTZFormat", _NTZ_FMT)
+        .csv(path)
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+WHERE event_id % 101 = 0
+"""
+
+
+@register("scan_json_roundtrip", oracle=_JSON_ORACLE, tags=("ingest",))
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source: stage an events slice, read back with an
+    explicit schema (no inference pass), hash-check against parquet.
+    The props column is itself a JSON string, so the round-trip
+    exercises nested quoting/escaping; value is a raw double (Jackson
+    shortest-round-trip repr must parse back bit-identical)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"json_{tag}")
+    (
+        io.table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 101 == 0)
+        .write.mode("overwrite")
+        .option("timestampNTZFormat", _NTZ_FMT)
+        .json(path)
+    )
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.read.schema(schema)
+        .option("timestampNTZFormat", _NTZ_FMT)
+        .json(path)
     )
 
 

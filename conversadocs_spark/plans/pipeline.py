@@ -224,16 +224,22 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the big side twice."""
     d = io.table(spark, sf_dir, "documents")
     g = shingle_docs(d, "text", "doc_id", _CONTAM_N)
+    # explode_outer, not explode: Generate(explode) lets Catalyst infer
+    # and push a `size(shingles) > 0` filter BELOW the shingle
+    # projection, re-evaluating the whole n-gram expression once more
+    # per row (visible in the executed plan). The arrays are never
+    # empty (shingle_docs falls back to a 1-element array), so the
+    # outer form is value-identical and skips the inferred re-eval.
     ev = (
         g.where(F.col("id") < 20)
-        .select(F.explode("shingles").alias("gram"))
+        .select(F.explode_outer("shingles").alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     tr = g.where(F.col("id") >= 20).select(
         F.col("id").alias("doc_id"),
         F.size("shingles").cast("long").alias("n_grams"),
-        F.explode("shingles").alias("gram"),
+        F.explode_outer("shingles").alias("gram"),
     )
     return (
         tr.join(F.broadcast(ev), "gram", "left")

@@ -95,3 +95,27 @@ def test_dynamic_partition_overwrite_keeps_other_partitions(
         after.where(F.col("lang") != one_lang).count()
         == before.where(F.col("lang") != one_lang).count()
     )
+
+
+def test_csv_json_roundtrips_match_oracle(spark):
+    """Structured text sources: the staged CSV/JSON slices must parse
+    back cell-identical to the parquet ground truth (doubles,
+    microsecond NTZ timestamps, quoted/nested strings)."""
+    from tests.conftest import SF_ORACLE
+    from tests.oracle import assert_query_matches_oracle
+
+    for name in ("scan_csv_roundtrip", "scan_json_roundtrip"):
+        assert_query_matches_oracle(spark, name, SF_ORACLE)
+
+
+def test_csv_roundtrip_preserves_microseconds(spark):
+    """The pinned timestampNTZFormat keeps sub-millisecond precision —
+    the default format silently truncates to millis."""
+    from conversadocs_spark.plans import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    df = QUERIES["scan_json_roundtrip"](spark, SF_ORACLE)
+    micros = df.select(
+        (F.unix_micros(F.col("ts").cast("timestamp")) % 1000).alias("us")
+    )
+    assert micros.where(F.col("us") != 0).count() > 0
