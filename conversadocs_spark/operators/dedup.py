@@ -226,6 +226,14 @@ def minhash_near_dups(
     # output and ~5% at sf1; the term it removes grows with shingle
     # width, not corpus size.
     #
+    # REJECTED (r5, measured at sf0.1): explode(hs) + groupBy(id) with
+    # 64 min(xxhash64(h, i)) columns — same hash count, no per-shingle
+    # array allocation, map-side partial mins — ran 2.1x SLOWER than
+    # this fold (3.0s vs 1.4s signature stage): the 64-wide hash-agg
+    # buffer update per exploded row costs more than the fold's array
+    # churn, and it adds an exchange. The per-seed transform form
+    # (64 array_min(transform(hs, ...)) expressions) is 12x slower.
+    #
     # REJECTED: Kirsch-Mitzenmacher double hashing (h_i = h1 + i*h2,
     # 2 string hashes per shingle instead of num_hashes) measured no
     # faster even with (h1, h2) pre-materialized as structs — 3-word

@@ -166,3 +166,34 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bucketdemo.lineitem_b")
         spark.sql("DROP TABLE IF EXISTS bucketdemo.orders_b")
         spark.sql("DROP DATABASE IF EXISTS bucketdemo")
+
+
+def test_pipeline_split_sample_redact_are_narrow_only(spark):
+    """The per-row pipeline ops (split/sample/redact) must stay
+    embarrassingly parallel: no exchange of any kind — a seeded-md5
+    split that shuffles would be a scale bug, not a plan choice."""
+    for name in ("corpus_split_shuffle", "stratified_sample", "pii_redact"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # split reads ONLY the id column
+    assert "ReadSchema: struct<doc_id:bigint>" in _plan(
+        spark, "corpus_split_shuffle"
+    )
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The contamination screen must broadcast the (small, DISTINCT)
+    eval-gram side and aggregate the exploded training side with ONE
+    hash exchange — the 100 TB shape where the training corpus never
+    shuffles its gram strings twice."""
+    plan = _plan(spark, "contamination_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly two hash exchanges: the eval-gram DISTINCT (shuffles only
+    # the SMALL side before broadcast) and the final per-doc groupBy —
+    # the exploded training grams are shuffled once, never twice
+    assert plan.count("Exchange hashpartitioning") == 2
+    # explode_outer keeps Catalyst from inferring a size(...)>0 filter
+    # that re-evaluates the full shingle expression below the project
+    assert "Filter (size(array_distinct" not in plan
