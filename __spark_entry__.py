@@ -74,7 +74,7 @@ _DRIVER_ORDER = [
     "rag_answer_pipeline", "summarize_mapreduce",
     # --- 50 ---
     "chunk_split", "chunk_sentences", "udf_embed_mock",
-    "agg_approx_distinct", "seq_pack",
+    "agg_approx_distinct", "agg_percentile", "agg_pivot", "seq_pack",
     "scan_project", "filter_pred", "string_funcs", "date_funcs",
     "math_funcs", "array_funcs", "json_funcs", "map_funcs",
     "conditional_funcs",

@@ -260,3 +260,76 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"),
         F.percentile_approx("o_totalprice", 0.5).alias("median_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# exact percentiles (p50/p95/p99 — the ops-analytics staple)
+# --------------------------------------------------------------------------
+
+_AGG_PERCENTILE_ORACLE = """
+SELECT event_type,
+       count(*)                                   AS n_events,
+       round(quantile_cont(value, 0.5), 6)        AS p50,
+       round(quantile_cont(value, 0.95), 6)       AS p95,
+       round(quantile_cont(value, 0.99), 6)       AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_percentile", oracle=_AGG_PERCENTILE_ORACLE, tags=("agg",))
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p95/p99 per event type (Spark `percentile` =
+    sort-based linear interpolation, same definition as DuckDB
+    quantile_cont — unlike the rows-only HLL/KLL approximations in
+    agg_approx_distinct, this is hash-checkable). Exact percentiles
+    buffer each group's values; at 100 TB that is the deliberate
+    choice for bounded-cardinality groups (here: 5 event types) while
+    percentile_approx is the unbounded-cardinality path."""
+    ev = io.table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# pivot (wide-format aggregation)
+# --------------------------------------------------------------------------
+
+_AGG_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+            AS BIGINT)                            AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT)                            AS n_filled,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+            AS BIGINT)                            AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_pivot", oracle=_AGG_PIVOT_ORACLE, tags=("agg",))
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format pivot: order counts per priority x status. The
+    status values are passed EXPLICITLY — an unvalued .pivot() runs a
+    hidden distinct-collect job over the full table to discover the
+    columns, which is a silent extra pass at 100 TB. With fixed
+    values the pivot compiles to the same single partial+final hash
+    aggregate as the CASE-sum oracle formulation."""
+    o = io.table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+        .select(
+            "o_orderpriority",
+            F.col("O").alias("n_open"),
+            F.col("F").alias("n_filled"),
+            F.col("P").alias("n_pending"),
+        )
+    )
