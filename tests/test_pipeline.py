@@ -137,3 +137,23 @@ def test_seq_pack_greedy_boundary(spark):
         for r in pack_documents(df, budget=210).collect()
     }
     assert out == {0: 0, 1: 0, 2: 1}
+
+
+def test_seq_pack_sharding_bounds_groups(spark):
+    """Sharded packing: groups are bounded by shard_docs (the
+    applyInPandas OOM guard), pack ids stay unique per source across
+    shards, and packing within each shard is unchanged."""
+    rows = [(i, "s", "w " * 50) for i in range(8)]  # 51 tokens each
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = pack_documents(df, budget=120, shard_docs=4).collect()
+    assert len(out) == 8
+    # docs 0-3 in shard 0, 4-7 in shard 1; 2 docs fit per 120-token pack
+    by_doc = {r["doc_id"]: r for r in out}
+    shard0_ids = {by_doc[i]["pack_id"] for i in range(4)}
+    shard1_ids = {by_doc[i]["pack_id"] for i in range(4, 8)}
+    assert shard0_ids.isdisjoint(shard1_ids)  # unique across shards
+    assert len(shard0_ids) == 2 and len(shard1_ids) == 2
+    # greedy boundary intact inside each shard
+    assert by_doc[0]["pack_id"] == by_doc[1]["pack_id"]
+    assert by_doc[2]["pack_id"] == by_doc[3]["pack_id"]
+    assert by_doc[0]["pack_id"] != by_doc[2]["pack_id"]
