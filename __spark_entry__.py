@@ -75,6 +75,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     "chunk_split", "chunk_sentences", "udf_embed_mock",
     "agg_approx_distinct", "agg_percentile", "agg_pivot", "seq_pack",
+    "dedup_clusters",
     "scan_project", "filter_pred", "string_funcs", "date_funcs",
     "math_funcs", "array_funcs", "json_funcs", "map_funcs",
     "conditional_funcs",

@@ -1,0 +1,88 @@
+"""Connected components over near-duplicate pairs: the survivor-
+selection step a dedup pipeline runs AFTER pair generation.
+
+Pair output (dedup_minhash etc.) relates docs transitively: A~B and
+B~C must collapse to ONE kept doc even when A~C was never emitted.
+That is a connected-components problem; cluster_id = min doc_id in
+the component and the survivor is the doc equal to its cluster_id.
+
+Scale shape: iterative min-label propagation — each round joins the
+current labels to the (bidirectional) edge list and takes the min
+label seen across self + neighbors. Rounds needed = graph diameter,
+and near-dup components are star/clique shaped (diameter ~2), so the
+loop converges in a handful of shuffle joins even at corpus scale;
+every round is hash-partitioned on id (no all-pairs anything). The
+one driver-side action per round reads a single 0/1 convergence flag
+— the same bounded O(log)-actions pattern as operators/reduce.py.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``pairs``.
+
+    cluster_id is the minimum id reachable in the node's component —
+    deterministic, so the result is oracle-checkable against a
+    transitive-closure SQL formulation.
+    """
+    edges = (
+        pairs.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neighbor_min = edges.join(
+            labels, edges["dst"] == labels["id"]
+        ).groupBy("src").agg(F.min("label").alias("nmin"))
+        new_labels = (
+            labels.join(
+                neighbor_min,
+                labels["id"] == neighbor_min["src"],
+                "left",
+            )
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce("nmin", "label")
+                ).alias("label"),
+            )
+            # localCheckpoint truncates the lineage so the plan does
+            # not grow by one join per round (it would otherwise
+            # re-derive every prior round on each action)
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from conversadocs_spark import io
-from conversadocs_spark.operators.dedup import shingle_docs
+from conversadocs_spark.operators.dedup import (
+    minhash_near_dups,
+    shingle_docs,
+)
 from conversadocs_spark.operators.packing import pack_documents
 from conversadocs_spark.plans.registry import register
 
@@ -272,3 +275,75 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     in doc order)."""
     d = io.table(spark, sf_dir, "documents")
     return pack_documents(d, budget=256)
+
+
+# --------------------------------------------------------------------------
+# dedup cluster resolution (connected components + survivor pick)
+# --------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE sh AS (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]
+                  ELSE [text]
+             END) AS shingles
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+),
+nodes AS (
+    SELECT DISTINCT id
+    FROM (SELECT id1 AS id FROM pairs UNION SELECT id2 FROM pairs)
+),
+edges AS (
+    SELECT id1 AS src, id2 AS dst FROM pairs
+    UNION ALL
+    SELECT id2, id1 FROM pairs
+),
+reach(src, dst) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src                  AS doc_id,
+       min(dst)             AS cluster_id,
+       src = min(dst)       AS is_survivor
+FROM reach
+GROUP BY src
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("pipeline",))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over near-dup PAIRS: A~B and B~C must
+    collapse to one kept doc even when A~C was never emitted, so the
+    pair output of dedup_minhash feeds connected components
+    (operators/components.py, iterative min-label propagation —
+    near-dup components are star/clique shaped, diameter ~2, so the
+    loop converges in a few hash-partitioned joins at any scale).
+    cluster_id = min doc_id in the component; the survivor is the doc
+    equal to its cluster_id. The oracle recomputes the same pairs
+    brute-force and resolves components with a recursive-CTE
+    transitive closure — quadratic oracle, linear engine, identical
+    output."""
+    from conversadocs_spark.operators.components import (
+        connected_components,
+    )
+
+    d = io.table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        d, threshold=0.5, n=3, num_hashes=64, bands=16
+    ).select("id1", "id2")
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_survivor"),
+    )

@@ -157,3 +157,27 @@ def test_seq_pack_sharding_bounds_groups(spark):
     assert by_doc[0]["pack_id"] == by_doc[1]["pack_id"]
     assert by_doc[2]["pack_id"] == by_doc[3]["pack_id"]
     assert by_doc[0]["pack_id"] != by_doc[2]["pack_id"]
+
+
+def test_dedup_clusters_matches_oracle(spark):
+    assert_query_matches_oracle(spark, "dedup_clusters", SF_ORACLE)
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B and B-C (A-C never emitted) must land in ONE cluster with
+    min-id survivor — the transitivity case pair-based dedup misses;
+    includes a chain longer than one propagation round."""
+    from conversadocs_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 20)],
+        ["id1", "id2"],
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20}
