@@ -36,8 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # is confirmed behavior, not a one-off), so enumerate highest-signal
 # queries first: vector/ANN flagship, dedup, text, training-pipeline,
 # chunking, UDF/UDAF/UDTF, ranking windows, aggregates, joins, skew,
-# RAG — exactly 50, now all-oracle-checked except the 3 by-design
-# rows-only signature ops (ann_topk/ann_ivf/dedup_simhash) — and push
+# RAG — exactly 50, now all-oracle-checked except the 2 by-design
+# rows-only ANN ops (ann_topk/ann_ivf) — and push
 # the families that already have green r01/r02 driver rows (relational
 # functions, set ops, event-time windows, ingestion, multimodal,
 # streaming replays) plus locally-pinned rows-only variants into the
@@ -46,9 +46,9 @@ _DRIVER_ORDER = [
     # vector / ANN (flagship family)
     "knn_topk", "knn_per_query", "similarity_join", "dedup_embedding",
     "vector_centroid", "ann_topk", "ann_ivf",
-    # dedup family
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "corpus_clean",
+    # dedup family (dedup_clusters = transitive survivor resolution)
+    "dedup_exact", "dedup_minhash", "dedup_clusters",
+    "dedup_ngram_jaccard", "corpus_clean",
     # text analysis
     "text_stats", "text_stats_by_lang", "lang_id", "text_quality",
     "doc_fingerprint", "tfidf_top_terms",
@@ -75,7 +75,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     "chunk_split", "chunk_sentences", "udf_embed_mock",
     "agg_approx_distinct", "agg_percentile", "agg_pivot", "seq_pack",
-    "dedup_clusters",
+    "dedup_simhash",
     "scan_project", "filter_pred", "string_funcs", "date_funcs",
     "math_funcs", "array_funcs", "json_funcs", "map_funcs",
     "conditional_funcs",
