@@ -398,10 +398,52 @@ def hamming64(a: F.Column, b: F.Column) -> F.Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_band_candidate_count(
+    df: DataFrame,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Number of candidate pairs the banded simhash join would examine
+    (sum over (band, band_val) buckets of C(members, 2)) — the scale
+    audit for ``simhash_near_dups``. Computed from bucket populations
+    with one groupBy, never by materializing the pairs, so the audit
+    itself is safe to run even on a pathological parameterization.
+    Used by scripts/scale_gate.py to assert candidate growth stays
+    ~linear in corpus size under the 16-bit default (a quadratic count
+    here is exactly the r5-flagged 8-bit-band failure mode)."""
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col)).alias("sig"),
+    )
+    buckets = sigs.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("sig", b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_val")
+    ).groupBy("band", "band_val").count()
+    row = buckets.agg(
+        F.sum(
+            (F.col("count") * (F.col("count") - 1) / 2).cast("long")
+        ).alias("pairs")
+    ).first()
+    return int(row["pairs"] or 0)
+
+
 def simhash_near_dups(
     df: DataFrame,
-    max_hamming: int = 7,
-    bands: int = 8,
+    max_hamming: int = 3,
+    bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -417,6 +459,18 @@ def simhash_near_dups(
     (linear), band explode into slim (id, band, band_val, sig) rows,
     bucket-join on (band, band_val), hamming filter on candidates only
     — no all-pairs join anywhere.
+
+    Band-width defaults: 4 bands x 16-bit values (radius 3, the
+    production choice in Manku/Jain/Sarma WWW'07 for 8B pages). The
+    previous 8x8-bit default was exact for radius 7 but 8-bit band
+    values have only 256 states, so every band bucket held E[n/256]
+    members and the candidate-pair count grew O(n^2/256) — quadratic
+    with a small constant, measured 13 s at sf0.1 and fatal at corpus
+    scale. 16-bit values shrink expected bucket population 256x, making
+    candidate count ~linear in n for hash-random signatures (asserted
+    at the 10x gate, scripts/scale_gate.py). Radius 7 is still
+    available explicitly via ``bands=8`` — the exactness guarantee is
+    parameter-driven, but callers accept the quadratic candidate tail.
     """
     if 64 % bands != 0:
         raise ValueError("bands must divide 64")
@@ -445,13 +499,15 @@ def simhash_near_dups(
         ).alias("band", "band_val"),
     )
     # Candidate pairs STREAM through a self-join here, deliberately NOT
-    # bucket_pairs: simhash band values are only 64/bands bits wide
-    # (8 bands -> 256 values), so buckets scale with corpus size
-    # (E[members] = n/256 per band; ~390 at 100k docs, hot buckets far
-    # worse) and an in-bucket collect_set + combination flatten
-    # materializes O(members^2) structs in single rows — it killed the
-    # session at the 10x gate. The sort-merge self-join produces the
-    # same pair set row-at-a-time with spill support. bucket_pairs is
+    # bucket_pairs: simhash band values are only 64/bands bits wide, so
+    # bucket population scales with corpus size (at the old 8-bit
+    # default, E[members] = n/256 per band; ~390 at 100k docs, hot
+    # buckets far worse) and an in-bucket collect_set + combination
+    # flatten materializes O(members^2) structs in single rows — it
+    # killed the session at the 10x gate. The 16-bit default shrinks
+    # buckets 256x, but near-identical fixture docs still pile into the
+    # same bucket, and the sort-merge self-join produces the same pair
+    # set row-at-a-time with spill support either way. bucket_pairs is
     # for SELECTIVE buckets (minhash: 64-bit hashes of band slices,
     # where a bucket is an actual near-dup group).
     a = banded.alias("a")

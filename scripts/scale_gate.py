@@ -93,9 +93,67 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — gate must report, not die
             bad.append(name)
             print(f"{name}: ERR {str(e)[:120]}", flush=True)
+    audit_bad = run_scale_audits(spark, qs, sf_dir)
     print("oracle-checked:", checked)
     print("MISMATCHES:", bad if bad else "none")
-    sys.exit(1 if bad else 0)
+    print("AUDIT FAILURES:", audit_bad if audit_bad else "none")
+    sys.exit(1 if bad or audit_bad else 0)
+
+
+def run_scale_audits(spark, qs, sf_dir) -> list[str]:
+    """Scale-behavior audits beyond oracle parity (r5 verdict items 1
+    and 6): simhash banded candidate count must grow ~linearly in
+    corpus size under the 4x16-bit default, and the ANN queries must
+    keep recall >= 0.8 at scale (their in-plan audit empties the
+    output below the floor, so a row-count check observes recall)."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.dedup import (
+        simhash_band_candidate_count,
+    )
+
+    failures = []
+
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_full = docs.count()
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    n_half = half.count()
+    c_full = simhash_band_candidate_count(docs, bands=4)
+    c_half = simhash_band_candidate_count(half, bands=4)
+    ratio = c_full / max(c_half, 1)
+    # linear growth doubles candidates when n doubles; quadratic
+    # quadruples them. 3.0 splits the two regimes.
+    ok = ratio <= 3.0
+    if not ok:
+        failures.append("simhash_candidate_linearity")
+    print(
+        f"audit simhash_candidates: n={n_half}->{n_full} "
+        f"pairs={c_half}->{c_full} ratio={ratio:.2f} "
+        f"({'OK' if ok else 'QUADRATIC'})",
+        flush=True,
+    )
+    c_8bit = simhash_band_candidate_count(docs, bands=8)
+    print(
+        f"audit simhash_bandwidth: 16-bit pairs={c_full} vs "
+        f"8-bit pairs={c_8bit} "
+        f"(selectivity gain {c_8bit / max(c_full, 1):.0f}x)",
+        flush=True,
+    )
+
+    for name in ("ann_topk", "ann_ivf"):
+        rows = qs[name](spark, sf_dir).count()
+        # 5 queries x k=3; the in-plan audit returns 0 rows when mean
+        # recall@3 < 0.8, so rows==15 certifies recall at this scale.
+        ok = rows == 15
+        if not ok:
+            failures.append(f"{name}_recall")
+        print(
+            f"audit {name}: rows={rows} expected=15 "
+            f"(recall>=0.8 {'OK' if ok else 'FAIL'})",
+            flush=True,
+        )
+    return failures
 
 
 if __name__ == "__main__":

@@ -3,6 +3,7 @@ SimHash near-dup signal, exact-dedup idempotence."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from conversadocs_spark import io
@@ -101,10 +102,19 @@ def test_simhash_separates_near_dups(spark, sf_dir):
     assert near < rand / 2, f"simhash near={near:.1f} rand={rand:.1f}"
 
 
-def test_simhash_banded_equals_bruteforce(spark, sf_dir):
+@pytest.mark.parametrize(
+    ("max_hamming", "bands"),
+    [
+        (3, 4),  # scaling default: 16-bit band values, radius 3
+        (7, 8),  # legacy wide-radius config: 8-bit band values
+    ],
+)
+def test_simhash_banded_equals_bruteforce(spark, sf_dir, max_hamming, bands):
     """The banded simhash join must equal the brute-force all-pairs
     hamming join at the same radius (banding is exact for
-    max_hamming <= bands-1 by pigeonhole, not a recall tradeoff)."""
+    max_hamming <= bands-1 by pigeonhole, not a recall tradeoff) —
+    pinned for both the 4x16-bit scaling default and the legacy 8x8-bit
+    wide-radius configuration."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = docs.select(
         "doc_id", simhash64(F.col("text")).alias("sig")
@@ -120,13 +130,27 @@ def test_simhash_banded_equals_bruteforce(spark, sf_dir):
                 F.col("b.doc_id").alias("id2"),
                 hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
             )
-            .where(F.col("hamming") <= 7)
+            .where(F.col("hamming") <= max_hamming)
             .collect()
         )
     }
     banded = {
         (r.id1, r.id2, r.hamming)
-        for r in simhash_near_dups(docs, max_hamming=7, bands=8).collect()
+        for r in simhash_near_dups(
+            docs, max_hamming=max_hamming, bands=bands
+        ).collect()
     }
     sigs.unpersist()
     assert banded == brute
+
+
+def test_simhash_default_bands_are_16_bit(spark, sf_dir):
+    """The default banding must stay 4x16-bit (radius 3): 8-bit band
+    values have 256 states, so candidate pairs grow O(n^2/256) —
+    quadratic at corpus scale (r5 verdict 'What's wrong' #1). Pin the
+    default parameters so a refactor can't silently reintroduce it."""
+    import inspect
+
+    sig = inspect.signature(simhash_near_dups)
+    assert sig.parameters["bands"].default == 4
+    assert sig.parameters["max_hamming"].default == 3

@@ -110,6 +110,85 @@ def test_ivf_index_partition_pruning(spark, sf_oracle_dir, tmp_path):
     assert len(all_parts) == 16
 
 
+def test_ivf_assign_matches_window_argmax(spark, sf_oracle_dir):
+    """The shuffle-free array_max argmax in _assign must pick exactly
+    the assignments the n x K window form (r5 design) picked — max
+    cosine, ties to the lowest list_id."""
+    from pyspark.sql import Window
+
+    from conversadocs_spark import io
+    from conversadocs_spark.functions.vector import cosine_similarity
+    from conversadocs_spark.operators.ivf import _assign, _cell_means
+
+    emb = io.table(spark, sf_oracle_dir, "embeddings").where(
+        F.col("vec_id") >= 5
+    )
+    init = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(16))
+        .cast("int")
+        .alias("list_id"),
+    )
+    centroids = _cell_means(init, "vec_id", "embedding")
+    got = {
+        (r.vec_id, r.list_id)
+        for r in _assign(emb, centroids, "vec_id", "embedding").collect()
+    }
+    sim = cosine_similarity(F.col("embedding"), F.col("centroid"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("list_id")
+    )
+    want = {
+        (r.vec_id, r.list_id)
+        for r in (
+            emb.crossJoin(F.broadcast(centroids))
+            .select(
+                "vec_id", "list_id", F.round(sim, 9).alias("csim")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_ivf_assign_no_exchange(spark, sf_oracle_dir):
+    """The executed plan between centroid scoring and argmax must hold
+    NO Exchange: the old row_number form shuffled all n x K scored rows
+    (r5 verdict #2). The packed-centroid form is a 1-row broadcast join
+    plus a Project, so the only acceptable Exchange anywhere in the
+    assignment plan is none at all."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.ivf import _assign, _cell_means
+
+    emb = io.table(spark, sf_oracle_dir, "embeddings").where(
+        F.col("vec_id") >= 5
+    )
+    init = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(16))
+        .cast("int")
+        .alias("list_id"),
+    )
+    centroids = _cell_means(init, "vec_id", "embedding")
+    assigned = _assign(emb, centroids, "vec_id", "embedding")
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    # tree shape: Project <- BNLJ <- [corpus scan, BroadcastExchange <-
+    # centroid-packing agg]. The K-row packing side legitimately
+    # aggregates; the n-row corpus side (between the join node and its
+    # broadcast child) must be exchange-free, and the window argmax
+    # signature must be gone entirely.
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    corpus_side = plan.split("BroadcastNestedLoopJoin", 1)[1].split(
+        "BroadcastExchange", 1
+    )[0]
+    assert "Exchange" not in corpus_side, corpus_side
+    assert "Window" not in plan and "row_number" not in plan
+
+
 def test_ivf_build_is_partition_invariant(spark, sf_oracle_dir):
     """The index must not depend on how the input happened to be
     partitioned (hash init + exact-decimal centroid means are the
