@@ -6,14 +6,19 @@ B~C must collapse to ONE kept doc even when A~C was never emitted.
 That is a connected-components problem; cluster_id = min doc_id in
 the component and the survivor is the doc equal to its cluster_id.
 
-Scale shape: iterative min-label propagation — each round joins the
-current labels to the (bidirectional) edge list and takes the min
-label seen across self + neighbors. Rounds needed = graph diameter,
-and near-dup components are star/clique shaped (diameter ~2), so the
-loop converges in a handful of shuffle joins even at corpus scale;
-every round is hash-partitioned on id (no all-pairs anything). The
-one driver-side action per round reads a single 0/1 convergence flag
-— the same bounded O(log)-actions pattern as operators/reduce.py.
+Scale shape: iterative min-label propagation with path-halving —
+each round joins the current labels to the (bidirectional) edge list
+taking the min label across self + neighbors, then pointer-jumps
+(label := label-of-label), which halves remaining label-chain depth.
+Rounds needed = O(log diameter) rather than diameter, so even a
+pathological chain component of length 100 converges in ~10 rounds
+(tests/test_pipeline.py::test_components_chain_converges), while
+the star/clique shapes real near-dup graphs produce still finish in
+~3; every round is hash-partitioned on id (no all-pairs anything).
+The one driver-side action per round reads a single 0/1 convergence
+flag — the same bounded O(log)-actions pattern as operators/reduce.py.
+If the loop exhausts ``max_iter`` without converging the function
+RAISES instead of returning partially-propagated (wrong) labels.
 """
 
 from __future__ import annotations
@@ -52,24 +57,43 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = edges.join(
             labels, edges["dst"] == labels["id"]
         ).groupBy("src").agg(F.min("label").alias("nmin"))
+        stepped = labels.join(
+            neighbor_min,
+            labels["id"] == neighbor_min["src"],
+            "left",
+        ).select(
+            labels["id"],
+            F.least(
+                F.col("label"), F.coalesce("nmin", "label")
+            ).alias("label"),
+        )
+        # Path-halving pointer jump: every label IS a node id, so
+        # following one more hop (label := label-of-label, which is
+        # <= label by the invariant label <= id) halves the depth of
+        # any label chain. Plain propagation moves the component min
+        # one hop per round (rounds = diameter); with the jump the
+        # rounds drop to O(log diameter).
         new_labels = (
-            labels.join(
-                neighbor_min,
-                labels["id"] == neighbor_min["src"],
+            stepped.alias("n")
+            .join(
+                stepped.select(
+                    F.col("id").alias("lid"),
+                    F.col("label").alias("llabel"),
+                ).alias("m"),
+                F.col("n.label") == F.col("m.lid"),
                 "left",
             )
             .select(
-                labels["id"],
-                F.least(
-                    F.col("label"), F.coalesce("nmin", "label")
-                ).alias("label"),
+                F.col("n.id").alias("id"),
+                F.coalesce("m.llabel", "n.label").alias("label"),
             )
             # localCheckpoint truncates the lineage so the plan does
-            # not grow by one join per round (it would otherwise
+            # not grow by two joins per round (it would otherwise
             # re-derive every prior round on each action)
             .localCheckpoint(eager=True)
         )
@@ -83,6 +107,13 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; labels would be partially propagated — "
+            "raise max_iter (rounds needed ~ log2(component diameter))"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))

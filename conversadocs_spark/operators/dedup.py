@@ -193,6 +193,7 @@ def minhash_near_dups(
     bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_holder: list | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified by exact
     Jaccard — the standard shingle->minhash->band->bucket-join pipeline
@@ -203,6 +204,14 @@ def minhash_near_dups(
     jaccard_sim >= threshold, exactly re-checked — so the output is
     identical to the brute-force join whenever LSH recall is 1 for the
     surviving pairs.
+
+    The hashed-shingle relation is persisted (see comment below) and
+    the lazily-returned result gives no natural unpersist point, so
+    long-lived sessions otherwise accumulate cache entries until LRU
+    eviction (r5 ADVICE). Callers that fully materialize the result
+    can pass ``cache_holder=[]``: the persisted DataFrame is appended
+    to it, and they should ``unpersist()`` it once done (dedup_clusters
+    does this after connected components converges).
     """
     rows_per_band = num_hashes // bands
     sh = shingle_docs(df, text_col, id_col, n)
@@ -255,6 +264,8 @@ def minhash_near_dups(
         "id",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_holder is not None:
+        cache_holder.append(hs)
     sig = hs.select(
         "id",
         F.aggregate(

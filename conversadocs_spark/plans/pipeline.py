@@ -338,10 +338,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = io.table(spark, sf_dir, "documents")
+    # connected_components materializes the pair pipeline during its
+    # eager-checkpoint iterations, so the minhash hashed-shingle cache
+    # is dead weight once it returns — unpersist instead of leaving it
+    # to LRU eviction (r5 ADVICE item 4).
+    caches: list[DataFrame] = []
     pairs = minhash_near_dups(
-        d, threshold=0.5, n=3, num_hashes=64, bands=16
+        d, threshold=0.5, n=3, num_hashes=64, bands=16,
+        cache_holder=caches,
     ).select("id1", "id2")
     cc = connected_components(pairs)
+    for cached in caches:
+        cached.unpersist()
     return cc.select(
         F.col("id").alias("doc_id"),
         "cluster_id",

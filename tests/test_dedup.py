@@ -66,6 +66,29 @@ def test_dedup_exact_idempotent(spark, sf_dir):
     assert once.where(F.col("doc_id") >= 10_000_000).count() == 0
 
 
+def test_fixture_pairs_avoid_lsh_recall_gap(spark, sf_dir):
+    """dedup_minhash / dedup_clusters hash-match their brute-force
+    oracles only while LSH candidate recall is ~1 over the oracle's
+    inclusion range. With 16 bands x 4 rows, recall at J=0.5 is ~0.64
+    and approaches 1 above J~0.85 — so the oracle parity quietly
+    depends on the fixtures containing NO pairs in the [0.5, 0.85)
+    recall gap (ADVICE r5 item 2). The driver regenerates fixtures
+    every round: assert the invariant explicitly so a regenerated
+    corpus with marginal-similarity pairs fails HERE with a clear
+    message instead of as an opaque oracle mismatch."""
+    docs = io.table(spark, sf_dir, "documents")
+    gap = (
+        dedup_ngram_pairs(docs, threshold=0.5)
+        .where(F.col("jaccard_sim") < 0.85)
+        .count()
+    )
+    assert gap == 0, (
+        f"{gap} fixture pair(s) fall in the LSH recall gap "
+        "[0.5, 0.85): raise dedup_minhash's band count or threshold, "
+        "or the oracle comparison will miss pairs nondeterministically"
+    )
+
+
 def test_simhash_separates_near_dups(spark, sf_dir):
     """Near-dup pairs (exact jaccard >= 0.5) must have strictly smaller
     mean SimHash hamming distance than random pairs."""

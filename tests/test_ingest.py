@@ -108,9 +108,10 @@ def test_csv_json_roundtrips_match_oracle(spark):
         assert_query_matches_oracle(spark, name, SF_ORACLE)
 
 
-def test_csv_roundtrip_preserves_microseconds(spark):
+def test_json_roundtrip_preserves_microseconds(spark):
     """The pinned timestampNTZFormat keeps sub-millisecond precision —
-    the default format silently truncates to millis."""
+    the default format silently truncates to millis. The staged events
+    slice carries real microseconds, so the query itself proves it."""
     from conversadocs_spark.plans import QUERIES
     from tests.conftest import SF_ORACLE
 
@@ -119,3 +120,35 @@ def test_csv_roundtrip_preserves_microseconds(spark):
         (F.unix_micros(F.col("ts").cast("timestamp")) % 1000).alias("us")
     )
     assert micros.where(F.col("us") != 0).count() > 0
+
+
+def test_csv_roundtrip_preserves_microseconds(spark, tmp_path):
+    """Same claim for the CSV path (the r5 version of this test named
+    CSV but exercised JSON — ADVICE r5 item 3). The fixture orders
+    slice the query stages is date-level, so drive the CSV
+    writer/reader with the SAME pinned format over synthetic
+    microsecond-precision NTZ timestamps and require a lossless
+    round-trip."""
+    import datetime as dt
+
+    from conversadocs_spark.plans.ingestion import _NTZ_FMT
+
+    rows = [
+        (1, dt.datetime(2026, 8, 13, 1, 2, 3, 123456)),
+        (2, dt.datetime(2026, 8, 13, 1, 2, 3, 999001)),
+    ]
+    src = spark.createDataFrame(rows, "id bigint, ts timestamp_ntz")
+    path = str(tmp_path / "csv_micros")
+    (
+        src.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampNTZFormat", _NTZ_FMT)
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("id bigint, ts timestamp_ntz")
+        .option("header", True)
+        .option("timestampNTZFormat", _NTZ_FMT)
+        .csv(path)
+    )
+    assert {tuple(r) for r in back.collect()} == set(rows)

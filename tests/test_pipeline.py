@@ -181,3 +181,38 @@ def test_connected_components_transitive_chain(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
                    20: 20, 21: 20}
+
+
+def test_components_chain_converges(spark):
+    """Pathological diameter-100 chain (r5 verdict item 7): plain
+    min-propagation needs ~100 rounds (> max_iter=25) and previously
+    returned silently WRONG labels; path-halving must converge in
+    O(log d) rounds, and all 101 nodes collapse to cluster 0."""
+    from conversadocs_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], ["id1", "id2"]
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs, max_iter=25).collect()
+    }
+    assert got == {i: 0 for i in range(101)}
+
+
+def test_components_nonconvergence_raises(spark):
+    """If max_iter is exhausted before the fixpoint, the operator must
+    RAISE — never return partially-propagated labels (ADVICE r5)."""
+    import pytest
+
+    from conversadocs_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], ["id1", "id2"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
