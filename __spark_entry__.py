@@ -79,7 +79,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     "join_left", "join_right", "join_full", "agg_cube",
     "chunk_split", "chunk_sentences", "udf_embed_mock",
-    "agg_approx_distinct", "seq_pack",
+    "agg_approx_distinct", "agg_percentile_approx", "seq_pack",
     "dedup_simhash",
     "scan_project", "filter_pred", "string_funcs", "date_funcs",
     "math_funcs", "array_funcs", "json_funcs", "map_funcs",

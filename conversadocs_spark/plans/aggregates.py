@@ -252,13 +252,40 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) + exact percentile per group.
 
     No SQL oracle: the HLL estimate is engine-specific. The driver
-    records a rows-only check; tests/test_aggregates.py asserts the
+    records a rows-only check; tests/test_relational.py asserts the
     estimate is within 5% of the exact count.
     """
     o = io.table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"),
         F.percentile_approx("o_totalprice", 0.5).alias("median_price"),
+    )
+
+
+@register("agg_percentile_approx", tags=("agg", "approx"))
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (KLL-style sketch) p50/p95/p99 per event type
+    with PINNED accuracy=1000 — the unbounded-cardinality companion to
+    the exact `agg_percentile` (which buffers whole groups and is the
+    bounded-cardinality choice). Sketch output is engine-specific, so
+    no SQL oracle; instead
+    tests/test_relational.py::test_percentile_approx_within_rank_eps
+    asserts every approx value is an element whose rank sits within
+    eps*n of the target rank, eps = 1/accuracy — the documented
+    rank-error contract, closing SURVEY §2B row 24's approx-quantile
+    half (r5 verdict missing-item 2)."""
+    ev = io.table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias(
+            "p50_approx"
+        ),
+        F.percentile_approx("value", F.lit(0.95), F.lit(1000)).alias(
+            "p95_approx"
+        ),
+        F.percentile_approx("value", F.lit(0.99), F.lit(1000)).alias(
+            "p99_approx"
+        ),
     )
 
 

@@ -68,6 +68,53 @@ def test_approx_distinct_within_tolerance(spark, sf_oracle_dir):
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
 
 
+def test_percentile_approx_within_rank_eps(spark, sf_oracle_dir):
+    """agg_percentile_approx has no SQL oracle (the sketch is
+    engine-specific); enforce the documented rank-error contract
+    instead: with accuracy=1000 (eps = 0.001), each approx quantile
+    must land inside the exact value envelope
+    [quantile(q - eps), quantile(q + eps)] computed from the same
+    group. A small float pad covers envelope-boundary equality."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    eps = 1.0 / 1000
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["agg_percentile_approx"](
+            spark, sf_oracle_dir
+        ).collect()
+    }
+    ev = io.table(spark, sf_oracle_dir, "events")
+    groups = {
+        r["event_type"]: sorted(r["vals"])
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vals"))
+        .collect()
+    }
+    assert set(approx) == set(groups)
+    # contract: the returned value is an actual element whose RANK is
+    # within eps*n of the target rank (one element of slack for the
+    # floor/ceil at the boundary).
+    for et, vals in groups.items():
+        n = len(vals)
+        for q, col in (
+            (0.5, "p50_approx"),
+            (0.95, "p95_approx"),
+            (0.99, "p99_approx"),
+        ):
+            v = approx[et][col]
+            rank_lo = sum(1 for x in vals if x < v)
+            rank_hi = sum(1 for x in vals if x <= v)
+            target = q * n
+            slack = eps * n + 1
+            assert rank_lo - slack <= target <= rank_hi + slack, (
+                et, col, v, rank_lo, rank_hi, target, n,
+            )
+
+
 def test_scaled_integer_money_path_is_exact(spark, sf_oracle_dir):
     """The scaled-integer money fast path (functions/money.py cents/
     disc_price_e4/charge_e6/sum_scaled) must be bit-identical to the
