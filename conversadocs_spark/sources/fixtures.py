@@ -132,3 +132,173 @@ def make_pdf(pages: list[str]) -> bytes:
         out.append(f"{num} 0 obj ".encode() + body + b" endobj")
     out.append(b"trailer << /Root 1 0 R >>\n%%EOF")
     return b"\n".join(out)
+
+
+# --------------------------------------------------------------------------
+# legacy OLE (.doc / .ppt) builders — minimal [MS-CFB] compound files
+# --------------------------------------------------------------------------
+
+_CFB_ENDOFCHAIN = 0xFFFFFFFE
+_CFB_FREESECT = 0xFFFFFFFF
+_CFB_FATSECT = 0xFFFFFFFD
+_CFB_NOSTREAM = 0xFFFFFFFF
+
+
+def _u16b(v: int) -> bytes:
+    return v.to_bytes(2, "little")
+
+
+def _u32b(v: int) -> bytes:
+    return v.to_bytes(4, "little")
+
+
+def make_cfb(streams: dict[str, bytes]) -> bytes:
+    """Write a spec-valid v3 CFB compound file (512-byte sectors,
+    64-byte mini sectors, 4096 mini cutoff): header DIFAT -> one FAT
+    sector -> directory; streams below the cutoff live in the root
+    entry's mini stream via the mini FAT — so reading these fixtures
+    exercises BOTH allocation paths of formats._cfb_streams. Capacity
+    is one FAT sector (128 sectors / 64 KiB), plenty for fixtures and
+    asserted explicitly."""
+    SS, MS, CUTOFF = 512, 64, 4096
+    sectors: list[bytes] = []
+    fat: list[int] = []
+
+    def alloc(data: bytes) -> int:
+        start = len(sectors)
+        n = max(1, -(-len(data) // SS))
+        for i in range(n):
+            sectors.append(data[i * SS : (i + 1) * SS].ljust(SS, b"\0"))
+            fat.append(start + i + 1)
+        fat[-1] = _CFB_ENDOFCHAIN
+        return start
+
+    # mini stream: concat small streams at 64-byte granularity
+    mini_data = bytearray()
+    minifat: list[int] = []
+    starts: dict[str, int] = {}
+    for name, data in streams.items():
+        if len(data) >= CUTOFF:
+            continue
+        first = len(minifat)
+        n = max(1, -(-len(data) // MS))
+        padded = data.ljust(n * MS, b"\0")
+        mini_data += padded
+        minifat += list(range(first + 1, first + n))
+        minifat.append(_CFB_ENDOFCHAIN)
+        starts[name] = first
+    for name, data in streams.items():
+        if len(data) >= CUTOFF:
+            starts[name] = alloc(data)
+    mini_start = alloc(bytes(mini_data)) if mini_data else _CFB_ENDOFCHAIN
+    if minifat:
+        minifat_bytes = b"".join(_u32b(v) for v in minifat)
+        minifat_start = alloc(minifat_bytes)
+        n_minifat_sectors = -(-len(minifat_bytes) // SS)
+    else:
+        minifat_start, n_minifat_sectors = _CFB_ENDOFCHAIN, 0
+
+    def dirent(
+        name: str, typ: int, start: int, size: int, child: int
+    ) -> bytes:
+        raw = name.encode("utf-16-le")
+        e = bytearray(128)
+        e[0 : len(raw)] = raw
+        e[64:66] = _u16b(len(raw) + 2)
+        e[66] = typ
+        e[67] = 1  # black
+        e[68:72] = _u32b(_CFB_NOSTREAM)  # left sibling
+        e[76:80] = _u32b(child)
+        e[116:120] = _u32b(start)
+        e[120:124] = _u32b(size)
+        return bytes(e)
+
+    names = list(streams)
+    entries = [
+        dirent(
+            "Root Entry",
+            5,
+            mini_start,
+            len(mini_data),
+            1 if names else _CFB_NOSTREAM,
+        )
+    ]
+    for i, name in enumerate(names):
+        e = bytearray(
+            dirent(name, 2, starts[name], len(streams[name]),
+                   _CFB_NOSTREAM)
+        )
+        nxt = i + 2 if i + 1 < len(names) else _CFB_NOSTREAM
+        e[72:76] = _u32b(nxt)  # right sibling: flat chain
+        entries.append(bytes(e))
+    dir_start = alloc(b"".join(entries))
+
+    fat_start = len(sectors)
+    fat.append(_CFB_FATSECT)
+    assert len(fat) <= SS // 4, "fixture exceeds one FAT sector"
+    fat += [_CFB_FREESECT] * (SS // 4 - len(fat))
+    sectors.append(b"".join(_u32b(v) for v in fat))
+
+    header = bytearray(512)
+    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    header[24:26] = _u16b(0x003E)  # minor version
+    header[26:28] = _u16b(3)  # major version 3 (512B sectors)
+    header[28:30] = _u16b(0xFFFE)  # little-endian marker
+    header[30:32] = _u16b(9)  # sector shift
+    header[32:34] = _u16b(6)  # mini sector shift
+    header[44:48] = _u32b(1)  # one FAT sector
+    header[48:52] = _u32b(dir_start)
+    header[56:60] = _u32b(CUTOFF)
+    header[60:64] = _u32b(minifat_start)
+    header[64:68] = _u32b(n_minifat_sectors)
+    header[68:72] = _u32b(_CFB_ENDOFCHAIN)  # no DIFAT chain
+    difat = [fat_start] + [_CFB_FREESECT] * 108
+    header[76:512] = b"".join(_u32b(v) for v in difat)
+    return bytes(header) + b"".join(sectors)
+
+
+def make_doc(paragraphs: list[str]) -> bytes:
+    """Word 97 binary .doc: WordDocument stream (FIB + raw text) and a
+    0Table stream holding the Clx piece table. The text is split into
+    one fCompressed (cp1252) piece and one UTF-16 piece so the reader
+    exercises both [MS-DOC] PCD encodings."""
+    text = "\r".join(paragraphs) + "\r"
+    half = len(text) // 2
+    a, b = text[:half], text[half:]
+    a_bytes = a.encode("cp1252")
+    b_bytes = b.encode("utf-16-le")
+    wd = bytearray(1024)  # FIB zone
+    wd[0:2] = _u16b(0xA5EC)  # wIdent
+    wd[2:4] = _u16b(0x00C1)  # nFib (Word 97)
+    wd[0x0A:0x0C] = _u16b(0)  # fWhichTblStm=0 -> 0Table
+    a_off = len(wd)
+    wd += a_bytes
+    b_off = len(wd)
+    wd += b_bytes
+    cps = [0, len(a), len(a) + len(b)]
+    pcd_a = _u16b(0) + _u32b((a_off * 2) | 0x40000000) + _u16b(0)
+    pcd_b = _u16b(0) + _u32b(b_off) + _u16b(0)
+    plc = b"".join(_u32b(cp) for cp in cps) + pcd_a + pcd_b
+    clx = b"\x02" + _u32b(len(plc)) + plc
+    wd[0x01A2:0x01A6] = _u32b(0)  # fcClx: Clx at start of 0Table
+    wd[0x01A6:0x01AA] = _u32b(len(clx))  # lcbClx
+    return make_cfb({"WordDocument": bytes(wd), "0Table": clx})
+
+
+def make_ppt(texts: list[str]) -> bytes:
+    """PowerPoint 97 binary .ppt: a "PowerPoint Document" stream whose
+    record tree nests TextCharsAtom (UTF-16) / TextBytesAtom (cp1252)
+    atoms inside a container record, alternating so the reader
+    exercises both [MS-PPT] text encodings."""
+
+    def rec(ver: int, rtype: int, payload: bytes) -> bytes:
+        return _u16b(ver) + _u16b(rtype) + _u32b(len(payload)) + payload
+
+    atoms = b""
+    for i, t in enumerate(texts):
+        if i % 2 == 0:
+            atoms += rec(0x0000, 0x0FA0, t.encode("utf-16-le"))
+        else:
+            atoms += rec(0x0000, 0x0FA8, t.encode("cp1252"))
+    document = rec(0x000F, 0x03E8, atoms)  # DocumentContainer
+    return make_cfb({"PowerPoint Document": document})

@@ -13,10 +13,11 @@ every parser below reads REAL bytes with ``zipfile``/``zlib``/
 
 Upgrade path: if ``pypdf`` IS installed (production), ``parse_pdf``
 delegates to it (import-guarded) and the stdlib extractor is the
-fallback. Only the two legacy OLE compound formats (``.doc``,
-``.ppt``) remain unimplemented — their piece-table/record parsing has
-no reasonable stdlib shortcut; they raise ``UnsupportedFormatError``
-and the ingest kernel emits its clearly-marked placeholder row.
+fallback. The two legacy OLE compound formats (``.doc``, ``.ppt``)
+get a minimal [MS-CFB] compound-file reader plus the [MS-DOC] piece
+table / [MS-PPT] text-atom walks — real text extraction for
+well-formed files; malformed bytes raise ``ParseError`` and degrade
+to the kernel's marked placeholder row like every other format.
 
 Every parser is total: malformed bytes raise ``ParseError`` (never a
 random stdlib exception) so the kernel can degrade to a placeholder
@@ -45,7 +46,9 @@ class ParseError(Exception):
 
 
 class UnsupportedFormatError(ParseError):
-    """Format has no in-container parser (legacy OLE .doc/.ppt)."""
+    """Format has no in-container parser. No built-in parser raises
+    this anymore (the legacy OLE formats grew a real CFB reader);
+    kept for production kernels that register partial parsers."""
 
 
 _WS_RE = re.compile(r"\s+")
@@ -290,19 +293,206 @@ def parse_pdf(data: bytes) -> list[tuple[int | None, str]]:
 
 
 # --------------------------------------------------------------------------
-# legacy OLE formats — no stdlib parser
+# legacy OLE formats (.doc / .ppt) — stdlib CFB reader (MS-CFB spec)
 # --------------------------------------------------------------------------
 
+_CFB_SIG = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_ENDOFCHAIN = 0xFFFFFFFE
+_FREESECT = 0xFFFFFFFF
 
-def parse_ole_legacy(data: bytes) -> list[tuple[int | None, str]]:
-    """.doc/.ppt are OLE2 compound files whose text lives behind a
-    piece table (Word) / record stream (PowerPoint); parsing them
-    needs olefile+antiword-class logic with no stdlib shortcut.
-    Raises so the kernel emits its marked placeholder row."""
-    raise UnsupportedFormatError(
-        "legacy OLE .doc/.ppt parsing requires olefile/textract; "
-        "install and swap this kernel in production"
-    )
+
+def _u16(b: bytes, o: int) -> int:
+    return int.from_bytes(b[o : o + 2], "little")
+
+
+def _u32(b: bytes, o: int) -> int:
+    return int.from_bytes(b[o : o + 4], "little")
+
+
+def _cfb_streams(data: bytes) -> dict[str, bytes]:
+    """Parse an OLE2/CFB compound file into {stream name: bytes}.
+
+    Implements the public [MS-CFB] layout: header DIFAT -> FAT ->
+    directory chain; streams below the mini cutoff (4096) resolve
+    through the mini FAT inside the root entry's mini stream. Names
+    are flattened (storage tree ignored) — Word/PowerPoint text
+    streams live at the root level. Total: everything parse_doc /
+    parse_ppt need, nothing more.
+    """
+    if len(data) < 512 or data[:8] != _CFB_SIG:
+        raise ParseError("not an OLE2 compound file")
+    sec_shift = _u16(data, 30)
+    mini_shift = _u16(data, 32)
+    if not 6 <= sec_shift <= 12 or mini_shift >= sec_shift:
+        raise ParseError("implausible CFB sector shifts")
+    ssz, msz = 1 << sec_shift, 1 << mini_shift
+    n_fat = _u32(data, 44)
+    dir_start = _u32(data, 48)
+    mini_cutoff = _u32(data, 56)
+    minifat_start = _u32(data, 60)
+    difat_start = _u32(data, 68)
+
+    def sector(i: int) -> bytes:
+        off = (i + 1) * ssz
+        if off + ssz > len(data):
+            raise ParseError(f"sector {i} beyond EOF")
+        return data[off : off + ssz]
+
+    def uint32s(b: bytes) -> list[int]:
+        return [_u32(b, o) for o in range(0, len(b), 4)]
+
+    difat = uint32s(data[76:512])
+    nxt, guard = difat_start, 0
+    while nxt not in (_ENDOFCHAIN, _FREESECT):
+        s = uint32s(sector(nxt))
+        difat += s[:-1]
+        nxt = s[-1]
+        guard += 1
+        if guard > 4096:
+            raise ParseError("DIFAT chain loop")
+    fat: list[int] = []
+    for fi in [s for s in difat if s != _FREESECT][:n_fat]:
+        fat += uint32s(sector(fi))
+
+    def chain(start: int, limit: int = 1 << 22) -> bytes:
+        out, cur, seen = [], start, 0
+        while cur not in (_ENDOFCHAIN, _FREESECT):
+            if cur >= len(fat) or seen * ssz > limit:
+                raise ParseError("broken FAT chain")
+            out.append(sector(cur))
+            cur = fat[cur]
+            seen += 1
+        return b"".join(out)
+
+    directory = chain(dir_start)
+    entries = []  # (name, type, start, size)
+    for off in range(0, len(directory), 128):
+        e = directory[off : off + 128]
+        if len(e) < 128:
+            break
+        nlen = _u16(e, 64)
+        if nlen < 2:
+            continue
+        name = e[: nlen - 2].decode("utf-16-le", errors="replace")
+        entries.append((name, e[66], _u32(e, 116), _u32(e, 120)))
+
+    root = next((e for e in entries if e[1] == 5), None)
+    if root is None:
+        raise ParseError("CFB missing root entry")
+    ministream = chain(root[2])[: root[3]] if root[3] else b""
+    minifat = uint32s(chain(minifat_start)) if root[3] else []
+
+    def mini_chain(start: int, size: int) -> bytes:
+        out, cur, seen = [], start, 0
+        while cur not in (_ENDOFCHAIN, _FREESECT):
+            if cur >= len(minifat) or seen * msz > len(ministream):
+                raise ParseError("broken miniFAT chain")
+            out.append(ministream[cur * msz : cur * msz + msz])
+            cur = minifat[cur]
+            seen += 1
+        return b"".join(out)[:size]
+
+    streams: dict[str, bytes] = {}
+    for name, typ, start, size in entries:
+        if typ != 2:  # stream objects only
+            continue
+        if size < mini_cutoff:
+            streams[name] = mini_chain(start, size)
+        else:
+            streams[name] = chain(start)[:size]
+    return streams
+
+
+def parse_doc(data: bytes) -> list[tuple[int | None, str]]:
+    """Word 97-2003 binary ``.doc``: text lives in the WordDocument
+    stream, addressed by the piece table (Clx/PlcPcd) stored in the
+    0Table/1Table stream — offsets per the public [MS-DOC] spec
+    (FibRgFcLcb97.fcClx at 0x1A2; PCD.fc bit 30 selects 8-bit vs
+    UTF-16 pieces). Reference dispatch analog:
+    /root/reference/conversadocs/bones.py:39 (.doc ->
+    UnstructuredWordDocumentLoader)."""
+    all_streams = _cfb_streams(data)
+    wd = all_streams.get("WordDocument")
+    if wd is None or len(wd) < 0x200:
+        raise ParseError("no WordDocument stream")
+    if _u16(wd, 0) != 0xA5EC:
+        raise ParseError("bad FIB magic")
+    table_name = "1Table" if _u16(wd, 0x000A) & 0x0200 else "0Table"
+    table = all_streams.get(table_name)
+    if table is None:
+        raise ParseError(f"missing {table_name} stream")
+    fc_clx, lcb_clx = _u32(wd, 0x01A2), _u32(wd, 0x01A6)
+    clx = table[fc_clx : fc_clx + lcb_clx]
+    pos = 0
+    while pos < len(clx) and clx[pos] == 0x01:  # skip Prc property runs
+        pos += 3 + _u16(clx, pos + 1)
+    if pos >= len(clx) or clx[pos] != 0x02:
+        raise ParseError("piece table (Pcdt) not found in Clx")
+    lcb = _u32(clx, pos + 1)
+    plc = clx[pos + 5 : pos + 5 + lcb]
+    n = (len(plc) - 4) // 12
+    if n <= 0:
+        raise ParseError("empty piece table")
+    cps = [_u32(plc, 4 * i) for i in range(n + 1)]
+    pieces: list[str] = []
+    for i in range(n):
+        pcd = plc[4 * (n + 1) + 8 * i :][:8]
+        fc_raw = _u32(pcd, 2)
+        n_cp = cps[i + 1] - cps[i]
+        if fc_raw & 0x40000000:  # fCompressed: 8-bit cp1252 text
+            off = (fc_raw & 0x3FFFFFFF) >> 1
+            pieces.append(wd[off : off + n_cp].decode("cp1252"))
+        else:
+            off = fc_raw & 0x3FFFFFFF
+            pieces.append(
+                wd[off : off + 2 * n_cp].decode("utf-16-le", "replace")
+            )
+    text = "".join(pieces)
+    # Word control characters: \r = paragraph mark, \x07 = cell mark,
+    # \x0b = soft break; strip the rest of C0.
+    text = re.sub(r"[\r\x07\x0b\x0c\x0e]", "\n", text)
+    text = re.sub(r"[\x00-\x08\x0e-\x1f]", "", text)
+    return [(None, _clean(text))]
+
+
+#: PowerPoint 97 text atoms ([MS-PPT]): TextCharsAtom (UTF-16LE),
+#: TextBytesAtom (8-bit), CString used for headers/footers.
+_PPT_TEXTCHARS, _PPT_TEXTBYTES = 0x0FA0, 0x0FA8
+
+
+def parse_ppt(data: bytes) -> list[tuple[int | None, str]]:
+    """PowerPoint 97-2003 binary ``.ppt``: walk the record tree of the
+    "PowerPoint Document" stream (8-byte headers: verInstance, type,
+    len; recVer 0xF = container) collecting TextCharsAtom /
+    TextBytesAtom payloads in document order. Slide boundaries need
+    the SlideListWithText persist mapping, so the extraction is one
+    combined row (page None) — same shape as parse_docx. Reference
+    dispatch analog: /root/reference/conversadocs/bones.py:42."""
+    stream = _cfb_streams(data).get("PowerPoint Document")
+    if stream is None:
+        raise ParseError("no PowerPoint Document stream")
+    texts: list[str] = []
+
+    def walk(buf: bytes, depth: int) -> None:
+        if depth > 32:
+            raise ParseError("record tree too deep")
+        off = 0
+        while off + 8 <= len(buf):
+            ver = _u16(buf, off) & 0x000F
+            rtype = _u16(buf, off + 2)
+            rlen = _u32(buf, off + 4)
+            payload = buf[off + 8 : off + 8 + rlen]
+            if ver == 0xF:
+                walk(payload, depth + 1)
+            elif rtype == _PPT_TEXTCHARS:
+                texts.append(payload.decode("utf-16-le", "replace"))
+            elif rtype == _PPT_TEXTBYTES:
+                texts.append(payload.decode("cp1252"))
+            off += 8 + rlen
+    walk(stream, 0)
+    if not texts:
+        raise ParseError("no text atoms in PowerPoint Document stream")
+    return [(None, _clean("\n".join(texts)))]
 
 
 # NOTE: no conversadocs_spark imports in this module — it is pickled
@@ -318,6 +508,6 @@ PARSERS = {
     ".odt": parse_odt,
     ".epub": parse_epub,
     ".enex": parse_enex,
-    ".doc": parse_ole_legacy,
-    ".ppt": parse_ole_legacy,
+    ".doc": parse_doc,
+    ".ppt": parse_ppt,
 }

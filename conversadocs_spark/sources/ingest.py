@@ -11,13 +11,14 @@ column filter, and per-format parsing inside an Arrow ``mapInPandas``
 — so adding a format is adding a kernel function, not a new scan.
 
 Format support in this container: txt/md (utf-8 decode) and html (tag
-strip) parse inline; pdf/docx/pptx/odt/epub/enex parse REAL bytes via
-the stdlib kernels in ``formats.py`` (zipfile/zlib/xml.etree — see
-that module for the pypdf production upgrade path). Only legacy OLE
-``.doc``/``.ppt`` fall back to a deterministic, clearly-marked
-placeholder row — their parser has no stdlib implementation. Either
-way the Spark-side plumbing (scan, dispatch, batch shape, schema,
-provenance) is identical and tested.
+strip) parse inline; pdf/docx/pptx/odt/epub/enex AND the legacy OLE
+``.doc``/``.ppt`` parse REAL bytes via the stdlib kernels in
+``formats.py`` (zipfile/zlib/xml.etree plus a minimal [MS-CFB]
+compound-file reader — see that module for the pypdf production
+upgrade path). Malformed bytes in any format degrade to a
+deterministic, clearly-marked placeholder row; the Spark-side
+plumbing (scan, dispatch, batch shape, schema, provenance) is
+identical and tested either way.
 """
 
 from __future__ import annotations

@@ -12,11 +12,13 @@ import pytest
 
 from conversadocs_spark.sources import formats
 from conversadocs_spark.sources.fixtures import (
+    make_doc,
     make_docx,
     make_enex,
     make_epub,
     make_odt,
     make_pdf,
+    make_ppt,
     make_pptx,
 )
 from conversadocs_spark.sources.ingest import scan_documents
@@ -92,9 +94,46 @@ def test_parse_zip_formats_reject_garbage():
             fn(b"\x00\x01 not a zip")
 
 
-def test_legacy_ole_raises_unsupported():
-    with pytest.raises(formats.UnsupportedFormatError):
-        formats.parse_ole_legacy(b"\xd0\xcf\x11\xe0 legacy doc bytes")
+def test_parse_doc_round_trip_mini_stream():
+    """.doc through the CFB reader: the fixture streams sit below the
+    4096 mini cutoff, so this exercises the miniFAT path, plus both
+    PCD text encodings (the builder splits text into one cp1252 and
+    one UTF-16 piece)."""
+    rows = formats.parse_doc(
+        make_doc(["Alpha beta gamma.", "Second paragraph here."])
+    )
+    assert rows == [(None, "Alpha beta gamma. Second paragraph here.")]
+
+
+def test_parse_doc_round_trip_regular_sectors():
+    """A WordDocument stream past the mini cutoff must resolve through
+    the regular FAT chain across multiple sectors."""
+    long_para = "word " * 1500  # ~7.5 KB of text
+    rows = formats.parse_doc(make_doc([long_para, "tail marker"]))
+    assert rows[0][0] is None
+    assert rows[0][1].count("word") == 1500
+    assert rows[0][1].endswith("tail marker")
+
+
+def test_parse_ppt_round_trip():
+    rows = formats.parse_ppt(
+        make_ppt(["Title text slide", "Body bytes text"])
+    )
+    assert rows == [(None, "Title text slide Body bytes text")]
+
+
+def test_parse_ole_rejects_garbage():
+    for fn in (formats.parse_doc, formats.parse_ppt):
+        with pytest.raises(formats.ParseError):
+            fn(b"\xd0\xcf\x11\xe0 truncated header")
+        with pytest.raises(formats.ParseError):
+            fn(b"not ole at all" * 40)
+    # valid container, wrong streams for the format
+    ppt_bytes = make_ppt(["x"])
+    with pytest.raises(formats.ParseError):
+        formats.parse_doc(ppt_bytes)
+    with pytest.raises(formats.ParseError):
+        formats.parse_ppt(make_doc(["y"]))
 
 
 @pytest.mark.skipif(
@@ -119,8 +158,10 @@ def test_scan_documents_parses_binary_formats(spark, tmp_path):
     (d / "e.epub").write_bytes(make_epub(["Epub chapter text."]))
     (d / "f.enex").write_bytes(make_enex([("T", "enex note body")]))
     (d / "g.pdf").write_bytes(make_pdf(["Pdf page one.", "Pdf page two."]))
-    (d / "h.doc").write_bytes(b"\xd0\xcf\x11\xe0legacy")
+    (d / "h.doc").write_bytes(make_doc(["Legacy doc body."]))
     (d / "i.txt").write_text("plain text")
+    (d / "j.ppt").write_bytes(make_ppt(["Legacy ppt body."]))
+    (d / "k.doc").write_bytes(b"\xd0\xcf\x11\xe0truncated")
     docs = scan_documents(spark, str(d))
     rows = {
         (os.path.basename(r.source), r.page): r.text
@@ -134,6 +175,9 @@ def test_scan_documents_parses_binary_formats(spark, tmp_path):
     assert "enex note body" in rows[("f.enex", 1)]
     assert rows[("g.pdf", 1)] == "Pdf page one."
     assert rows[("g.pdf", 2)] == "Pdf page two."
-    # legacy OLE degrades to the marked placeholder, never crashes
-    assert rows[("h.doc", 1)].startswith("[unparsed .doc")
+    # legacy OLE formats parse for real through the CFB reader
+    assert rows[("h.doc", None)] == "Legacy doc body."
+    assert rows[("j.ppt", None)] == "Legacy ppt body."
+    # malformed OLE degrades to the marked placeholder, never crashes
+    assert rows[("k.doc", 1)].startswith("[unparsed .doc")
     assert rows[("i.txt", None)] == "plain text"
