@@ -89,6 +89,35 @@ def test_embed_texts_env_flag_routes_to_real_kernel(
         out.collect()
 
 
+def test_embed_texts_fake_model_drives_iterator_path(
+    spark, sf_dir, monkeypatch
+):
+    """Run the REAL mapInPandas iterator kernel end-to-end with the
+    injected fake model (env hook model name fake:<dim>) — per-task
+    model init, Arrow batch loop, schema contract, normalization —
+    without sentence-transformers installed (r5 verdict item 9). The
+    output must be deterministic across partitionings, unit-norm, and
+    carry the requested dim."""
+    monkeypatch.setenv(REAL_EMBED_ENV, "fake:32")
+    docs = io.table(spark, sf_dir, "documents").limit(40)
+    a = {
+        (r.doc_id, tuple(r.embedding))
+        for r in embed_texts(docs.repartition(2))
+        .select("doc_id", "embedding")
+        .collect()
+    }
+    b = {
+        (r.doc_id, tuple(r.embedding))
+        for r in embed_texts(docs.repartition(7))
+        .select("doc_id", "embedding")
+        .collect()
+    }
+    assert a == b and len(a) == 40
+    for _, vec in a:
+        assert len(vec) == 32
+        assert math.isclose(sum(x * x for x in vec), 1.0, rel_tol=1e-3)
+
+
 @pytest.mark.skipif(
     not _HAVE_ST, reason="sentence-transformers not installed"
 )
