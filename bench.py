@@ -35,6 +35,10 @@ HEADLINE = (
     "set_ops",          # distinct cohorts + intersect/except
     "rag_answer_pipeline",  # composed condense->retrieve->stuff->answer
     "dedup_minhash",    # signature 100 TB op: shingle->minhash->band join
+    # added r6 (BASELINE.md records the set change; round-over-round
+    # totals compare on the stable 9-query subtotal):
+    "contamination_ngram",  # eval-decontamination broadcast asymmetry
+    "dedup_clusters",   # pair gen + iterative connected components
 )
 
 

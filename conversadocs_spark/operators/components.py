@@ -49,6 +49,11 @@ def connected_components(
                 F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
             )
         )
+        # hash-partition by the join key BEFORE persisting: the cached
+        # distribution satisfies every round's join requirement, so the
+        # (large, immutable) edge table is shuffled once, not once per
+        # round — only the (shrinking-churn) label table moves.
+        .repartition(F.col("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
@@ -58,6 +63,7 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     converged = False
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = edges.join(
             labels, edges["dst"] == labels["id"]
@@ -94,21 +100,26 @@ def connected_components(
             )
             # localCheckpoint truncates the lineage so the plan does
             # not grow by two joins per round (it would otherwise
-            # re-derive every prior round on each action)
-            .localCheckpoint(eager=True)
+            # re-derive every prior round on each action). Lazy: the
+            # convergence aggregate below is the ONE action per round
+            # and materializes it.
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # Convergence check WITHOUT a join: every step only ever
+        # lowers labels (min with neighbors, then jump to a
+        # smaller-or-equal label), so the label sum is strictly
+        # decreasing until the fixpoint — one cheap aggregate per
+        # round instead of a labels-vs-labels shuffle join. decimal38
+        # keeps the sum exact at any id range / corpus size.
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     edges.unpersist()
     if not converged:
         raise RuntimeError(
