@@ -414,23 +414,25 @@ def simhash_band_candidate_count(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    distinct_sigs: bool = True,
 ) -> int:
-    """Number of candidate pairs the banded simhash join would examine
-    (sum over (band, band_val) buckets of C(members, 2)) — the scale
-    audit for ``simhash_near_dups``. Computed from bucket populations
-    with one groupBy, never by materializing the pairs, so the audit
-    itself is safe to run even on a pathological parameterization.
-    Used by scripts/scale_gate.py to assert candidate growth stays
-    ~linear in corpus size under the 16-bit default (a quadratic count
-    here is exactly the r5-flagged 8-bit-band failure mode)."""
+    """Number of candidate signature pairs the banded simhash join
+    examines (sum over (band, band_val) buckets of C(members, 2)) —
+    the scale audit for ``simhash_near_dups``. Computed from bucket
+    populations with one groupBy, never by materializing the pairs,
+    so the audit itself is safe to run even on a pathological
+    parameterization. ``distinct_sigs=True`` mirrors the operator
+    (stage 2 bands DISTINCT signatures); False measures the
+    pre-collapse behavior for comparison. Used by
+    scripts/scale_gate.py to assert candidates stay
+    O(corpus + true output) at the 10x scale."""
     if 64 % bands != 0:
         raise ValueError("bands must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        simhash64(F.col(text_col)).alias("sig"),
-    )
+    sigs = df.select(simhash64(F.col(text_col)).alias("sig"))
+    if distinct_sigs:
+        sigs = sigs.distinct()
     buckets = sigs.select(
         F.posexplode(
             F.array(
@@ -457,31 +459,47 @@ def simhash_near_dups(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_holder: list | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs via banded bucket join — EXACT for the
-    reported radius: with 64/bands-bit bands, any pair within hamming
-    distance ``bands - 1`` leaves at least one band untouched
-    (pigeonhole), so the band join finds it and the output equals the
-    brute-force all-pairs join filtered to ``hamming <= max_hamming``
-    whenever ``max_hamming <= bands - 1`` (pinned by
-    tests/test_dedup.py::test_simhash_banded_equals_bruteforce).
+    """SimHash near-dup pairs via banded bucket join over DISTINCT
+    signatures — EXACT for the reported radius: with 64/bands-bit
+    bands, any pair within hamming distance ``bands - 1`` leaves at
+    least one band untouched (pigeonhole), so the band join finds it
+    and the output equals the brute-force all-pairs join filtered to
+    ``hamming <= max_hamming`` whenever ``max_hamming <= bands - 1``
+    (pinned by tests/test_dedup.py::test_simhash_banded_equals_
+    bruteforce).
 
-    Scale shape mirrors ``minhash_near_dups``: per-row signature
-    (linear), band explode into slim (id, band, band_val, sig) rows,
-    bucket-join on (band, band_val), hamming filter on candidates only
-    — no all-pairs join anywhere.
+    Scale shape, in three output- or corpus-bounded stages:
 
-    Band-width defaults: 4 bands x 16-bit values (radius 3, the
-    production choice in Manku/Jain/Sarma WWW'07 for 8B pages). The
-    previous 8x8-bit default was exact for radius 7 but 8-bit band
-    values have only 256 states, so every band bucket held E[n/256]
-    members and the candidate-pair count grew O(n^2/256) — quadratic
-    with a small constant, measured 13 s at sf0.1 and fatal at corpus
-    scale. 16-bit values shrink expected bucket population 256x, making
-    candidate count ~linear in n for hash-random signatures (asserted
-    at the 10x gate, scripts/scale_gate.py). Radius 7 is still
-    available explicitly via ``bands=8`` — the exactness guarantee is
-    parameter-driven, but callers accept the quadratic candidate tail.
+    1. signatures (linear), then COLLAPSE to distinct signature
+       values. Duplicate-heavy corpora concentrate catastrophically
+       otherwise: the r6 10x gate measured 152M banded candidates over
+       50k docs (10 text copies each) vs 446k over the 5.5k distinct
+       signatures — identical signatures collide in EVERY band, so
+       grouping first removes a multiplicative copies^2 factor that no
+       band width can fix.
+    2. band the distinct signatures (4 bands x 16-bit values by
+       default — radius 3, the Manku/Jain/Sarma WWW'07 production
+       choice; the old 8x8-bit default had 256-state band values whose
+       buckets held E[n'/256] members each). Candidate signature pairs
+       stream through a sort-merge self-join (spill-safe; an in-bucket
+       collect_set pair explode OOM'd here at the 10x gate because
+       low-cardinality band values make bucket population grow with
+       corpus size — unlike minhash's 64-bit-hash buckets), then the
+       hamming filter runs per signature PAIR, not per doc pair.
+    3. expand surviving signature pairs back to id pairs (equi-joins
+       on sig) and emit identical-signature groups' intra pairs
+       directly (hamming 0) — both expansions are sized by the TRUE
+       output, so total work is O(corpus + distinct-sig candidates +
+       output). The 10x gate audits exactly that bound.
+
+    Radius 7 is still available explicitly via ``bands=8`` — the
+    exactness guarantee is parameter-driven.
+
+    ``cache_holder``: same contract as ``minhash_near_dups`` — the
+    signature table is persisted (consumed by stages 1-3); callers
+    that materialize the result can unpersist via the holder.
     """
     if 64 % bands != 0:
         raise ValueError("bands must divide 64")
@@ -494,9 +512,11 @@ def simhash_near_dups(
     sigs = df.select(
         F.col(id_col).alias("id"),
         simhash64(F.col(text_col)).alias("sig"),
-    )
-    banded = sigs.select(
-        "id",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_holder is not None:
+        cache_holder.append(sigs)
+    dsigs = sigs.select("sig").distinct()
+    banded = dsigs.select(
         "sig",
         F.posexplode(
             F.array(
@@ -509,32 +529,54 @@ def simhash_near_dups(
             )
         ).alias("band", "band_val"),
     )
-    # Candidate pairs STREAM through a self-join here, deliberately NOT
-    # bucket_pairs: simhash band values are only 64/bands bits wide, so
-    # bucket population scales with corpus size (at the old 8-bit
-    # default, E[members] = n/256 per band; ~390 at 100k docs, hot
-    # buckets far worse) and an in-bucket collect_set + combination
-    # flatten materializes O(members^2) structs in single rows — it
-    # killed the session at the 10x gate. The 16-bit default shrinks
-    # buckets 256x, but near-identical fixture docs still pile into the
-    # same bucket, and the sort-merge self-join produces the same pair
-    # set row-at-a-time with spill support either way. bucket_pairs is
-    # for SELECTIVE buckets (minhash: 64-bit hashes of band slices,
-    # where a bucket is an actual near-dup group).
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.sig") < F.col("b.sig")),
         )
         .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
             hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id1", "id2"])
+        .dropDuplicates(["sig1", "sig2"])
     )
+    cross = (
+        sig_pairs.join(
+            sigs.select(
+                F.col("sig").alias("sig1"), F.col("id").alias("ida")
+            ),
+            "sig1",
+        )
+        .join(
+            sigs.select(
+                F.col("sig").alias("sig2"), F.col("id").alias("idb")
+            ),
+            "sig2",
+        )
+        .select(
+            F.least("ida", "idb").alias("id1"),
+            F.greatest("ida", "idb").alias("id2"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+    s1 = sigs.alias("s1")
+    s2 = sigs.alias("s2")
+    intra = s1.join(
+        s2,
+        (F.col("s1.sig") == F.col("s2.sig"))
+        & (F.col("s1.id") < F.col("s2.id")),
+    ).select(
+        F.col("s1.id").alias("id1"),
+        F.col("s2.id").alias("id2"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    # cross (sig1 != sig2) and intra (sig equal) are disjoint, and
+    # sig-pair dedup happened BEFORE expansion, so no final
+    # output-sized dropDuplicates shuffle is needed.
+    return cross.unionByName(intra)
