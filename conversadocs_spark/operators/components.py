@@ -78,16 +78,21 @@ def connected_components(
                 F.col("label"), F.coalesce("nmin", "label")
             ).alias("label"),
         )
-        # Path-halving pointer jump: every label IS a node id, so
-        # following one more hop (label := label-of-label, which is
-        # <= label by the invariant label <= id) halves the depth of
-        # any label chain. Plain propagation moves the component min
-        # one hop per round (rounds = diameter); with the jump the
-        # rounds drop to O(log diameter).
+        # Pointer jump: every label IS a node id, so following one
+        # more hop (label := label-of-label, which is <= label by the
+        # invariant label <= id) contracts label chains geometrically.
+        # Plain propagation moves the component min one hop per round
+        # (rounds = diameter); with the jump the rounds drop to
+        # O(log diameter) (chain-of-100 pinned in tests). The jump
+        # reads the PREVIOUS round's table (cached/checkpointed), not
+        # `stepped` — self-joining `stepped` would recompute its whole
+        # neighbor-min subtree for the second side of the join; the
+        # stale-by-one-round pointers still contract and the fixpoint
+        # (detected below) is identical.
         new_labels = (
             stepped.alias("n")
             .join(
-                stepped.select(
+                labels.select(
                     F.col("id").alias("lid"),
                     F.col("label").alias("llabel"),
                 ).alias("m"),
@@ -96,7 +101,10 @@ def connected_components(
             )
             .select(
                 F.col("n.id").alias("id"),
-                F.coalesce("m.llabel", "n.label").alias("label"),
+                F.least(
+                    F.col("n.label"),
+                    F.coalesce("m.llabel", "n.label"),
+                ).alias("label"),
             )
             # localCheckpoint truncates the lineage so the plan does
             # not grow by two joins per round (it would otherwise
