@@ -205,6 +205,15 @@ def minhash_near_dups(
     identical to the brute-force join whenever LSH recall is 1 for the
     surviving pairs.
 
+    r6: identical-content groups (same hashed-shingle SET) collapse to
+    one representative before the signature stage; signature, banding,
+    candidate generation, and the exact re-check all run per DISTINCT
+    content, and the results expand back to id pairs with output-sized
+    joins (intra-group pairs are jaccard 1.0 by construction). On
+    duplicate-heavy corpora — the 100 TB norm — this removes a
+    copies^2 factor end to end; pinned by
+    tests/test_dedup.py::test_minhash_collapse_on_duplicated_corpus.
+
     The hashed-shingle relation is persisted (see comment below) and
     the lazily-returned result gives no natural unpersist point, so
     long-lived sessions otherwise accumulate cache entries until LRU
@@ -251,22 +260,67 @@ def minhash_near_dups(
     # 0.92/0.96 (independence predicts ~1e-13 misses), breaking
     # LSH-equals-brute-force and with it the oracle check.
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    # The hashed-shingle table is consumed THREE times (the signature
-    # pass plus both exact-re-check join branches), and Catalyst
-    # recomputes an unpersisted subtree per reference — so without the
-    # persist the corpus is tokenized+shingled+hashed three times.
-    # MEMORY_AND_DISK holds one slim (id, array<long>) row per doc
-    # (~8B/shingle; spills, never OOMs), turning the operator into ONE
-    # parse pass + three cache reads. At cluster scale this is the
-    # standard compute-once shape; the cache is LRU-evictable after
-    # the query completes.
-    hs = sh.select(
-        "id",
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
+    # The keyed hashed-shingle table is consumed several times (group
+    # reps, membership, the rep signature pass, both exact-re-check
+    # join branches), and Catalyst recomputes an unpersisted subtree
+    # per reference — so without the persist the corpus would be
+    # tokenized+shingled+hashed once per consumer. MEMORY_AND_DISK
+    # holds one slim (id, array<long>, key) row per doc (~8B/shingle;
+    # spills, never OOMs), turning the operator into ONE parse pass +
+    # cache reads. At cluster scale this is the standard compute-once
+    # shape; the cache is LRU-evictable after the query completes (or
+    # released explicitly via cache_holder).
+    # Identical-content collapse (same pattern as simhash stage 1,
+    # r6): group docs by their order-insensitive hashed-shingle SET
+    # and run signature/banding/re-check on ONE representative per
+    # group. Duplicate-heavy corpora otherwise pay a copies^2 factor
+    # in candidates AND exact re-checks that no banding parameter can
+    # remove (identical sets collide in every band). Group key =
+    # xxhash64 of the sorted hashed-shingle array; a key collision
+    # would merge two genuinely different docs (P ~ n^2/2^64 — the
+    # same collision budget as the hashed re-check below, pinned vs
+    # the string-exact oracle by the test suite). Empty-shingle docs
+    # are dropped up front: they can never reach the output (their
+    # jaccard is 0/0 = null against anything), and their degenerate
+    # all-identical signatures otherwise bucket together wastefully.
+    keyed = (
+        sh.select(
+            "id",
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias(
+                "hs"
+            ),
+        )
+        .where(F.size("hs") > 0)
+        .select(
+            "id",
+            "hs",
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort("hs"), lambda x: x.cast("string")
+                    ),
+                )
+            ).alias("ck"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if cache_holder is not None:
+        cache_holder.append(keyed)
+    # ONE groupBy yields both the representative id and its shingle
+    # array (min_by rides the same partial aggregation), so no extra
+    # join is needed to recover the representative's content. reps is
+    # persisted as well: it feeds membership, the signature pass, and
+    # both re-check branches — distinct-content-sized, slim.
+    reps = keyed.groupBy("ck").agg(
+        F.min("id").alias("rid"),
+        F.min_by("hs", "id").alias("hs"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if cache_holder is not None:
-        cache_holder.append(hs)
-    sig = hs.select(
+        cache_holder.append(reps)
+    mem = keyed.join(reps.select("ck", "rid"), "ck").select("id", "rid")
+    rep_hs = reps.select(F.col("rid").alias("id"), "hs")
+    sig = rep_hs.select(
         "id",
         F.aggregate(
             "hs",
@@ -342,25 +396,61 @@ def minhash_near_dups(
     # branch.
     cand = (
         cand.join(
-            hs.select(
+            rep_hs.select(
                 F.col("id").alias("id1"), F.col("hs").alias("sh1")
             ),
             "id1",
         )
         .join(
-            hs.select(
+            rep_hs.select(
                 F.col("id").alias("id2"), F.col("hs").alias("sh2")
             ),
             "id2",
         )
     )
     sim = jaccard(F.col("sh1"), F.col("sh2"))
-    return (
-        cand.select(
-            "id1", "id2", F.round(sim, 6).alias("jaccard_sim")
+    rep_pairs = cand.select(
+        F.col("id1").alias("rid1"),
+        F.col("id2").alias("rid2"),
+        F.round(sim, 6).alias("jaccard_sim"),
+    ).where(F.col("jaccard_sim") >= threshold)
+    # Expansion back to document ids — both joins are sized by the
+    # TRUE output. Cross pairs inherit the representative pair's
+    # similarity (identical shingle sets by construction); intra pairs
+    # within an identical-content group are jaccard 1.0 exactly.
+    cross = (
+        rep_pairs.join(
+            mem.select(
+                F.col("rid").alias("rid1"), F.col("id").alias("ida")
+            ),
+            "rid1",
         )
-        .where(F.col("jaccard_sim") >= threshold)
+        .join(
+            mem.select(
+                F.col("rid").alias("rid2"), F.col("id").alias("idb")
+            ),
+            "rid2",
+        )
+        .select(
+            F.least("ida", "idb").alias("id1"),
+            F.greatest("ida", "idb").alias("id2"),
+            "jaccard_sim",
+        )
     )
+    m1 = mem.alias("m1")
+    m2 = mem.alias("m2")
+    intra = m1.join(
+        m2,
+        (F.col("m1.rid") == F.col("m2.rid"))
+        & (F.col("m1.id") < F.col("m2.id")),
+    ).select(
+        F.col("m1.id").alias("id1"),
+        F.col("m2.id").alias("id2"),
+        F.lit(1.0).alias("jaccard_sim"),
+    )
+    # cross (different groups) and intra (same group) are disjoint,
+    # and candidate pairs were deduped before expansion.
+    return cross.unionByName(intra)
 
 
 def simhash64(col: F.Column) -> F.Column:

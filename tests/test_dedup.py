@@ -66,6 +66,33 @@ def test_dedup_exact_idempotent(spark, sf_dir):
     assert once.where(F.col("doc_id") >= 10_000_000).count() == 0
 
 
+def test_minhash_collapse_on_duplicated_corpus(spark, sf_dir):
+    """Triple every doc (two extra exact copies with offset ids) and
+    the LSH pipeline must still equal brute force: intra-group pairs
+    at jaccard 1.0, cross-group pairs carrying the representative
+    similarity — the identical-content collapse path end to end."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    tripled = docs
+    for off in (1_000_000, 2_000_000):
+        tripled = tripled.unionByName(
+            docs.select(
+                (F.col("doc_id") + off).alias("doc_id"), "text"
+            )
+        )
+    exact = {
+        (r.id1, r.id2, r.jaccard_sim)
+        for r in dedup_ngram_pairs(tripled, threshold=THRESHOLD).collect()
+    }
+    approx = {
+        (r.id1, r.id2, r.jaccard_sim)
+        for r in minhash_near_dups(tripled, threshold=THRESHOLD).collect()
+    }
+    assert approx == exact
+    # non-vacuous: every doc has 2 extra copies -> >= C(3,2) = 3
+    # intra pairs per original doc
+    assert len(approx) >= 3 * docs.count()
+
+
 def test_fixture_pairs_avoid_lsh_recall_gap(spark, sf_dir):
     """dedup_minhash / dedup_clusters hash-match their brute-force
     oracles only while LSH candidate recall is ~1 over the oracle's
