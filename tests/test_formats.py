@@ -181,3 +181,74 @@ def test_scan_documents_parses_binary_formats(spark, tmp_path):
     # malformed OLE degrades to the marked placeholder, never crashes
     assert rows[("k.doc", 1)].startswith("[unparsed .doc")
     assert rows[("i.txt", None)] == "plain text"
+
+
+# --------------------------------------------------------------------------
+# hypothesis fuzzing: CFB container + legacy parsers over arbitrary input
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from conversadocs_spark.sources.fixtures import make_cfb
+
+_name_st = st.text(
+    alphabet=st.characters(min_codepoint=65, max_codepoint=122),
+    min_size=1,
+    max_size=28,
+)
+# sizes deliberately straddle the 4096 mini cutoff and the 512/64
+# sector boundaries
+_data_st = st.binary(min_size=0, max_size=9000)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.dictionaries(_name_st, _data_st, min_size=1, max_size=4))
+def test_cfb_container_round_trips(streams):
+    """make_cfb -> _cfb_streams must be the identity on stream
+    contents for arbitrary names and sizes — mini-stream (< 4096),
+    regular chains (>= 4096), empty streams, and sector-boundary
+    sizes all included by the strategy."""
+    got = formats._cfb_streams(make_cfb(streams))
+    assert got == streams
+
+
+_words_st = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_words_st, _words_st)
+def test_doc_round_trip_fuzz(words_a, words_b):
+    """Arbitrary printable-ASCII paragraphs must survive the .doc
+    piece-table round trip (split across the cp1252 and UTF-16
+    pieces at an arbitrary midpoint)."""
+    paragraphs = [" ".join(words_a), " ".join(words_b)]
+    rows = formats.parse_doc(make_doc(paragraphs))
+    assert rows[0][0] is None
+    expected = formats._clean(" ".join(paragraphs))
+    assert rows[0][1] == expected
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=60), min_size=1, max_size=8))
+def test_ppt_round_trip_fuzz(texts):
+    """Arbitrary unicode text atoms must survive the .ppt record-walk
+    round trip (TextCharsAtom carries any codepoint; TextBytesAtom
+    slots are cp1252-coerced by the builder, so feed it only through
+    even indices)."""
+    # builder alternates utf-16 / cp1252 atoms; make odd slots safe
+    safe = [
+        t if i % 2 == 0 else t.encode("cp1252", "replace").decode("cp1252")
+        for i, t in enumerate(texts)
+    ]
+    rows = formats.parse_ppt(make_ppt(safe))
+    assert rows[0][0] is None
+    assert rows[0][1] == formats._clean("\n".join(safe))
