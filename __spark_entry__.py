@@ -52,9 +52,11 @@ _DRIVER_ORDER = [
     # text analysis
     "text_stats", "text_stats_by_lang", "lang_id", "text_quality",
     "doc_fingerprint", "tfidf_top_terms",
-    # training-data pipeline (all oracle-checked)
+    # training-data pipeline (all oracle-checked; span_dedup new in r6
+    # — never driver-recorded, so it takes agg_rollup's slot per the
+    # COVERAGE.md rotation policy)
     "corpus_split_shuffle", "stratified_sample", "pii_redact",
-    "contamination_ngram",
+    "contamination_ngram", "span_dedup",
     # chunking
     "chunk_fixed", "udtf_chunk_fixed",
     # python kernels
@@ -64,7 +66,7 @@ _DRIVER_ORDER = [
     "window_rank", "window_analytic", "window_frame",
     # aggregates (agg_percentile / agg_pivot rotated in per r5 verdict:
     # oracle-backed but never driver-recorded before round 6)
-    "agg_grouped", "agg_global", "agg_distinct", "agg_rollup",
+    "agg_grouped", "agg_global", "agg_distinct",
     "agg_collect_stuff", "agg_percentile", "agg_pivot",
     # structured sources (rotated in per r5 verdict, same reason)
     "scan_csv_roundtrip", "scan_json_roundtrip",
@@ -77,7 +79,7 @@ _DRIVER_ORDER = [
     # composed RAG pipelines
     "rag_answer_pipeline", "summarize_mapreduce",
     # --- 50 ---
-    "join_left", "join_right", "join_full", "agg_cube",
+    "join_left", "join_right", "join_full", "agg_cube", "agg_rollup",
     "chunk_split", "chunk_sentences", "udf_embed_mock",
     "agg_approx_distinct", "agg_percentile_approx", "seq_pack",
     "dedup_simhash",

@@ -56,15 +56,26 @@ def connected_components(
         .repartition(F.col("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Round 1, fused: the initial labeling is the identity, so the
+    # first neighbor-min step collapses to ONE aggregation over the
+    # edge list (min neighbor vs self) with no labels join, and the
+    # pointer jump is a no-op (label-of-label under identity = label).
+    # Every node appears as src (edges are bidirectional), so this
+    # also covers label initialization.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("id"),
+            F.least("src", "nmin").alias("label"),
+        )
+        .localCheckpoint(eager=False)
     )
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
     converged = False
-    prev_sum = None
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         neighbor_min = edges.join(
             labels, edges["dst"] == labels["id"]
         ).groupBy("src").agg(F.min("label").alias("nmin"))

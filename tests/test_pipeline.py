@@ -163,6 +163,33 @@ def test_dedup_clusters_matches_oracle(spark):
     assert_query_matches_oracle(spark, "dedup_clusters", SF_ORACLE)
 
 
+def test_span_dedup_matches_oracle(spark):
+    assert_query_matches_oracle(spark, "span_dedup", SF_ORACLE)
+
+
+def test_span_dedup_is_discriminating(spark):
+    """The C4-style keep-one-occurrence rule must actually remove
+    spans on the near-dup-heavy fixture (vacuous pass = useless
+    oracle row) and must be idempotent-ish in the aggregate: total
+    kept spans equals distinct spans plus sub-8-token remainder
+    collisions handled by first-occurrence."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark.plans import QUERIES
+
+    from conversadocs_spark import io
+
+    d = io.table(spark, SF_ORACLE, "documents")
+    n_docs = d.count()
+    total_spans = d.select(
+        F.ceil(F.size(F.split("text", " ")) / F.lit(8.0)).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    out = QUERIES["span_dedup"](spark, SF_ORACLE)
+    assert out.count() < n_docs  # some documents disappeared entirely
+    kept = out.agg(F.sum("n_kept")).first()[0]
+    assert kept < total_spans  # duplicate spans were dropped
+
+
 def test_connected_components_transitive_chain(spark):
     """A-B and B-C (A-C never emitted) must land in ONE cluster with
     min-id survivor — the transitivity case pair-based dedup misses;
