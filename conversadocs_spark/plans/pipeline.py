@@ -404,16 +404,18 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every span was seen earlier disappears entirely. Non-vacuous on
     the fixtures: ~175 duplicate spans across 3.6k at sf0.01.
 
-    Scale shape: explode to slim (span, doc, pos) rows, ONE window
-    shuffle keyed on the span text (first-occurrence pick — the same
-    key distribution as exact dedup's digest shuffle; hot spans are
-    bounded because only the first occurrence survives the filter),
-    then one groupBy(doc_id) reassembling with an order-pinned
-    array_sort (no collect_list ordering dependence). Both shuffles
-    are corpus-linear; nothing is quadratic at 100 TB.
+    Scale shape: explode to slim (span, doc, pos) rows; the
+    first-occurrence pick is a groupBy(span).min(struct(doc_id, pos))
+    — NOT a window: ``row_number() over (partition by span)`` drags
+    every occurrence of a hot span into ONE task's sort (a boilerplate
+    span with 10^9 occurrences at 100 TB breaks it), while the
+    min-struct aggregate reduces map-side so the shuffle carries one
+    row per span per input partition. Survivors come back via a
+    left-semi join on (span, doc_id, pos) against the
+    distinct-span-sized firsts table; then one groupBy(doc_id)
+    reassembles with an order-pinned array_sort (no collect_list
+    ordering dependence). Everything is corpus-linear.
     """
-    from pyspark.sql import Window
-
     d = io.table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     n_spans = F.ceil(F.size("t") / F.lit(8.0)).cast("int")
@@ -428,9 +430,17 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos0", "span"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "span")
-    w = Window.partitionBy("span").orderBy("doc_id", "pos")
-    kept = spans.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") == 1
+    firsts = spans.groupBy("span").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = spans.join(
+        firsts.select(
+            "span",
+            F.col("first.doc_id").alias("doc_id"),
+            F.col("first.pos").alias("pos"),
+        ),
+        ["span", "doc_id", "pos"],
+        "left_semi",
     )
     return kept.groupBy("doc_id").agg(
         F.array_join(

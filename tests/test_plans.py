@@ -104,6 +104,18 @@ def test_dedup_minhash_is_bucketed_not_all_pairs(spark):
     assert plan.count("hashpartitioning(band") == 1
 
 
+def test_span_dedup_first_pick_is_aggregate_not_window(spark):
+    """The first-occurrence pick must be a map-side-reducible
+    min(struct) aggregate + semi join, never a window: row_number
+    over (partition by span) drags every occurrence of a hot span
+    into one task's sort, which breaks on boilerplate spans at
+    corpus scale."""
+    plan = _plan(spark, "span_dedup")
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine on the span pick
+    assert "LeftSemi" in plan
+
+
 @pytest.mark.parametrize(
     "name",
     [
