@@ -667,3 +667,100 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("predicted_lang") == "en")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# vocabulary building + Gopher-style repetition signals
+# --------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 100
+"""
+
+
+@register("vocab_topk", oracle=_VOCAB_ORACLE, tags=("text",))
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency top-100 — the substrate every tokenizer
+    training / vocab-trimming pipeline starts from. Deterministic
+    tie-break (count desc, token asc) keeps the LIMIT hash-stable.
+
+    Scale shape: explode + partial/final hash aggregate (map-side
+    combine collapses repeated tokens before the shuffle), then the
+    global top-k is a TakeOrderedAndProject — per-partition heaps, no
+    global sort of the vocabulary."""
+    d = io.table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+
+
+_GOPHER_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1])) AS gram
+    FROM toks
+),
+gc AS (
+    SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT)                    AS n_grams,
+       CAST(count(*) AS BIGINT)                  AS n_distinct,
+       round(max(c) * 1.0 / sum(c), 6)           AS top_gram_frac,
+       round(1.0 - count(*) * 1.0 / sum(c), 6)   AS dup_gram_frac
+FROM gc
+GROUP BY doc_id
+"""
+
+
+@register("gopher_repetition", oracle=_GOPHER_ORACLE, tags=("text",))
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style in-document repetition signals (Rae et
+    al. 2021, Table A1): per document, the fraction of word 2-grams
+    occupied by the single most frequent 2-gram (`top_gram_frac`) and
+    the fraction that are repeat occurrences (`dup_gram_frac`) — the
+    filters that catch keyword-stuffed and template-generated text.
+    Documents with fewer than two tokens have no 2-grams and drop out
+    (both engines agree by construction).
+
+    Scale shape: per-doc 2-grams explode once, then two stacked hash
+    aggregates — (doc, gram) counts with map-side combine, then per-doc
+    max/sum/count — all corpus-linear, no window, no self-join."""
+    d = io.table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    # guard the 1-token case: Spark's sequence(1, 0) is DESCENDING
+    # [1, 0] (not empty like DuckDB's range(1, 1)), which would emit
+    # bogus grams for single-token documents
+    gram_list = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("t", i), F.element_at("t", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.explode(gram_list).alias("gram"))
+    gc = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return gc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_gram_frac"),
+        F.round(
+            F.lit(1.0) - F.count("*") / F.sum("c"), 6
+        ).alias("dup_gram_frac"),
+    )

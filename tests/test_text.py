@@ -156,6 +156,38 @@ def test_text_stats_survive_punctuated_corpus(spark, sf_dir):
     assert QUERIES["text_quality"](spark, sf_dir).count() > 0
 
 
+def test_vocab_topk_matches_oracle(spark, sf_oracle_dir):
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, "vocab_topk", sf_oracle_dir)
+
+
+def test_gopher_repetition_matches_oracle(spark, sf_oracle_dir):
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, "gopher_repetition", sf_oracle_dir)
+
+
+def test_gopher_repetition_drops_gramless_docs(spark):
+    """Single-token and empty documents have no 2-grams and must drop
+    out — Spark's sequence(1, 0) is DESCENDING (unlike DuckDB's empty
+    range(1, 1)), so the guard in the query is load-bearing."""
+    import conversadocs_spark.plans.text as T
+
+    d = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens")], ["doc_id", "text"]
+    )
+    orig = T.io.table
+    T.io.table = lambda s, sf, t: d
+    try:
+        rows = sorted(
+            tuple(r) for r in T.gopher_repetition(spark, "x").collect()
+        )
+    finally:
+        T.io.table = orig
+    assert rows == [(3, 1, 1, 1.0, 0.0)]
+
+
 # --------------------------------------------------------------------------
 # hypothesis fuzzing: chunker invariants over arbitrary inputs
 # --------------------------------------------------------------------------
