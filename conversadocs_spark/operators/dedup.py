@@ -185,7 +185,7 @@ def dedup_ngram_pairs(
     )
 
 
-def minhash_near_dups(
+def minhash_rep_near_dups(
     df: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
@@ -194,33 +194,26 @@ def minhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache_holder: list | None = None,
-) -> DataFrame:
-    """MinHash + LSH banding near-dup candidates, verified by exact
-    Jaccard — the standard shingle->minhash->band->bucket-join pipeline
-    in pure DataFrame ops (xxhash64 with per-function seeds; no UDF).
+) -> tuple[DataFrame, DataFrame]:
+    """Representative-level MinHash LSH: returns
+    ``(rep_pairs, membership)`` where rep_pairs is
+    (rid1, rid2, jaccard_sim >= threshold) over one representative per
+    identical-content group (same hashed-shingle SET) and membership
+    is (id, rid) mapping every doc to its group representative.
 
-    rows/bands chosen so the S-curve threshold (1/bands)^(1/rows)
-    ~ matches ``threshold``. Returns (id1, id2, jaccard_sim) with
-    jaccard_sim >= threshold, exactly re-checked — so the output is
-    identical to the brute-force join whenever LSH recall is 1 for the
-    surviving pairs.
+    This is the layer consumers should prefer when they don't need
+    the fully-expanded pair set: on duplicate-heavy corpora the id
+    pair set is quadratic in the copy count BY DEFINITION, while the
+    representative pair set stays distinct-content-sized —
+    dedup_clusters builds connected components here and maps members
+    afterward, staying output-linear.
 
-    r6: identical-content groups (same hashed-shingle SET) collapse to
-    one representative before the signature stage; signature, banding,
-    candidate generation, and the exact re-check all run per DISTINCT
-    content, and the results expand back to id pairs with output-sized
-    joins (intra-group pairs are jaccard 1.0 by construction). On
-    duplicate-heavy corpora — the 100 TB norm — this removes a
-    copies^2 factor end to end; pinned by
-    tests/test_dedup.py::test_minhash_collapse_on_duplicated_corpus.
-
-    The hashed-shingle relation is persisted (see comment below) and
-    the lazily-returned result gives no natural unpersist point, so
+    The hashed-shingle relations are persisted (see comment below)
+    and lazily-returned results give no natural unpersist point, so
     long-lived sessions otherwise accumulate cache entries until LRU
-    eviction (r5 ADVICE). Callers that fully materialize the result
-    can pass ``cache_holder=[]``: the persisted DataFrame is appended
-    to it, and they should ``unpersist()`` it once done (dedup_clusters
-    does this after connected components converges).
+    eviction (r5 ADVICE). Callers that fully materialize results can
+    pass ``cache_holder=[]`` and ``unpersist()`` its entries once
+    done (dedup_clusters does, after components converge).
     """
     rows_per_band = num_hashes // bands
     sh = shingle_docs(df, text_col, id_col, n)
@@ -414,10 +407,49 @@ def minhash_near_dups(
         F.col("id2").alias("rid2"),
         F.round(sim, 6).alias("jaccard_sim"),
     ).where(F.col("jaccard_sim") >= threshold)
-    # Expansion back to document ids — both joins are sized by the
-    # TRUE output. Cross pairs inherit the representative pair's
-    # similarity (identical shingle sets by construction); intra pairs
-    # within an identical-content group are jaccard 1.0 exactly.
+    return rep_pairs, mem
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache_holder: list | None = None,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified by exact
+    Jaccard — the standard shingle->minhash->band->bucket-join pipeline
+    in pure DataFrame ops (xxhash64 with per-function seeds; no UDF).
+
+    rows/bands chosen so the S-curve threshold (1/bands)^(1/rows)
+    ~ matches ``threshold``. Returns (id1, id2, jaccard_sim) with
+    jaccard_sim >= threshold, exactly re-checked — so the output is
+    identical to the brute-force join whenever LSH recall is 1 for the
+    surviving pairs.
+
+    r6: delegates to ``minhash_rep_near_dups`` (identical-content
+    collapse — signature, banding, candidates, re-check all run per
+    DISTINCT content) and expands the representative pairs back to id
+    pairs with output-sized joins: cross pairs inherit the
+    representative pair's similarity (identical shingle sets by
+    construction); intra pairs within an identical-content group are
+    jaccard 1.0 exactly. Pinned by
+    tests/test_dedup.py::test_minhash_collapse_on_duplicated_corpus.
+    See minhash_rep_near_dups for the cache_holder contract.
+    """
+    rep_pairs, mem = minhash_rep_near_dups(
+        df,
+        threshold=threshold,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        text_col=text_col,
+        id_col=id_col,
+        cache_holder=cache_holder,
+    )
     cross = (
         rep_pairs.join(
             mem.select(

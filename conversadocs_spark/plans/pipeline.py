@@ -336,21 +336,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conversadocs_spark.operators.components import (
         connected_components,
     )
+    from conversadocs_spark.operators.dedup import minhash_rep_near_dups
 
     d = io.table(spark, sf_dir, "documents")
-    # connected_components materializes the pair pipeline during its
-    # eager-checkpoint iterations, so the minhash hashed-shingle cache
-    # is dead weight once it returns — unpersist instead of leaving it
-    # to LRU eviction (r5 ADVICE item 4).
+    # Cluster over content REPRESENTATIVES, not expanded id pairs: on
+    # duplicate-heavy corpora the id pair set is quadratic in the copy
+    # count by definition (a k-copy group alone yields k(k-1)/2
+    # pairs), but the component structure only needs rep connectivity
+    # plus the member mapping — output-linear at any duplication. A
+    # group's rep is its min id, so the min rep id in a component IS
+    # the min doc id: cluster_id semantics are unchanged.
     caches: list[DataFrame] = []
-    pairs = minhash_near_dups(
+    rep_pairs, mem = minhash_rep_near_dups(
         d, threshold=0.5, n=3, num_hashes=64, bands=16,
         cache_holder=caches,
-    ).select("id1", "id2")
-    cc = connected_components(pairs)
+    )
+    cc = connected_components(rep_pairs.select("rid1", "rid2"),
+                              src_col="rid1", dst_col="rid2")
+    # Members join their rep's cluster. Groups with >= 2 members whose
+    # rep never cross-paired are still clusters (their intra pairs
+    # connect them in the expanded-pair formulation the oracle uses).
+    gsz = mem.groupBy("rid").agg(F.count("*").alias("m"))
+    labeled = (
+        mem.join(gsz, "rid")
+        .join(
+            cc.withColumnRenamed("id", "rid"), "rid", "left"
+        )
+        .where(F.col("cluster_id").isNotNull() | (F.col("m") >= 2))
+        .select(
+            "id",
+            F.coalesce("cluster_id", F.col("rid")).alias("cluster_id"),
+        )
+        # the where/coalesce must evaluate BEFORE the caches die:
+        # localCheckpoint-free lazy return would re-read them after
+        # unpersist, so materialize via localCheckpoint here
+        .localCheckpoint(eager=True)
+    )
     for cached in caches:
         cached.unpersist()
-    return cc.select(
+    return labeled.select(
         F.col("id").alias("doc_id"),
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("is_survivor"),
