@@ -86,6 +86,9 @@ _DRIVER_ORDER = [
     "scan_project", "filter_pred", "string_funcs", "date_funcs",
     "math_funcs", "array_funcs", "json_funcs", "map_funcs",
     "conditional_funcs",
+    # r6 text-pipeline additions (oracle-backed, tail this round —
+    # rotate into the top-50 next round per the COVERAGE.md policy)
+    "vocab_topk", "gopher_repetition",
     "sort_limit_topk", "union_all", "set_ops",
     "window_tumbling", "window_sliding", "window_session",
     "ingest_scan_text",
