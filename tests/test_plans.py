@@ -68,6 +68,21 @@ def test_topk_queries_use_take_ordered(spark):
     assert "TakeOrderedAndProject(limit=10" in _plan(
         spark, "sort_limit_topk"
     )
+    # vocabulary top-100: per-partition heaps over the aggregated
+    # token counts, never a full vocabulary sort
+    vocab = _plan(spark, "vocab_topk")
+    assert "TakeOrderedAndProject(limit=100" in vocab
+    assert "partial_count" in vocab  # map-side combine before shuffle
+
+
+def test_gopher_repetition_is_two_stacked_aggregates(spark):
+    """Both aggregation levels must partial-aggregate map-side and
+    nothing may window or self-join — the per-doc repetition stats
+    are two hash aggregates, corpus-linear."""
+    plan = _plan(spark, "gopher_repetition")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("partial_") >= 1  # map-side combine present
 
 
 def test_knn_topk_has_no_cartesian(spark):
