@@ -167,6 +167,54 @@ def test_span_dedup_matches_oracle(spark):
     assert_query_matches_oracle(spark, "span_dedup", SF_ORACLE)
 
 
+def test_rep_level_clusters_equal_pair_level(spark):
+    """The representative-level shortcut in dedup_clusters must yield
+    exactly the clusters of connected components over the fully
+    EXPANDED pair set — including identical-content groups that never
+    cross-pair (connected only by their intra pairs). Checked on a
+    doubled corpus so such groups exist."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.components import (
+        connected_components,
+    )
+    from conversadocs_spark.operators.dedup import (
+        minhash_near_dups,
+        minhash_rep_near_dups,
+    )
+
+    docs = io.table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text"
+    )
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    pair_level = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            minhash_near_dups(doubled).select("id1", "id2")
+        ).collect()
+    }
+    rep_pairs, mem = minhash_rep_near_dups(doubled)
+    cc = connected_components(
+        rep_pairs.select("rid1", "rid2"), src_col="rid1", dst_col="rid2"
+    )
+    gsz = mem.groupBy("rid").agg(F.count("*").alias("m"))
+    rep_level = {
+        (r.id, r.cluster_id)
+        for r in mem.join(gsz, "rid")
+        .join(cc.withColumnRenamed("id", "rid"), "rid", "left")
+        .where(F.col("cluster_id").isNotNull() | (F.col("m") >= 2))
+        .select(
+            "id",
+            F.coalesce("cluster_id", F.col("rid")).alias("cluster_id"),
+        )
+        .collect()
+    }
+    assert rep_level == pair_level and len(rep_level) > 0
+
+
 def test_span_dedup_is_discriminating(spark):
     """The C4-style keep-one-occurrence rule must actually remove
     spans on the near-dup-heavy fixture (vacuous pass = useless
