@@ -43,27 +43,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # streaming replays) plus locally-pinned rows-only variants into the
 # tail.
 _DRIVER_ORDER = [
-    # vector / ANN (flagship family)
+    # vector / ANN (flagship family; knn_auto = cost-based planner,
+    # new this round — oracle-backed, never driver-recorded)
     "knn_topk", "knn_per_query", "similarity_join", "dedup_embedding",
-    "vector_centroid", "ann_topk", "ann_ivf",
+    "vector_centroid", "knn_auto",
     # dedup family (dedup_clusters = transitive survivor resolution)
     "dedup_exact", "dedup_minhash", "dedup_clusters",
     "dedup_ngram_jaccard", "corpus_clean",
-    # text analysis
+    # text analysis (vocab_topk / gopher_repetition / lm_bigram_score:
+    # oracle-backed r6 additions, never driver-recorded — rotated in)
     "text_stats", "text_stats_by_lang", "lang_id", "text_quality",
     "doc_fingerprint", "tfidf_top_terms",
+    "vocab_topk", "gopher_repetition", "lm_bigram_score",
     # training-data pipeline (all oracle-checked; span_dedup new in r6
     # — never driver-recorded, so it takes agg_rollup's slot per the
     # COVERAGE.md rotation policy)
     "corpus_split_shuffle", "stratified_sample", "pii_redact",
     "contamination_ngram", "span_dedup",
+    "sample_group_topk", "length_histogram",
     # chunking
     "chunk_fixed", "udtf_chunk_fixed",
     # python kernels
     "udf_token_count", "udaf_price_range",
     "grouped_map_order_seq", "grouped_map_partitionwise",
-    # ranking/analytic windows
-    "window_rank", "window_analytic", "window_frame",
+    # ranking windows (window_analytic/window_frame rotated to the
+    # tail: green driver rows in r2/r4/r5)
+    "window_rank",
     # aggregates (agg_percentile / agg_pivot rotated in per r5 verdict:
     # oracle-backed but never driver-recorded before round 6)
     "agg_grouped", "agg_global", "agg_distinct",
@@ -72,13 +77,14 @@ _DRIVER_ORDER = [
     "scan_csv_roundtrip", "scan_json_roundtrip",
     # joins (join_left/right/full rotated to the tail: green driver rows
     # in r1/r2/r4/r5; join_inner keeps the family's equi-join row)
-    "join_inner", "join_semi",
-    "join_anti", "join_star", "join_range", "join_asof",
+    "join_inner", "join_star", "join_range", "join_asof",
     # skew mitigation
     "join_skew_salted", "agg_skew_distinct",
     # composed RAG pipelines
     "rag_answer_pipeline", "summarize_mapreduce",
     # --- 50 ---
+    "ann_topk", "ann_ivf", "window_analytic", "window_frame",
+    "join_semi", "join_anti",
     "join_left", "join_right", "join_full", "agg_cube", "agg_rollup",
     "chunk_split", "chunk_sentences", "udf_embed_mock",
     "agg_approx_distinct", "agg_percentile_approx", "seq_pack",
@@ -86,9 +92,6 @@ _DRIVER_ORDER = [
     "scan_project", "filter_pred", "string_funcs", "date_funcs",
     "math_funcs", "array_funcs", "json_funcs", "map_funcs",
     "conditional_funcs",
-    # r6 text-pipeline additions (oracle-backed, tail this round —
-    # rotate into the top-50 next round per the COVERAGE.md policy)
-    "vocab_topk", "gopher_repetition",
     "sort_limit_topk", "union_all", "set_ops",
     "window_tumbling", "window_sliding", "window_session",
     "ingest_scan_text",

@@ -1,0 +1,136 @@
+"""Corpus language-model quality scoring (CCNet-style LM filter).
+
+Real pretraining pipelines (CCNet, Wenzek et al. 2020; RefinedWeb)
+bucket documents by the perplexity of a small LM trained on a trusted
+corpus and drop the worst bucket. The reference app has no analog (it
+stops at retrieval), but the brief names quality scoring first-class;
+`text_quality` (plans/text.py) covers the heuristic signals and this
+module covers the statistical one: a bigram language model with
+add-one smoothing, trained on the corpus itself in the same plan that
+scores it, entirely in Catalyst expressions.
+
+Determinism rule for the oracle hash: cross-row SUMs of doubles are
+order-dependent (Spark and DuckDB reduce in different orders), so the
+per-bigram log-probability is quantized to fixed-point BIGINT
+(round(ln(p) * 1e6)) BEFORE summation — integer sums are exact and
+associative on both engines, so the per-document average is
+bit-stable no matter the partitioning. The only remaining float step
+is the final division, rounded to 6 decimals per the repo convention
+(FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.plans.registry import register
+
+_LM_BIGRAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1])) AS gram
+    FROM toks
+),
+model AS (
+    SELECT string_split(gram, ' ')[1] AS w1, gram, count(*) AS c
+    FROM grams GROUP BY 1, 2
+),
+ctx AS (
+    SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM model GROUP BY w1
+),
+v AS (
+    SELECT count(DISTINCT tok) AS v
+    FROM (SELECT unnest(t) AS tok FROM toks)
+),
+lp AS (
+    SELECT m.gram,
+           CAST(round(ln((m.c + 1.0) / (x.c1 + v.v)) * 1000000, 0)
+                AS BIGINT) AS lpf
+    FROM model m JOIN ctx x USING (w1), v
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(lp.lpf) AS DOUBLE)
+             / (count(*) * 1000000.0), 6) AS avg_logprob
+FROM grams g JOIN lp ON g.gram = lp.gram
+GROUP BY g.doc_id
+"""
+
+
+@register("lm_bigram_score", oracle=_LM_BIGRAM_ORACLE, tags=("pipeline",))
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-one-
+    smoothed bigram LM trained on the corpus: p(w2|w1) =
+    (c(w1,w2)+1) / (c(w1,·)+V). Low scores flag keyword-stuffed /
+    unnatural text — the CCNet perplexity-bucket signal without the
+    external KenLM dependency. Documents with fewer than two tokens
+    have no bigrams and drop out (both engines agree).
+
+    Scale shape: the model is two stacked hash aggregates over one
+    gram explode (map-side combine collapses repeats before the
+    shuffle); model size is observed-bigram-bounded, vastly smaller
+    than the corpus gram stream it scores. Scoring is one shuffle
+    join on the gram key — hot grams (stopword pairs) are exactly the
+    AQE skew-join case, and the model side can be broadcast outright
+    when the trusted training corpus is fixed and small (the CCNet
+    deployment shape: train once on Wikipedia, broadcast, score
+    100 TB). Fixed-point BIGINT log-probs make the aggregation
+    order-insensitive, so the result is identical under any
+    partitioning — the property that makes the filter retry-safe on
+    preemptible executors.
+    """
+    d = io.table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    # sequence(1, 0) is DESCENDING in Spark (not empty like DuckDB's
+    # range), so guard the single-token case explicitly.
+    gram_list = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("t", i), F.element_at("t", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.explode(gram_list).alias("gram"))
+
+    model = grams.groupBy(
+        F.split("gram", " ").getItem(0).alias("w1"), "gram"
+    ).agg(F.count("*").alias("c"))
+    ctx = model.groupBy("w1").agg(F.sum("c").cast("bigint").alias("c1"))
+    vocab = (
+        toks.select(F.explode("t").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    lp = (
+        model.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "gram",
+            F.round(
+                F.log((F.col("c") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("bigint")
+            .alias("lpf"),
+        )
+    )
+    return (
+        grams.join(lp, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("lpf").cast("double")
+                / (F.count("*") * F.lit(1000000.0)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -99,6 +99,107 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# exact per-stratum top-k sampling (fixed budget per group)
+# --------------------------------------------------------------------------
+
+_GROUP_TOPK_ORACLE = """
+SELECT doc_id, lang, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('topk42:' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS sample_rank
+    FROM documents
+)
+WHERE sample_rank <= 20
+"""
+
+
+@register("sample_group_topk", oracle=_GROUP_TOPK_ORACLE, tags=("pipeline",))
+def sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-per-stratum sample (k=20 per language): the fixed-budget
+    counterpart to `stratified_sample`'s rate-based Bernoulli — what a
+    human-eval set or per-source holdout needs. Order within a stratum
+    is the seeded md5 of the doc id, so the selected set is a pure
+    function of (seed, doc_id) and survives retries and repartitioning.
+
+    Scale shape: the naive plan is one window partitioned by lang —
+    with a handful of languages over 100 TB that is a handful of
+    reducers (maximal skew). Instead the top-k runs in two phases:
+    phase 1 ranks within (lang, salt) where salt = doc_id mod 64 and
+    keeps k per salted group, shrinking each stratum to at most
+    64*k rows; phase 2 re-ranks only those survivors per lang. Any row
+    in the true per-lang top-k is also in its salt-group's top-k, so
+    the result is EXACTLY the single-window answer (the oracle) while
+    the heavy pass fans out over 64x more reducers and the final
+    window touches O(strata * 64k) rows, not the corpus."""
+    d = io.table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = _seeded_md5("topk42:", F.col("doc_id"))
+    salted = Window.partitionBy(
+        "lang", F.pmod(F.col("doc_id"), F.lit(64))
+    ).orderBy(h.asc(), F.col("doc_id").asc())
+    survivors = (
+        d.select("doc_id", "lang")
+        .withColumn("r1", F.row_number().over(salted))
+        .where(F.col("r1") <= 20)
+    )
+    final = Window.partitionBy("lang").orderBy(
+        h.asc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(final))
+        .where(F.col("sample_rank") <= 20)
+        .select("doc_id", "lang", F.col("sample_rank").cast("int"))
+    )
+
+
+# --------------------------------------------------------------------------
+# token-length histogram (packing/budget planning substrate)
+# --------------------------------------------------------------------------
+
+_LENGTH_HIST_ORACLE = """
+SELECT CAST(least(len(string_split(text, ' ')) // 32, 15) * 32 AS BIGINT)
+           AS bucket_lo,
+       CAST(count(*) AS BIGINT)                        AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("length_histogram", oracle=_LENGTH_HIST_ORACLE, tags=("pipeline",))
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in 32-token buckets (top bucket open at
+    480+): the planning input for `seq_pack` — choosing a packing
+    budget without the length distribution wastes context window on
+    padding or truncation. Purely a map-side-combined hash aggregate
+    over ~16 groups; at 100 TB the shuffle carries one row per
+    (partition, bucket), i.e. nothing."""
+    d = io.table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    return (
+        d.select(
+            (F.least(F.floor(n / 32), F.lit(15)) * 32)
+            .cast("bigint")
+            .alias("bucket_lo"),
+            n.alias("n"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.min("n").cast("bigint").alias("min_tokens"),
+            F.max("n").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------
 

@@ -375,3 +375,35 @@ def ann_ivf(spark, sf_dir):
     )
     exact = knn_per_query(corpus, queries, k=3)
     return _with_recall_audit(ann, exact, k=3, floor=0.8)
+
+
+# --------------------------------------------------------------------------
+# cost-based retrieval planning (SURVEY.md §4.2.3 rewrite, realized)
+# --------------------------------------------------------------------------
+
+
+@register("knn_auto", oracle=_KNN_PER_QUERY_ORACLE, tags=("vector",))
+def knn_auto_query(spark, sf_dir):
+    """Planner-chosen retrieval (operators/planner.py): the same
+    logical top-k-per-query as `knn_per_query`, but the PHYSICAL
+    strategy — exact broadcast scan vs IVF probe — is picked from a
+    runtime corpus-cardinality statistic, the §4.2.3 `cosine ORDER BY
+    LIMIT k` rewrite made explicit and testable.
+
+    At oracle scale the statistic is below the crossover, the planner
+    picks the exact scan, and the output hash-matches the exact
+    oracle — proving the planner preserves the logical contract.
+    Above the crossover it plans IVF (forced + contract-tested in
+    tests/test_planner.py, since no local fixture spans 100k+ rows);
+    quality there is governed by the same recall machinery as
+    `ann_ivf`."""
+    from conversadocs_spark.operators.planner import knn_auto
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    result, _strategy = knn_auto(corpus, queries, k=3)
+    return result

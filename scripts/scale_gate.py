@@ -119,25 +119,105 @@ def run_scale_audits(spark, qs, sf_dir) -> list[str]:
 
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
     n_full = docs.count()
-    # The operator bands DISTINCT signatures and expands sig pairs
-    # back to id pairs, so its work bound is
-    # O(corpus + sig candidates + true output). Duplicated-text scale
-    # fixtures make the OUTPUT itself quadratic in the copy count
-    # (every copy pairs with every other), so "candidates linear in n"
-    # is not even achievable for a pair-output contract — the honest
-    # scale assertion is candidates <= c * (n + output).
-    cands = simhash_band_candidate_count(docs, bands=4)
+    # Candidate-blowup audit, model-based. A fixed c*(n + output)
+    # bound is wrong on correlated corpora: template-generated fixture
+    # text gives signatures clustered at hamming 4-14 corpus-wide, and
+    # LSH *correctly* collides a third of hamming-8 pairs in some
+    # 16-bit band — measured candidates sit within ~1.2x of the exact
+    # collision-model expectation. So the audit asserts two separable
+    # properties instead:
+    #   (A) implementation: observed per-band candidate pairs <=
+    #       2 x model expectation + 3n, where the expectation is
+    #       sum over distinct-signature pairs of
+    #       bands * C(64-w, h)/C(64, h) (probability a width-w band
+    #       avoids all h differing bits, summed by linearity). Banding
+    #       raw rows instead of distinct signatures blows this by
+    #       orders of magnitude (measured 341x at sf1).
+    #   (B) parameterization: expected RANDOM collisions between
+    #       unrelated signatures (h ~ 32), bands * C(64-w,32)/C(64,32)
+    #       * C(s,2), must stay <= max(n, 1000) — sublinear spurious
+    #       work. The r5 8-bit-band config fails exactly this test
+    #       analytically; the 4x16-bit default passes with orders of
+    #       margin.
+    import math
+
+    from conversadocs_spark.operators.dedup import simhash64
+
+    bands_, width_ = 4, 16
+    sig_rel = docs.select(simhash64(F.col("text")).alias("sig")).distinct()
+    s_count = sig_rel.count()
+    cands = simhash_band_candidate_count(docs, bands=bands_)
     out_pairs = simhash_near_dups(docs).count()
-    bound = 3 * (n_full + out_pairs)
-    ok = cands <= bound
-    if not ok:
-        failures.append("simhash_candidate_bound")
+
+    rand_expect = (
+        bands_
+        * math.comb(64 - width_, 32)
+        / math.comb(64, 32)
+        * s_count
+        * (s_count - 1)
+        / 2
+    )
+    ok_param = rand_expect <= max(n_full, 1000)
+    if not ok_param:
+        failures.append("simhash_param_random_collisions")
     print(
-        f"audit simhash_candidates: n={n_full} sig_candidates={cands} "
-        f"true_pairs={out_pairs} bound=3*(n+out)={bound} "
-        f"({'OK' if ok else 'CANDIDATE BLOWUP'})",
+        f"audit simhash_param: s={s_count} distinct sigs, expected "
+        f"random (h~32) collisions {rand_expect:.1f} <= "
+        f"{max(n_full, 1000)} "
+        f"({'OK' if ok_param else 'QUADRATIC PARAMETERIZATION'})",
         flush=True,
     )
+
+    if s_count <= 20000:
+        probs = [
+            min(
+                1.0,
+                bands_
+                * math.comb(64 - width_, h)
+                / math.comb(64, h),
+            )
+            for h in range(65)
+        ]
+        hist = (
+            sig_rel.select(F.col("sig").alias("s1"))
+            .crossJoin(sig_rel.select(F.col("sig").alias("s2")))
+            .where(F.col("s1") < F.col("s2"))
+            .select(
+                F.bit_count(
+                    F.col("s1").bitwiseXOR(F.col("s2"))
+                ).alias("h")
+            )
+            .groupBy("h")
+            .count()
+            .collect()
+        )
+        pred = sum(probs[r["h"]] * r["count"] for r in hist)
+        bound = 2.0 * pred + 3 * n_full
+        ok = cands <= bound
+        if not ok:
+            failures.append("simhash_candidate_bound")
+        print(
+            f"audit simhash_candidates: n={n_full} "
+            f"sig_candidates={cands} true_pairs={out_pairs} "
+            f"model_pred={pred:.0f} bound=2*pred+3n={bound:.0f} "
+            f"({'OK' if ok else 'CANDIDATE BLOWUP'})",
+            flush=True,
+        )
+    else:
+        # full pair histogram is itself quadratic in distinct sigs;
+        # above the cutoff fall back to the coarse output-relative
+        # bound (diverse corpora decorrelate, so it holds there)
+        bound = 3 * (n_full + out_pairs)
+        ok = cands <= bound
+        if not ok:
+            failures.append("simhash_candidate_bound")
+        print(
+            f"audit simhash_candidates (coarse, s>{20000}): "
+            f"n={n_full} sig_candidates={cands} "
+            f"true_pairs={out_pairs} bound=3*(n+out)={bound} "
+            f"({'OK' if ok else 'CANDIDATE BLOWUP'})",
+            flush=True,
+        )
     c_raw = simhash_band_candidate_count(
         docs, bands=4, distinct_sigs=False
     )

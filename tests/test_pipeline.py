@@ -21,6 +21,9 @@ ORACLE_CHECKED = [
     "stratified_sample",
     "pii_redact",
     "contamination_ngram",
+    "sample_group_topk",
+    "length_histogram",
+    "lm_bigram_score",
 ]
 
 
@@ -291,3 +294,58 @@ def test_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=2)
+
+
+def test_group_topk_exact_budget_per_stratum(spark):
+    """k=20 rows per language, ranks 1..k dense, and the salted
+    two-phase plan is a pure function of (seed, doc_id): a
+    repartitioned rerun agrees row-for-row."""
+    df = QUERIES["sample_group_topk"](spark, SF_ORACLE)
+    rows = df.collect()
+    per_lang: dict[str, list[int]] = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert len(per_lang) == 5
+    for ranks in per_lang.values():
+        assert sorted(ranks) == list(range(1, 21))
+    again = (
+        QUERIES["sample_group_topk"](spark, SF_ORACLE)
+        .repartition(7)
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_length_histogram_partitions_the_corpus(spark):
+    """Buckets tile the corpus: doc counts sum to |documents| and each
+    bucket's min/max stay inside [bucket_lo, bucket_lo+32) (top bucket
+    open-ended)."""
+    df = QUERIES["length_histogram"](spark, SF_ORACLE)
+    rows = df.collect()
+    n_docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["bucket_lo"] <= r["min_tokens"] <= r["max_tokens"]
+        if r["bucket_lo"] < 15 * 32:
+            assert r["max_tokens"] < r["bucket_lo"] + 32
+
+
+def test_lm_score_prefers_high_probability_bigrams(spark):
+    """Semantics, not just parity: every smoothed log-prob is negative,
+    bigram counts agree with token counts (n_words - 1), and the score
+    actually discriminates documents (non-constant output)."""
+    df = QUERIES["lm_bigram_score"](spark, SF_ORACLE)
+    rows = df.collect()
+    assert all(r["avg_logprob"] < 0 for r in rows)
+    docs = {
+        r["doc_id"]: r["n_words"]
+        for r in QUERIES["text_stats"](spark, SF_ORACLE)
+        .select("doc_id", "n_words")
+        .collect()
+    }
+    for r in rows:
+        assert r["n_bigrams"] == docs[r["doc_id"]] - 1
+    scores = {r["avg_logprob"] for r in rows}
+    assert len(scores) > 100
