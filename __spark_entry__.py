@@ -60,7 +60,7 @@ _DRIVER_ORDER = [
     # COVERAGE.md rotation policy)
     "corpus_split_shuffle", "stratified_sample", "pii_redact",
     "contamination_ngram", "span_dedup",
-    "sample_group_topk", "length_histogram",
+    "sample_group_topk", "length_histogram", "quality_filter_stack",
     # chunking
     "chunk_fixed", "udtf_chunk_fixed",
     # python kernels
@@ -80,9 +80,11 @@ _DRIVER_ORDER = [
     "join_inner", "join_star", "join_range", "join_asof",
     # skew mitigation
     "join_skew_salted", "agg_skew_distinct",
-    # composed RAG pipelines
-    "rag_answer_pipeline", "summarize_mapreduce",
+    # composed RAG pipeline (summarize_mapreduce rotated to the tail:
+    # green driver rows since r2)
+    "rag_answer_pipeline",
     # --- 50 ---
+    "summarize_mapreduce",
     "ann_topk", "ann_ivf", "window_analytic", "window_frame",
     "join_semi", "join_anti",
     "join_left", "join_right", "join_full", "agg_cube", "agg_rollup",

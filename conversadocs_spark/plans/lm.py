@@ -134,3 +134,88 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# composed quality-filter stack (FineWeb-style keep/drop decision)
+# --------------------------------------------------------------------------
+
+def _quality_stack_oracle() -> str:
+    from conversadocs_spark.plans.text import (
+        _GOPHER_ORACLE,
+        _QUALITY_ORACLE,
+    )
+
+    return f"""
+WITH q AS ({_QUALITY_ORACLE}),
+g AS ({_GOPHER_ORACLE}),
+l AS ({_LM_BIGRAM_ORACLE}),
+cut AS (
+    SELECT round(quantile_cont(avg_logprob, 0.1), 6) AS lm_cut FROM l
+)
+SELECT q.doc_id,
+       q.quality_score,
+       g.dup_gram_frac,
+       l.avg_logprob,
+       (q.quality_score >= 0.7
+        AND g.dup_gram_frac <= 0.1
+        AND l.avg_logprob >= cut.lm_cut) AS keep
+FROM q
+JOIN g ON g.doc_id = q.doc_id
+JOIN l ON l.doc_id = q.doc_id, cut
+"""
+
+
+@register(
+    "quality_filter_stack",
+    oracle=_quality_stack_oracle(),
+    tags=("pipeline",),
+)
+def quality_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style composed filter stack: heuristic quality
+    (`text_quality` >= 0.7), Gopher repetition (`gopher_repetition`
+    dup_gram_frac <= 0.1), and the statistical LM signal
+    (`lm_bigram_score` above the corpus 10th percentile — a
+    corpus-RELATIVE cutoff, the CCNet bucketing move, computed with
+    the same quantile_cont-identical interpolation as
+    `agg_percentile`). The keep decision is the conjunction; the
+    three signal columns ride along so downstream can re-threshold
+    without recompute.
+
+    Built BY COMPOSITION: the Spark side joins the three registered
+    operators on doc_id, and the oracle nests their oracle SQL as
+    CTEs — so this query re-verifies that the pieces compose exactly,
+    not just individually. Plan shape: three corpus-linear branches
+    over one documents scan, two doc_id hash joins (co-partitioned —
+    one exchange each at worst), and a broadcast 1-row percentile
+    cutoff; docs with <2 tokens carry no signals and drop via the
+    inner joins on both engines."""
+    from conversadocs_spark.plans.text import (
+        gopher_repetition,
+        text_quality,
+    )
+
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    g = gopher_repetition(spark, sf_dir).select("doc_id", "dup_gram_frac")
+    lm = lm_bigram_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    cut = lm.agg(
+        F.round(F.percentile("avg_logprob", F.lit(0.1)), 6).alias(
+            "lm_cut"
+        )
+    )
+    return (
+        q.join(g, "doc_id")
+        .join(lm, "doc_id")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "quality_score",
+            "dup_gram_frac",
+            "avg_logprob",
+            (
+                (F.col("quality_score") >= 0.7)
+                & (F.col("dup_gram_frac") <= 0.1)
+                & (F.col("avg_logprob") >= F.col("lm_cut"))
+            ).alias("keep"),
+        )
+    )

@@ -24,6 +24,7 @@ ORACLE_CHECKED = [
     "sample_group_topk",
     "length_histogram",
     "lm_bigram_score",
+    "quality_filter_stack",
 ]
 
 
@@ -349,3 +350,31 @@ def test_lm_score_prefers_high_probability_bigrams(spark):
         assert r["n_bigrams"] == docs[r["doc_id"]] - 1
     scores = {r["avg_logprob"] for r in rows}
     assert len(scores) > 100
+
+
+def test_quality_stack_is_conjunction_and_discriminates(spark):
+    """keep must equal the AND of the three per-signal thresholds
+    (re-derived from the signal columns the query carries), and the
+    filter must neither keep nor drop everything."""
+    rows = QUERIES["quality_filter_stack"](spark, SF_ORACLE).collect()
+    lm_scores = sorted(r["avg_logprob"] for r in rows)
+    # corpus-relative p10 cutoff, same interpolation as the query
+    import math
+
+    pos = 0.1 * (len(lm_scores) - 1)
+    lo = math.floor(pos)
+    cut = round(
+        lm_scores[lo]
+        + (lm_scores[lo + 1] - lm_scores[lo]) * (pos - lo),
+        6,
+    )
+    n_keep = 0
+    for r in rows:
+        want = (
+            r["quality_score"] >= 0.7
+            and r["dup_gram_frac"] <= 0.1
+            and r["avg_logprob"] >= cut
+        )
+        assert r["keep"] == want
+        n_keep += want
+    assert 0 < n_keep < len(rows)
