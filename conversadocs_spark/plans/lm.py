@@ -98,7 +98,19 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = toks.select("doc_id", F.explode(gram_list).alias("gram"))
+    # The gram relation feeds BOTH the model build (two stacked aggs)
+    # and the scoring join; without materialization Catalyst
+    # re-derives the explode from the parquet scan for every branch
+    # (measured 17 documents scans for the composed filter stack).
+    # Persist it once — the same cache-the-shared-pass move as
+    # dedup_minhash's hashed-shingle table (operators/dedup.py), with
+    # the same documented no-natural-unpersist-point caveat (LRU
+    # eviction bounds it; at real scale this is the relation you'd
+    # checkpoint to parquet between pipeline stages anyway).
+    grams = (
+        toks.select("doc_id", F.explode(gram_list).alias("gram"))
+        .persist()
+    )
 
     model = grams.groupBy(
         F.split("gram", " ").getItem(0).alias("w1"), "gram"
@@ -197,7 +209,14 @@ def quality_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
     g = gopher_repetition(spark, sf_dir).select("doc_id", "dup_gram_frac")
-    lm = lm_bigram_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    # The LM score feeds both the output and the percentile cutoff;
+    # persist so the model-train-and-score pipeline runs once, not
+    # twice (same caveat as the gram cache in lm_bigram_score).
+    lm = (
+        lm_bigram_score(spark, sf_dir)
+        .select("doc_id", "avg_logprob")
+        .persist()
+    )
     cut = lm.agg(
         F.round(F.percentile("avg_logprob", F.lit(0.1)), 6).alias(
             "lm_cut"
