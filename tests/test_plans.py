@@ -232,3 +232,44 @@ def test_contamination_broadcasts_eval_side(spark):
     # explode_outer keeps Catalyst from inferring a size(...)>0 filter
     # that re-evaluates the full shingle expression below the project
     assert "Filter (size(array_distinct" not in plan
+
+
+def test_lm_score_is_aggregate_join_no_window(spark):
+    """The LM scorer must stay aggregate+join shaped: the model build
+    is hash aggregates, scoring is a keyed join on the gram, and the
+    only nested-loop is the broadcast of the 1-row vocabulary-size
+    aggregate. A window or cartesian here would drag the corpus gram
+    stream into a single task at scale."""
+    plan = _plan(spark, "lm_bigram_score")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # exactly one broadcast nested-loop: the 1-row vocab scalar
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # scoring/model exchanges are keyed on the gram
+    assert "gram" in plan and "hashpartitioning" in plan
+
+
+def test_group_topk_is_salted_two_phase(spark):
+    """The per-stratum top-k must keep its two-phase shape: a salted
+    (lang, pmod(doc_id, 64)) ranking pass before the final per-lang
+    window, so no single reducer ever sees a whole stratum."""
+    plan = _plan(spark, "sample_group_topk")
+    assert "pmod" in plan  # salt in the phase-1 partitioning
+    # both phases present: salted two-column and final one-column
+    # lang partitionings
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("lang" in p and "_w0" in p for p in parts)  # salted
+    assert any(
+        "lang" in p and "_w0" not in p for p in parts
+    )  # final reduced pass
+
+
+def test_quality_stack_composes_without_cartesian(spark):
+    """The composed filter stack joins three corpus-linear branches on
+    doc_id plus a broadcast scalar cutoff — never a cartesian
+    product."""
+    plan = _plan(spark, "quality_filter_stack")
+    assert "CartesianProduct" not in plan
+    assert "doc_id" in plan
