@@ -47,9 +47,10 @@ _DRIVER_ORDER = [
     # new this round — oracle-backed, never driver-recorded)
     "knn_topk", "knn_per_query", "similarity_join", "dedup_embedding",
     "vector_centroid", "knn_auto",
-    # dedup family (dedup_clusters = transitive survivor resolution)
+    # dedup family (dedup_clusters = transitive survivor resolution;
+    # dedup_incremental = the daily-increment index lifecycle)
     "dedup_exact", "dedup_minhash", "dedup_clusters",
-    "dedup_ngram_jaccard", "corpus_clean",
+    "dedup_incremental", "dedup_ngram_jaccard", "corpus_clean",
     # text analysis (vocab_topk / gopher_repetition / lm_bigram_score:
     # oracle-backed r6 additions, never driver-recorded — rotated in)
     "text_stats", "text_stats_by_lang", "lang_id", "text_quality",
@@ -77,7 +78,8 @@ _DRIVER_ORDER = [
     "scan_csv_roundtrip", "scan_json_roundtrip",
     # joins (join_left/right/full rotated to the tail: green driver rows
     # in r1/r2/r4/r5; join_inner keeps the family's equi-join row)
-    "join_inner", "join_star", "join_range", "join_asof",
+    # (join_range rotated to the tail: green rows r2/r4/r5)
+    "join_inner", "join_star", "join_asof",
     # skew mitigation
     "join_skew_salted", "agg_skew_distinct",
     # composed RAG pipeline (summarize_mapreduce rotated to the tail:
@@ -86,7 +88,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     "summarize_mapreduce",
     "ann_topk", "ann_ivf", "window_analytic", "window_frame",
-    "join_semi", "join_anti",
+    "join_semi", "join_anti", "join_range",
     "join_left", "join_right", "join_full", "agg_cube", "agg_rollup",
     "chunk_split", "chunk_sentences", "udf_embed_mock",
     "agg_approx_distinct", "agg_percentile_approx", "seq_pack",

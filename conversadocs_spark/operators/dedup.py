@@ -110,6 +110,76 @@ def jaccard(a: F.Column, b: F.Column) -> F.Column:
     return inter / union
 
 
+def hashed_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, hs): each shingle STRING hashed to a long exactly once —
+    the two-level-hashing first stage shared by the batch
+    (minhash_rep_near_dups) and incremental (operators/incremental.py)
+    MinHash paths. Empty-shingle docs are dropped (they can never
+    reach a pair output: jaccard is 0/0 = null against anything)."""
+    sh = shingle_docs(df, text_col, id_col, n)
+    return sh.select(
+        "id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
+    ).where(F.size("hs") > 0)
+
+
+def minhash_signatures(
+    hs_df: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """(id, sig) from (id, hs): signature[i] = min over hashed
+    shingles of xxhash64(h, i), built in ONE aggregate fold carrying a
+    num_hashes-wide running-min array (see minhash_rep_near_dups for
+    the measured rejections of the per-seed, explode+groupBy, and
+    Kirsch-Mitzenmacher forms)."""
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return hs_df.select(
+        "id",
+        F.aggregate(
+            "hs",
+            F.transform(seeds, lambda b: F.lit((1 << 63) - 1)),
+            lambda acc, h: F.zip_with(
+                acc, seeds, lambda m, i: F.least(m, F.xxhash64(h, i))
+            ),
+        ).alias("sig"),
+    )
+
+
+def minhash_banded(
+    sig_df: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, band_hash) from (id, sig): one SLIM row per band —
+    shingle arrays deliberately do NOT enter the bucket-join shuffle
+    (they are re-joined by id only for surviving candidates)."""
+    return sig_df.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    "sig",
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def bucket_pairs(
     bucketed: DataFrame, key_cols: list[str], payload: F.Column
 ) -> DataFrame:
@@ -216,7 +286,6 @@ def minhash_rep_near_dups(
     done (dedup_clusters does, after components converge).
     """
     rows_per_band = num_hashes // bands
-    sh = shingle_docs(df, text_col, id_col, n)
     # signature[i] = min over shingles of xxhash64(h(shingle), i),
     # built in ONE aggregate pass carrying a num_hashes-wide
     # running-min array (zip_with folds every seed per shingle). The
@@ -252,7 +321,6 @@ def minhash_rep_near_dups(
     # correlated family MISSED 2 of 256 fixture pairs at jaccard
     # 0.92/0.96 (independence predicts ~1e-13 misses), breaking
     # LSH-equals-brute-force and with it the oracle check.
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     # The keyed hashed-shingle table is consumed several times (group
     # reps, membership, the rep signature pass, both exact-re-check
     # join branches), and Catalyst recomputes an unpersisted subtree
@@ -277,13 +345,7 @@ def minhash_rep_near_dups(
     # jaccard is 0/0 = null against anything), and their degenerate
     # all-identical signatures otherwise bucket together wastefully.
     keyed = (
-        sh.select(
-            "id",
-            F.transform("shingles", lambda s: F.xxhash64(s)).alias(
-                "hs"
-            ),
-        )
-        .where(F.size("hs") > 0)
+        hashed_shingles(df, text_col, id_col, n)
         .select(
             "id",
             "hs",
@@ -313,43 +375,8 @@ def minhash_rep_near_dups(
         cache_holder.append(reps)
     mem = keyed.join(reps.select("ck", "rid"), "ck").select("id", "rid")
     rep_hs = reps.select(F.col("rid").alias("id"), "hs")
-    sig = rep_hs.select(
-        "id",
-        F.aggregate(
-            "hs",
-            F.transform(seeds, lambda b: F.lit((1 << 63) - 1)),
-            lambda acc, h: F.zip_with(
-                acc, seeds, lambda m, i: F.least(m, F.xxhash64(h, i))
-            ),
-        ).alias("sig"),
-    )
-    # banding: hash each band slice; one SLIM row (id, band, band_hash)
-    # per band — the shingle arrays deliberately do NOT enter this
-    # shuffle (they are re-joined by id only for surviving candidate
-    # pairs, keeping bucket-join exchange volume ~16 longs per doc).
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    "sig",
-                                    b * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
+    sig = minhash_signatures(rep_hs, num_hashes)
+    banded = minhash_banded(sig, bands, rows_per_band)
     # candidate pairs via in-bucket combination explode (bucket_pairs):
     # ONE pass over banded rows and one groupBy shuffle — the previous
     # self-join recomputed the whole shingle->sig->band pipeline for

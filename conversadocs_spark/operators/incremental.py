@@ -1,0 +1,163 @@
+"""Incremental MinHash dedup: dedupe a new batch against an existing
+corpus WITHOUT re-processing the corpus.
+
+The 100 TB shape: a crawl pipeline receives daily increments; full-
+corpus re-dedup per increment is O(|corpus|) per day and dominates
+everything else. Instead the corpus's MinHash state — the hashed-
+shingle table and the banded-signature table (exactly the relations
+the batch path computes in operators/dedup.py) — is persisted once as
+a parquet "dedup index", and each increment:
+
+1. shingles/signs/bands only the NEW docs (O(|batch|)),
+2. finds new-vs-old candidates with one equi-join of the new banded
+   rows against the stored banded table on (band, band_hash) — a
+   shuffle of the BATCH side; the corpus side is a plain pruned scan
+   of slim (id, band, band_hash) rows, never re-parsed text,
+3. finds new-vs-new candidates with the same in-bucket combination
+   explode as the batch path (bucket_pairs),
+4. exact-re-checks surviving candidates against the stored hashed
+   shingles (id-keyed joins — output-sized),
+5. appends the new docs' state to the index so the next increment
+   sees them (append-mode parquet; compaction via
+   sources/sink.py:compact_table when small files accrete).
+
+Output pairs are identical to running the batch operator on
+corpus ∪ batch and keeping the pairs that touch the batch — pinned by
+tests/test_dedup.py::test_incremental_equals_full_restricted.
+
+The reference re-embeds and REBUILDS its whole store on every upload
+(/root/reference/conversadocs/bones.py:107-119); this module is the
+incremental posture that replaces that at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversadocs_spark.operators.dedup import (
+    bucket_pairs,
+    hashed_shingles,
+    jaccard,
+    minhash_banded,
+    minhash_signatures,
+)
+
+SHINGLES_SUBDIR = "shingles"
+BANDS_SUBDIR = "bands"
+
+
+def minhash_index_build(
+    df: DataFrame,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's MinHash state under ``path``:
+    ``shingles/`` = (id, hs) and ``bands/`` = (id, band, band_hash).
+    ``mode="append"`` is the increment-absorb step (5. above).
+
+    The hashed-shingle pipeline runs ONCE: hs persists in memory for
+    the two writes, then unpersists — the index on disk is the
+    long-lived artifact, not the cache."""
+    hs = hashed_shingles(df, text_col, id_col, n).persist()
+    try:
+        hs.write.mode(mode).parquet(f"{path}/{SHINGLES_SUBDIR}")
+        banded = minhash_banded(
+            minhash_signatures(hs, num_hashes), bands, num_hashes // bands
+        )
+        banded.write.mode(mode).parquet(f"{path}/{BANDS_SUBDIR}")
+    finally:
+        hs.unpersist()
+
+
+def minhash_incremental_pairs(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs (id1, id2, jaccard_sim) touching ``new_docs``,
+    against the index at ``index_path`` plus the batch itself.
+    id1 < id2 canonical ordering, exact-Jaccard re-checked — the same
+    output contract as the batch operator restricted to the batch.
+
+    The batch's state is persisted in-memory for the several
+    consumers (banding, two re-check branches); an absorb into the
+    on-disk index is a separate, explicit ``minhash_index_build(...,
+    mode="append")`` so a failed increment never half-commits."""
+    new_hs = hashed_shingles(new_docs, text_col, id_col, n).persist()
+    new_banded = minhash_banded(
+        minhash_signatures(new_hs, num_hashes), bands, num_hashes // bands
+    )
+    old_hs = spark.read.parquet(f"{index_path}/{SHINGLES_SUBDIR}")
+    old_banded = spark.read.parquet(f"{index_path}/{BANDS_SUBDIR}")
+
+    # new-vs-old: equi-join on the band key. The corpus side carries
+    # 3 longs/row and is never re-derived from text.
+    nv_old = (
+        new_banded.select(
+            "band", "band_hash", F.col("id").alias("nid")
+        )
+        .join(
+            old_banded.select(
+                "band", "band_hash", F.col("id").alias("oid")
+            ),
+            ["band", "band_hash"],
+        )
+        # a doc present in BOTH the index and the batch would pair
+        # with itself in every band
+        .where(F.col("nid") != F.col("oid"))
+        .select(
+            F.least("nid", "oid").alias("id1"),
+            F.greatest("nid", "oid").alias("id2"),
+        )
+    )
+    # new-vs-new: in-bucket combination explode, one groupBy shuffle
+    nv_new = bucket_pairs(
+        new_banded, ["band", "band_hash"], F.struct(F.col("id"))
+    ).select(
+        F.col("p1.id").alias("id1"), F.col("p2.id").alias("id2")
+    )
+    cand = nv_old.unionByName(nv_new).dropDuplicates(["id1", "id2"])
+
+    # exact re-check: shingle sets come from the index for old ids
+    # and the in-memory batch state for new ids. Batch ids may also
+    # exist in the index (re-delivery); prefer the fresh rows.
+    all_hs = new_hs.unionByName(
+        old_hs.join(
+            new_hs.select("id"), "id", "left_anti"
+        )
+    )
+    checked = (
+        cand.join(
+            all_hs.select(
+                F.col("id").alias("id1"), F.col("hs").alias("sh1")
+            ),
+            "id1",
+        )
+        .join(
+            all_hs.select(
+                F.col("id").alias("id2"), F.col("hs").alias("sh2")
+            ),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.round(jaccard(F.col("sh1"), F.col("sh2")), 6).alias(
+                "jaccard_sim"
+            ),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+    return checked

@@ -579,3 +579,69 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
         F.count("*").cast("bigint").alias("n_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# incremental dedup (daily-increment lifecycle, operators/incremental.py)
+# --------------------------------------------------------------------------
+
+_INCR_ORACLE = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]
+                  ELSE [text]
+             END) AS shingles
+    FROM documents
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+           AS jaccard_sim
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+  AND b.doc_id >= 400
+"""
+
+
+@register("dedup_incremental", oracle=_INCR_ORACLE, tags=("pipeline", "dedup"))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment dedup lifecycle (operators/incremental.py):
+    docs with doc_id < 400 play the existing corpus — their MinHash
+    state (hashed shingles + banded signatures) is materialized as an
+    on-disk index — and docs with doc_id >= 400 arrive as the new
+    batch, deduped against the index WITHOUT touching corpus text.
+    Output = near-dup pairs touching the batch (canonical id1 < id2,
+    so "touching" means id2 >= 400 given the id split), exact-Jaccard
+    re-checked; the oracle is the brute-force pair join restricted the
+    same way. Per-increment cost is O(|batch| + matches): the corpus
+    side of the candidate join reads 3-long rows from the index, and
+    the reference's rebuild-everything-per-upload
+    (/root/reference/conversadocs/bones.py:107-119) becomes an
+    append-mode index absorb."""
+    import os
+    import shutil
+    import tempfile
+
+    from conversadocs_spark.operators.incremental import (
+        minhash_incremental_pairs,
+        minhash_index_build,
+    )
+
+    d = io.table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") < 400)
+    batch = d.where(F.col("doc_id") >= 400)
+    # per-(user, sf_dir) scratch: rebuilt each run, so the query is
+    # idempotent; a real deployment builds once and absorbs appends
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"cds_minhash_idx_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    minhash_index_build(corpus, idx)
+    return minhash_incremental_pairs(spark, batch, idx).select(
+        "id1", "id2", "jaccard_sim"
+    )

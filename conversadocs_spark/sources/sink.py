@@ -71,3 +71,67 @@ def build_vector_index(
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: str | None = None,
+) -> int:
+    """Rewrite the parquet table at ``path`` into files of
+    ``target_file_bytes`` — the small-files compaction every
+    long-running ingest needs (streaming foreachBatch appends and
+    per-upload rebuilds both accrete tiny files; at 100 TB, listing
+    and opening millions of kilobyte files dominates scan time long
+    before row throughput does).
+
+    File count is derived from the table's actual on-disk bytes (sum
+    of data-file sizes via the filesystem listing — no data pass), so
+    the rewrite is one shuffle-free coalesce when shrinking or a
+    round-robin repartition when growing parallelism. Write goes to a
+    temp dir then swaps in via overwrite-read of the compacted frame,
+    keeping the operation idempotent on retry (the standard
+    compact-then-swap; a real lakehouse would do this under a table
+    format's transaction log — Delta/Iceberg — which this container
+    does not ship, so the swap is the parquet-native equivalent).
+    Returns the number of files written.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    current = df.rdd.getNumPartitions()
+    compacted = (
+        df.coalesce(n_files) if n_files <= current
+        else df.repartition(n_files)
+    )
+    tmp = path.rstrip("/") + "._compact_tmp"
+    writer = compacted.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+
+    # swap: re-read the compacted copy and overwrite the original —
+    # the read is lazy but the overwrite materializes from tmp, so
+    # the source is never read-while-overwritten
+    swapped = spark.read.parquet(tmp)
+    w2 = swapped.write.mode("overwrite")
+    if partition_by:
+        w2 = w2.partitionBy(partition_by)
+    w2.parquet(path)
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    written = 0
+    for root, _dirs, files in os.walk(path):
+        written += sum(f.endswith(".parquet") for f in files)
+    return written

@@ -27,7 +27,7 @@ if REPO_ROOT not in sys.path:
 
 #: oracle is brute-force-quadratic over the full table: skip the
 #: DuckDB side at scale, still execute + count the Spark side
-QUADRATIC_ORACLES = {"dedup_minhash", "dedup_clusters"}
+QUADRATIC_ORACLES = {"dedup_minhash", "dedup_clusters", "dedup_incremental"}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "

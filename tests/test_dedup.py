@@ -204,3 +204,64 @@ def test_simhash_default_bands_are_16_bit(spark, sf_dir):
     sig = inspect.signature(simhash_near_dups)
     assert sig.parameters["bands"].default == 4
     assert sig.parameters["max_hamming"].default == 3
+
+
+def test_incremental_equals_full_restricted(spark, tmp_path):
+    """Incremental dedup of a batch against the corpus index must
+    emit exactly the full-corpus pair set restricted to pairs
+    touching the batch — same ids, same jaccard values."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.dedup import minhash_near_dups
+    from conversadocs_spark.operators.incremental import (
+        minhash_incremental_pairs,
+        minhash_index_build,
+    )
+
+    d = io.table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = d.where(F.col("doc_id") < 400)
+    batch = d.where(F.col("doc_id") >= 400)
+    idx = str(tmp_path / "idx")
+    minhash_index_build(corpus, idx)
+    got = {
+        (r["id1"], r["id2"], r["jaccard_sim"])
+        for r in minhash_incremental_pairs(spark, batch, idx).collect()
+    }
+    full = {
+        (r["id1"], r["id2"], round(r["jaccard_sim"], 6))
+        for r in minhash_near_dups(d).collect()
+        if r["id2"] >= 400  # canonical id1<id2: touching-batch pairs
+    }
+    assert got == full and len(got) > 0
+
+
+def test_incremental_absorb_sees_prior_batches(spark, tmp_path):
+    """After absorbing batch1 into the index (append mode), batch2's
+    pairs include its matches against batch1 docs — the day-over-day
+    lifecycle."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.incremental import (
+        minhash_incremental_pairs,
+        minhash_index_build,
+    )
+
+    d = io.table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = d.where(F.col("doc_id") < 300)
+    b1 = d.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    b2 = d.where(F.col("doc_id") >= 400)
+    idx = str(tmp_path / "idx2")
+    minhash_index_build(corpus, idx)
+    minhash_index_build(b1, idx, mode="append")  # absorb day 1
+    got = {
+        (r["id1"], r["id2"])
+        for r in minhash_incremental_pairs(spark, b2, idx).collect()
+    }
+    # every pair touches b2; counterpart may be corpus OR b1
+    assert all(i2 >= 400 for _, i2 in got)
+    against_b1 = {
+        (i1, i2) for i1, i2 in got if 300 <= i1 < 400
+    }
+    assert against_b1, "no pairs against the absorbed batch — vacuous"

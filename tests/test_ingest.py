@@ -152,3 +152,34 @@ def test_csv_roundtrip_preserves_microseconds(spark, tmp_path):
         .csv(path)
     )
     assert {tuple(r) for r in back.collect()} == set(rows)
+
+
+def test_compact_table_collapses_small_files(spark, tmp_path):
+    """A fragmented table (64 tiny files) compacts to the byte-derived
+    file count with identical rows, and compaction is idempotent."""
+    from conversadocs_spark.sources.sink import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    df.repartition(64).write.parquet(path)
+    import os
+
+    def count_files(p):
+        n = 0
+        for root, _d, files in os.walk(p):
+            n += sum(f.endswith(".parquet") for f in files)
+        return n
+
+    assert count_files(path) == 64
+    before = sorted(
+        r["doc_id"] for r in spark.read.parquet(path).collect()
+    )
+    written = compact_table(spark, path, target_file_bytes=10**9)
+    assert written == 1  # tiny table: everything fits one target file
+    assert count_files(path) == 1
+    after = sorted(
+        r["doc_id"] for r in spark.read.parquet(path).collect()
+    )
+    assert after == before
+    # idempotent: a second run is a no-op shape-wise
+    assert compact_table(spark, path, target_file_bytes=10**9) == 1
