@@ -103,6 +103,7 @@ _DRIVER_ORDER = [
     "multimodal_meta", "multimodal_features", "multimodal_frames",
     "streaming_tumbling_replay", "streaming_dedup_replay",
     "streaming_session_chat", "streaming_foreachbatch_sink",
+    "streaming_ivf_append",
     "embed_corpus",
 ]
 

@@ -126,3 +126,78 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(index_dir)
+
+
+@register("streaming_ivf_append", tags=("streaming", "vector", "rows-only"))
+def streaming_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance
+    (streaming/ivf_maintain.py): the first 75% of vectors by id are
+    the built corpus — `ivf_build` clusters them and their
+    assignments land partitioned by list_id — and the remaining 25%
+    arrive as a 3-micro-batch file stream, each batch assigned to the
+    FROZEN
+    centroids via foreachBatch and appended as idempotent
+    (batch_id, list_id) partitions. Returns the re-read STREAMED
+    portion of the index as (vec_id, list_id, batch_id).
+
+    Rows-only (a streaming runtime isn't SQL-expressible); the
+    semantics pin is tests/test_streaming.py::
+    test_ivf_append_stream_equals_batch_assign — streamed assignments
+    must equal the batch `_assign` of the same vectors against the
+    same centroids, a redelivered batch must not duplicate, and a
+    probe over the grown index must retrieve a streamed vector."""
+    import shutil
+
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.ivf import ivf_build
+    from conversadocs_spark.streaming.ivf_maintain import (
+        foreach_batch_ivf_assign,
+        read_vectors_stream,
+        stage_vector_files,
+    )
+    from pyspark.sql import functions as F
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    arrivals = os.path.join(_STAGE_ROOT, f"ivf_arrivals_{tag}")
+    index_dir = os.path.join(_STAGE_ROOT, f"ivf_index_{tag}")
+    ckpt = os.path.join(
+        _STAGE_ROOT, f"ivf_ckpt_{tag}_{os.getpid()}_{next(_COUNTER)}"
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    shutil.rmtree(arrivals, ignore_errors=True)
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    # sf-agnostic split: 75% built corpus / 25% streamed arrivals
+    # (one max-aggregate statistic, the AQE-style runtime-stats move)
+    split_id = int(
+        emb.agg(F.max("vec_id")).first()[0] * 3 // 4
+    )
+    corpus = emb.where(F.col("vec_id") < split_id)
+    assigned, centroids = ivf_build(corpus, n_lists=16, refine_iters=2)
+    (
+        assigned.select("vec_id", "embedding", "list_id")
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "list_id")
+        .parquet(index_dir)
+    )
+
+    stage_vector_files(
+        spark, sf_dir, arrivals, n_files=3, min_id=split_id
+    )
+    q = (
+        read_vectors_stream(spark, arrivals)
+        .writeStream.foreachBatch(
+            foreach_batch_ivf_assign(centroids, index_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(index_dir)
+        .where(F.col("batch_id") >= 0)
+        .select("vec_id", "list_id", "batch_id")
+        .orderBy("vec_id")
+    )

@@ -258,3 +258,81 @@ def test_foreachbatch_replay_covers_input(spark, sf_dir):
     assert idx.count() == n_events
     assert idx.select("event_id").distinct().count() == n_events
     assert idx.select("batch_id").distinct().count() >= 2
+
+
+def test_ivf_append_stream_equals_batch_assign(spark):
+    """Streamed assignments must equal the batch _assign of the same
+    vectors against the same frozen centroids; every staged vector
+    appears exactly once; a probe over the grown index retrieves a
+    streamed vector as its own nearest neighbor."""
+    from conversadocs_spark.operators.ivf import _assign, ivf_build, ivf_search
+    from conversadocs_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    out = QUERIES["streaming_ivf_append"](spark, sf)
+    got = {r["vec_id"]: r["list_id"] for r in out.collect()}
+
+    emb = io.table(spark, sf, "embeddings")
+    split_id = int(emb.agg(F.max("vec_id")).first()[0] * 3 // 4)
+    corpus = emb.where(F.col("vec_id") < split_id)
+    streamed = emb.where(F.col("vec_id") >= split_id)
+    # rebuild is deterministic (hash init + fixed Lloyd steps), so
+    # these centroids equal the ones the query froze
+    _, centroids = ivf_build(corpus, n_lists=16, refine_iters=2)
+    want = {
+        r["vec_id"]: r["list_id"]
+        for r in _assign(
+            streamed, centroids, "vec_id", "embedding"
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == streamed.count()  # each vector exactly once
+
+    # probe: a query equal to a streamed vector must come back rank 1
+    index_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".stream_stage",
+        "ivf_index_sf0.01",
+    )
+    assignments = spark.read.parquet(index_dir).select(
+        "vec_id", "embedding", "list_id"
+    )
+    probe_src = streamed.orderBy("vec_id").limit(1)
+    target = probe_src.first()["vec_id"]
+    # query under a synthetic id (ivf_search excludes vec_id ==
+    # query_id, the knn-self convention) whose vector IS the streamed
+    # vector: it must come back rank 1 at sim 1.0
+    queries = probe_src.select(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    hits = ivf_search(
+        assignments, centroids, queries, k=1, nprobe=4
+    ).collect()
+    assert len(hits) == 1
+    assert hits[0]["vec_id"] == target
+    assert hits[0]["sim"] == 1.0
+
+
+def test_ivf_append_redelivery_is_idempotent(spark, tmp_path):
+    """Re-invoking the foreachBatch writer with the SAME batch_id must
+    replace, not duplicate, that batch's partitions."""
+    from conversadocs_spark.operators.ivf import ivf_build
+    from conversadocs_spark.streaming.ivf_maintain import (
+        foreach_batch_ivf_assign,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = io.table(spark, sf, "embeddings")
+    corpus = emb.where(F.col("vec_id") < 300)
+    batch = emb.where(F.col("vec_id") >= 300).select(
+        "vec_id", "embedding", "label"
+    )
+    _, centroids = ivf_build(corpus, n_lists=8, refine_iters=1)
+    idx = str(tmp_path / "ivf_idx")
+    writer = foreach_batch_ivf_assign(centroids, idx)
+    writer(batch, 7)
+    n1 = spark.read.parquet(idx).count()
+    writer(batch, 7)  # redelivery
+    n2 = spark.read.parquet(idx).count()
+    assert n1 == n2 == batch.count()
