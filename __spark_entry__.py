@@ -72,10 +72,13 @@ _DRIVER_ORDER = [
     "window_rank",
     # aggregates (agg_percentile / agg_pivot rotated in per r5 verdict:
     # oracle-backed but never driver-recorded before round 6)
-    "agg_grouped", "agg_global", "agg_distinct",
+    # (agg_distinct rotated to the tail: green rows r1/r2/r4/r5)
+    "agg_grouped", "agg_global",
     "agg_collect_stuff", "agg_percentile", "agg_pivot",
-    # structured sources (rotated in per r5 verdict, same reason)
+    # structured sources (rotated in per r5 verdict, same reason;
+    # corrupt-tolerant scan new in r6 continuation)
     "scan_csv_roundtrip", "scan_json_roundtrip",
+    "scan_json_corrupt_tolerant",
     # joins (join_left/right/full rotated to the tail: green driver rows
     # in r1/r2/r4/r5; join_inner keeps the family's equi-join row)
     # (join_range rotated to the tail: green rows r2/r4/r5)
@@ -88,7 +91,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     "summarize_mapreduce",
     "ann_topk", "ann_ivf", "window_analytic", "window_frame",
-    "join_semi", "join_anti", "join_range",
+    "join_semi", "join_anti", "join_range", "agg_distinct",
     "join_left", "join_right", "join_full", "agg_cube", "agg_rollup",
     "chunk_split", "chunk_sentences", "udf_embed_mock",
     "agg_approx_distinct", "agg_percentile_approx", "seq_pack",

@@ -163,3 +163,78 @@ def index_build_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.length("chunk").alias("chunk_len"),
     )
+
+
+_JSON_CORRUPT_ORACLE = """
+SELECT CASE WHEN event_id % 5 = 0 THEN '_corrupt'
+            ELSE event_type END        AS bucket,
+       CAST(count(*) AS BIGINT)        AS n
+FROM events
+WHERE event_id % 101 = 0
+GROUP BY 1
+"""
+
+
+@register(
+    "scan_json_corrupt_tolerant",
+    oracle=_JSON_CORRUPT_ORACLE,
+    tags=("ingest",),
+)
+def scan_json_corrupt_tolerant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dirty-data ingestion contract: a JSONL source where a known
+    subset of lines is malformed (every 5th event of the staged slice
+    gets a leading-garbage prefix) must (a) parse every clean line
+    normally and (b) land every corrupt line in ``_corrupt_record``
+    under PERMISSIVE mode — never silently drop it. The output buckets
+    rows by parsed event_type with corrupt lines under '_corrupt';
+    because the corruption is injected deterministically by event_id,
+    the oracle recomputes the same histogram from the parquet ground
+    truth — so "corrupt rows are all accounted for" is hash-checked,
+    not just asserted.
+
+    At 100 TB this is the difference between a crawl ingest that
+    quantifies its reject rate and one that silently loses data:
+    PERMISSIVE + explicit corrupt-record column is the Spark-native
+    quarantine pattern (FAILFAST would kill a day-long job on one bad
+    line; DROPMALFORMED lies about coverage)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"json_corrupt_{tag}")
+    line = F.to_json(
+        F.struct("event_id", "event_type", "value")
+    )
+    (
+        io.table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 101 == 0)
+        .select(
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.concat(F.lit("{oops"), line),
+            )
+            .otherwise(line)
+            .alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    parsed = (
+        spark.read.schema(
+            "event_id bigint, event_type string, value double, "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return (
+        parsed.select(
+            F.when(
+                F.col("_corrupt_record").isNotNull(), "_corrupt"
+            )
+            .otherwise(F.col("event_type"))
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

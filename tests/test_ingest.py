@@ -183,3 +183,37 @@ def test_compact_table_collapses_small_files(spark, tmp_path):
     assert after == before
     # idempotent: a second run is a no-op shape-wise
     assert compact_table(spark, path, target_file_bytes=10**9) == 1
+
+
+def test_corrupt_json_lines_are_quarantined_verbatim(spark):
+    """The PERMISSIVE read must keep every malformed line's raw text
+    in _corrupt_record (so a quarantine replay is possible) and parse
+    no fields from it."""
+    from conversadocs_spark.plans import QUERIES  # noqa: F401 (registers)
+    import os
+
+    from conversadocs_spark.plans.ingestion import _SCRATCH
+    from tests.conftest import SF_ORACLE
+
+    # the registered query stages the file as a side effect
+    QUERIES["scan_json_corrupt_tolerant"](spark, SF_ORACLE).collect()
+    path = os.path.join(
+        _SCRATCH, f"json_corrupt_{os.path.basename(SF_ORACLE)}"
+    )
+    parsed = (
+        spark.read.schema(
+            "event_id bigint, event_type string, value double, "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    from pyspark.sql import functions as F
+
+    bad = parsed.where(F.col("_corrupt_record").isNotNull())
+    rows = bad.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["_corrupt_record"].startswith("{oops")
+        assert r["event_type"] is None and r["value"] is None
