@@ -99,6 +99,9 @@ _DRIVER_ORDER = [
     "scan_project", "filter_pred", "string_funcs", "date_funcs",
     "math_funcs", "array_funcs", "json_funcs", "map_funcs",
     "conditional_funcs",
+    # r6-continuation SQL-surface widenings (oracle-backed, tail this
+    # round — rotate into the top-50 next round per COVERAGE.md)
+    "agg_grouping_sets", "set_ops_all", "window_ntile",
     "sort_limit_topk", "union_all", "set_ops",
     "window_tumbling", "window_sliding", "window_session",
     "ingest_scan_text",

@@ -131,3 +131,22 @@ TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 from conversadocs_spark.serde import pickle_module_by_value
 
 pickle_module_by_value(__name__)
+
+
+def bigram_array(t):
+    """Word 2-gram array from a token-array column — shared by
+    gopher_repetition and the bigram LM (plans/text.py, plans/lm.py).
+    Guards the single-token case: Spark's sequence(1, 0) is DESCENDING
+    [1, 0] (not empty like DuckDB's range(1, 1)), which would emit
+    bogus grams for one-token documents."""
+    from pyspark.sql import functions as F
+
+    return F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

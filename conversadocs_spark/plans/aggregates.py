@@ -360,3 +360,46 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("P").alias("n_pending"),
         )
     )
+
+
+_AGG_GROUPING_SETS_ORACLE = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+                                               AS total_bal,
+       count(*)                                AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((r.r_name), (n.n_name))
+"""
+
+
+@register(
+    "agg_grouping_sets", oracle=_AGG_GROUPING_SETS_ORACLE, tags=("agg",)
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((region), (nation)) — the two independent
+    single-column aggregations in one pass, NOT expressible as
+    ROLLUP/CUBE (no combined or grand-total set). Catalyst expands
+    the sets into one Expand + hash aggregate, so the base join is
+    scanned once however many sets are requested — at 100 TB that is
+    the difference between one corpus pass and one per report
+    dimension."""
+    c = io.table(spark, sf_dir, "customer")
+    n = io.table(spark, sf_dir, "nation")
+    r = io.table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupingSets(
+            [["region"], ["nation"]],
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias(
+                "total_bal"
+            ),
+            F.count("*").alias("n_customers"),
+        )
+    )

@@ -87,17 +87,6 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = io.table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    # sequence(1, 0) is DESCENDING in Spark (not empty like DuckDB's
-    # range), so guard the single-token case explicitly.
-    gram_list = F.when(
-        F.size("t") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("t") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("t", i), F.element_at("t", i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     # The gram relation feeds BOTH the model build (two stacked aggs)
     # and the scoring join; without materialization Catalyst
     # re-derives the explode from the parquet scan for every branch
@@ -107,11 +96,23 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same documented no-natural-unpersist-point caveat (LRU
     # eviction bounds it; at real scale this is the relation you'd
     # checkpoint to parquet between pipeline stages anyway).
-    grams = (
-        toks.select("doc_id", F.explode(gram_list).alias("gram"))
-        .persist()
+    grams = doc_bigrams(toks).persist()
+    return lm_scores(toks, grams)
+
+
+def doc_bigrams(toks: DataFrame) -> DataFrame:
+    """(doc_id, gram) exploded 2-gram relation from (doc_id, t)."""
+    from conversadocs_spark.functions.text import bigram_array
+
+    return toks.select(
+        "doc_id", F.explode(bigram_array(F.col("t"))).alias("gram")
     )
 
+
+def lm_scores(toks: DataFrame, grams: DataFrame) -> DataFrame:
+    """Model-train-and-score over a (persisted) gram relation —
+    exposed separately so quality_filter_stack shares ONE gram explode
+    between the LM and repetition branches."""
     model = grams.groupBy(
         F.split("gram", " ").getItem(0).alias("w1"), "gram"
     ).agg(F.count("*").alias("c"))
@@ -203,17 +204,22 @@ def quality_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff; docs with <2 tokens carry no signals and drop via the
     inner joins on both engines."""
     from conversadocs_spark.plans.text import (
-        gopher_repetition,
+        gopher_signals,
         text_quality,
     )
 
+    # ONE gram explode feeds both the repetition and LM branches (the
+    # two heaviest signals); quality rides its own single scan.
+    d = io.table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    grams = doc_bigrams(toks).persist()
     q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
-    g = gopher_repetition(spark, sf_dir).select("doc_id", "dup_gram_frac")
+    g = gopher_signals(grams).select("doc_id", "dup_gram_frac")
     # The LM score feeds both the output and the percentile cutoff;
     # persist so the model-train-and-score pipeline runs once, not
     # twice (same caveat as the gram cache in lm_bigram_score).
     lm = (
-        lm_bigram_score(spark, sf_dir)
+        lm_scores(toks, grams)
         .select("doc_id", "avg_logprob")
         .persist()
     )

@@ -120,3 +120,52 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     only96 = c96.subtract(c97).withColumn("cohort", F.lit("only_1996"))
     only97 = c97.subtract(c96).withColumn("cohort", F.lit("only_1997"))
     return both.unionByName(only96).unionByName(only97)
+
+
+_SET_OPS_ALL_ORACLE = """
+WITH p96 AS (SELECT o_orderpriority FROM orders
+             WHERE year(o_orderdate) = 1996),
+     p97 AS (SELECT o_orderpriority FROM orders
+             WHERE year(o_orderdate) = 1997),
+     i AS (SELECT * FROM p96 INTERSECT ALL SELECT * FROM p97),
+     e AS (SELECT * FROM p96 EXCEPT ALL SELECT * FROM p97)
+SELECT o_orderpriority, 'common'     AS cohort,
+       CAST(count(*) AS BIGINT) AS n
+FROM i GROUP BY 1
+UNION ALL
+SELECT o_orderpriority, 'surplus_96' AS cohort,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY 1
+"""
+
+
+@register("set_ops_all", oracle=_SET_OPS_ALL_ORACLE, tags=("setop",))
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — BAG semantics (each priority row
+    survives min(c96,c97) times in the intersection, max(0, c96-c97)
+    times in the difference), counted per value so the multiset
+    cardinalities themselves are hash-checked. Spark plans both as a
+    single aggregate computing per-row replication counts + generate —
+    one shuffle each, no join explosion."""
+    o = io.table(spark, sf_dir, "orders")
+    p96 = o.where(F.year("o_orderdate") == 1996).select(
+        "o_orderpriority"
+    )
+    p97 = o.where(F.year("o_orderdate") == 1997).select(
+        "o_orderpriority"
+    )
+    common = (
+        p96.intersectAll(p97)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("cohort", F.lit("common"))
+    )
+    surplus = (
+        p96.exceptAll(p97)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("cohort", F.lit("surplus_96"))
+    )
+    return common.unionByName(surplus).select(
+        "o_orderpriority", "cohort", "n"
+    )

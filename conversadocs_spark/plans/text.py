@@ -740,21 +740,21 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-doc 2-grams explode once, then two stacked hash
     aggregates — (doc, gram) counts with map-side combine, then per-doc
     max/sum/count — all corpus-linear, no window, no self-join."""
+    from conversadocs_spark.functions.text import bigram_array
+
     d = io.table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    # guard the 1-token case: Spark's sequence(1, 0) is DESCENDING
-    # [1, 0] (not empty like DuckDB's range(1, 1)), which would emit
-    # bogus grams for single-token documents
-    gram_list = F.when(
-        F.size("t") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("t") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("t", i), F.element_at("t", i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = toks.select("doc_id", F.explode(gram_list).alias("gram"))
+    grams = toks.select(
+        "doc_id", F.explode(bigram_array(F.col("t"))).alias("gram")
+    )
+    return gopher_signals(grams)
+
+
+def gopher_signals(grams: DataFrame) -> DataFrame:
+    """The two stacked aggregates over an exploded (doc_id, gram)
+    relation — exposed separately so composed pipelines
+    (plans/lm.py:quality_filter_stack) can reuse ONE persisted gram
+    explode across the repetition and LM branches."""
     gc = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     return gc.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_grams"),

@@ -147,3 +147,34 @@ def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(val).over(mov).cast("double") / F.count("*").over(mov), 6
         ).alias("moving_avg3"),
     )
+
+
+_WINDOW_NTILE_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER w AS INTEGER)        AS bal_quartile,
+       round(percent_rank() OVER w, 6)         AS pct_rank,
+       round(cume_dist() OVER w, 6)            AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
+@register("window_ntile", oracle=_WINDOW_NTILE_ORACLE, tags=("window",))
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist per nation over account balance —
+    the distribution-bucketing window family (quartile assignment for
+    per-stratum quality cuts). Deterministic tie-break on (balance,
+    custkey) keeps every rank function hash-stable; one shuffle on the
+    partition key, same plan family as window_rank."""
+    c = io.table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
