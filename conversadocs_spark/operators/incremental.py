@@ -102,11 +102,18 @@ def minhash_incremental_pairs(
     old_hs = spark.read.parquet(f"{index_path}/{SHINGLES_SUBDIR}")
     old_banded = spark.read.parquet(f"{index_path}/{BANDS_SUBDIR}")
 
-    # new-vs-old: equi-join on the band key. The corpus side carries
-    # 3 longs/row and is never re-derived from text.
+    # new-vs-old: equi-join on the band key with the BATCH side
+    # broadcast — increments are small by definition (16 slim rows
+    # per doc), so the corpus-side band table streams through the
+    # join without any shuffle; at 100 TB that is the difference
+    # between a per-increment corpus shuffle and a pruned scan.
+    # (Pinned: tests/test_plans.py asserts no Exchange on the stored
+    # band table's side.)
     nv_old = (
-        new_banded.select(
-            "band", "band_hash", F.col("id").alias("nid")
+        F.broadcast(
+            new_banded.select(
+                "band", "band_hash", F.col("id").alias("nid")
+            )
         )
         .join(
             old_banded.select(

@@ -191,7 +191,11 @@ def quality_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`lm_bigram_score` above the corpus 10th percentile — a
     corpus-RELATIVE cutoff, the CCNet bucketing move, computed with
     the same quantile_cont-identical interpolation as
-    `agg_percentile`). The keep decision is the conjunction; the
+    `agg_percentile`; like that query, the exact percentile buffers
+    the group's values, so at true corpus scale the one-line swap is
+    `percentile_approx` — kept exact here because the cutoff is what
+    makes the whole stack hash-checkable). The keep decision is the
+    conjunction; the
     three signal columns ride along so downstream can re-threshold
     without recompute.
 

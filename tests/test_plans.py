@@ -273,3 +273,33 @@ def test_quality_stack_composes_without_cartesian(spark):
     plan = _plan(spark, "quality_filter_stack")
     assert "CartesianProduct" not in plan
     assert "doc_id" in plan
+
+
+def test_incremental_candidate_join_broadcasts_batch(spark, tmp_path):
+    """The incremental dedup's new-vs-old candidate join must
+    broadcast the (small) batch side: the stored corpus band table
+    streams through with NO shuffle — the property that makes
+    per-increment cost O(batch), not O(corpus)."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.incremental import (
+        minhash_incremental_pairs,
+        minhash_index_build,
+    )
+
+    d = io.table(spark, SF, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    minhash_index_build(d.where(F.col("doc_id") < 400), idx)
+    out = minhash_incremental_pairs(
+        spark, d.where(F.col("doc_id") >= 400), idx
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # new-vs-old candidates: broadcast hash join on the band key —
+    # the corpus band table is the streamed (non-build) side
+    assert "BroadcastHashJoin [band" in plan
+    # exactly ONE band-keyed exchange in the whole plan: the BATCH
+    # side's bucket_pairs groupBy (new-vs-new candidates), which is
+    # O(batch). A second one would mean the stored corpus band table
+    # is being shuffled.
+    assert plan.count("hashpartitioning(band") == 1
