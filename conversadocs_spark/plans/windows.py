@@ -151,9 +151,14 @@ def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINDOW_NTILE_ORACLE = """
 SELECT c_custkey, c_nationkey,
-       CAST(ntile(4) OVER w AS INTEGER)        AS bal_quartile,
-       round(percent_rank() OVER w, 6)         AS pct_rank,
-       round(cume_dist() OVER w, 6)            AS cume
+       CAST(ntile(4) OVER w AS INTEGER)                       AS bal_quartile,
+       CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_part,
+       CAST(round(percent_rank() OVER w
+                  * (count(*) OVER (PARTITION BY c_nationkey) - 1), 0)
+            AS BIGINT)                                        AS pct_rank_num,
+       CAST(round(cume_dist() OVER w
+                  * count(*) OVER (PARTITION BY c_nationkey), 0)
+            AS BIGINT)                                        AS cume_num
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey
              ORDER BY c_acctbal ASC, c_custkey ASC)
@@ -165,16 +170,35 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile/percent_rank/cume_dist per nation over account balance —
     the distribution-bucketing window family (quartile assignment for
     per-stratum quality cuts). Deterministic tie-break on (balance,
-    custkey) keeps every rank function hash-stable; one shuffle on the
-    partition key, same plan family as window_rank."""
+    custkey) keeps the rank functions hash-stable.
+
+    Hash-stability for the two RATIO functions is the subtle part:
+    cume_dist emits exact rationals like 1622/6400 = 0.2534375 —
+    EXACTLY on a 6-decimal rounding boundary, where Spark's HALF_UP
+    and DuckDB's rounding of the nearest double legitimately disagree
+    (caught by the 10x gate: 18 mismatched rows at sf1, zero at
+    sf0.01 — the FIXTURES.md float-boundary trap in the wild). So the
+    checked output de-rationalizes them: pct_rank_num =
+    percent_rank*(n-1) and cume_num = cume_dist*n are exact small
+    integers (the underlying rank-1 and rows<=current counts), where
+    round() sits a full 0.5 from any boundary — ulp noise can never
+    flip them. Both window functions still execute; the fixed-point
+    projection is what makes them verifiable at every scale."""
     c = io.table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
         F.asc("c_acctbal"), F.asc("c_custkey")
     )
+    wp = Window.partitionBy("c_nationkey")
+    n_part = F.count("*").over(wp)
     return c.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("bal_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        n_part.cast("bigint").alias("n_part"),
+        F.round(F.percent_rank().over(w) * (n_part - 1), 0)
+        .cast("bigint")
+        .alias("pct_rank_num"),
+        F.round(F.cume_dist().over(w) * n_part, 0)
+        .cast("bigint")
+        .alias("cume_num"),
     )
