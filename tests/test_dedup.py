@@ -265,3 +265,38 @@ def test_incremental_absorb_sees_prior_batches(spark, tmp_path):
         (i1, i2) for i1, i2 in got if 300 <= i1 < 400
     }
     assert against_b1, "no pairs against the absorbed batch — vacuous"
+
+
+def test_incremental_index_survives_compaction(spark, tmp_path):
+    """Lifecycle glue: absorb a batch into the index (append-mode
+    small files), compact both index tables, and get byte-identical
+    incremental results afterward — compaction must be invisible to
+    the operator."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.incremental import (
+        minhash_incremental_pairs,
+        minhash_index_build,
+    )
+    from conversadocs_spark.sources.sink import compact_table
+
+    d = io.table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "idx")
+    minhash_index_build(d.where(F.col("doc_id") < 300), idx)
+    minhash_index_build(
+        d.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)),
+        idx,
+        mode="append",
+    )
+    batch = d.where(F.col("doc_id") >= 400)
+    before = sorted(
+        map(tuple, minhash_incremental_pairs(spark, batch, idx).collect())
+    )
+    for sub in ("shingles", "bands"):
+        n = compact_table(spark, f"{idx}/{sub}", target_file_bytes=10**9)
+        assert n == 1  # tiny tables collapse to one file each
+    after = sorted(
+        map(tuple, minhash_incremental_pairs(spark, batch, idx).collect())
+    )
+    assert after == before and len(after) > 0

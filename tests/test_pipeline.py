@@ -378,3 +378,54 @@ def test_quality_stack_is_conjunction_and_discriminates(spark):
         assert r["keep"] == want
         n_keep += want
     assert 0 < n_keep < len(rows)
+
+
+def test_lm_score_matches_pure_python_reference(spark, tmp_path):
+    """Triangulate the LM semantics (oracle parity only proves
+    Spark == DuckDB — both could share a wrong formula): an
+    independent pure-Python add-one-smoothed bigram LM over a tiny
+    hand-built corpus must reproduce the engine's fixed-point scores
+    exactly."""
+    import math
+    from collections import Counter
+
+    from conversadocs_spark.plans.lm import doc_bigrams, lm_scores
+
+    texts = {
+        0: "a b a b c",
+        1: "a b",
+        2: "c c c c",
+        3: "solo",          # 1 token: no bigrams, must drop out
+        4: "b a b a",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    toks = df.select("doc_id", F.split("text", " ").alias("t"))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm_scores(toks, doc_bigrams(toks)).collect()
+    }
+
+    # independent reference
+    grams: dict[int, list[tuple[str, str]]] = {}
+    for i, t in texts.items():
+        ws = t.split(" ")
+        grams[i] = list(zip(ws, ws[1:]))
+    model = Counter(g for gs in grams.values() for g in gs)
+    ctx = Counter(g[0] for gs in grams.values() for g in gs)
+    vocab = {w for t in texts.values() for w in t.split(" ")}
+    lpf = {
+        g: round(
+            math.log((c + 1.0) / (ctx[g[0]] + len(vocab))) * 1e6
+        )
+        for g, c in model.items()
+    }
+    want = {}
+    for i, gs in grams.items():
+        if not gs:
+            continue
+        s = sum(lpf[g] for g in gs)
+        want[i] = (len(gs), round(s / (len(gs) * 1e6), 6))
+    assert got == want
+    assert 3 not in got  # the one-token doc dropped out
