@@ -102,6 +102,7 @@ _DRIVER_ORDER = [
     # r6-continuation SQL-surface widenings (oracle-backed, tail this
     # round — rotate into the top-50 next round per COVERAGE.md)
     "agg_grouping_sets", "set_ops_all", "window_ntile",
+    "source_mixture_weights",
     "sort_limit_topk", "union_all", "set_ops",
     "window_tumbling", "window_sliding", "window_session",
     "ingest_scan_text",

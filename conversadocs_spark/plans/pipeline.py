@@ -645,3 +645,65 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_incremental_pairs(spark, batch, idx).select(
         "id1", "id2", "jaccard_sim"
     )
+
+
+# --------------------------------------------------------------------------
+# source mixture reweighting (data-mixing step before training)
+# --------------------------------------------------------------------------
+
+_MIXTURE_ORACLE = """
+WITH per_src AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS t, count(*) AS k FROM per_src)
+SELECT p.source, p.n_docs, p.n_tokens,
+       round(CAST(p.n_tokens AS DOUBLE) / tot.t, 6)       AS actual_share,
+       round(least(CAST(tot.t AS DOUBLE) / (tot.k * p.n_tokens), 4.0), 6)
+                                                          AS epochs
+FROM per_src p, tot
+"""
+
+
+@register("source_mixture_weights", oracle=_MIXTURE_ORACLE, tags=("pipeline",))
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights per source (The Pile / DoReMi-style
+    rebalancing): compute each source's token mass, its share of the
+    corpus, and the repetition factor (`epochs`) that equalizes token
+    contribution across sources under a uniform target — capped at
+    4 epochs (repeating scarce data beyond a few epochs degrades
+    models faster than it rebalances them). Downstream, `epochs`
+    multiplies the per-source sampling rate in `stratified_sample`'s
+    seeded-Bernoulli form.
+
+    Plan: one map-side-combined aggregate to K source rows, then a
+    broadcast 1-row total — nothing here scales with the corpus
+    except the first aggregate's single pass."""
+    d = io.table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("k")
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias(
+            "actual_share"
+        ),
+        F.round(
+            F.least(
+                F.col("t").cast("double")
+                / (F.col("k") * F.col("n_tokens")),
+                F.lit(4.0),
+            ),
+            6,
+        ).alias("epochs"),
+    )

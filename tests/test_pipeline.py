@@ -429,3 +429,20 @@ def test_lm_score_matches_pure_python_reference(spark, tmp_path):
         want[i] = (len(gs), round(s / (len(gs) * 1e6), 6))
     assert got == want
     assert 3 not in got  # the one-token doc dropped out
+
+
+def test_mixture_weights_equalize_token_mass(spark):
+    """Semantics: epochs * n_tokens is (approximately) constant across
+    sources below the cap — the equalization property — and shares sum
+    to 1."""
+    rows = QUERIES["source_mixture_weights"](spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    total_share = sum(r["actual_share"] for r in rows)
+    assert abs(total_share - 1.0) < 1e-4
+    target = sum(r["n_tokens"] for r in rows) / len(rows)
+    for r in rows:
+        if r["epochs"] < 4.0:  # uncapped: equalized exactly
+            assert r["epochs"] * r["n_tokens"] == pytest.approx(
+                target, rel=1e-4
+            )
+        assert 0 < r["epochs"] <= 4.0
