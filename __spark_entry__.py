@@ -72,8 +72,9 @@ _DRIVER_ORDER = [
     "window_rank",
     # aggregates (agg_percentile / agg_pivot rotated in per r5 verdict:
     # oracle-backed but never driver-recorded before round 6)
-    # (agg_distinct rotated to the tail: green rows r1/r2/r4/r5)
-    "agg_grouped", "agg_global",
+    # (agg_distinct, agg_global rotated to the tail: green rows
+    # r1/r2/r4/r5)
+    "agg_grouped",
     "agg_collect_stuff", "agg_percentile", "agg_pivot",
     # structured sources (rotated in per r5 verdict, same reason;
     # corrupt-tolerant scan new in r6 continuation)
@@ -81,8 +82,9 @@ _DRIVER_ORDER = [
     "scan_json_corrupt_tolerant",
     # joins (join_left/right/full rotated to the tail: green driver rows
     # in r1/r2/r4/r5; join_inner keeps the family's equi-join row)
-    # (join_range rotated to the tail: green rows r2/r4/r5)
-    "join_inner", "join_star", "join_asof",
+    # (join_range rotated to the tail: green rows r2/r4/r5;
+    # join_interval_attrib = new stream-stream batch twin, rotated in)
+    "join_inner", "join_star", "join_asof", "join_interval_attrib",
     # skew mitigation
     "join_skew_salted", "agg_skew_distinct",
     # composed RAG pipeline (summarize_mapreduce rotated to the tail:
@@ -92,6 +94,7 @@ _DRIVER_ORDER = [
     "summarize_mapreduce",
     "ann_topk", "ann_ivf", "window_analytic", "window_frame",
     "join_semi", "join_anti", "join_range", "agg_distinct",
+    "agg_global",
     "join_left", "join_right", "join_full", "agg_cube", "agg_rollup",
     "chunk_split", "chunk_sentences", "udf_embed_mock",
     "agg_approx_distinct", "agg_percentile_approx", "seq_pack",
@@ -110,7 +113,7 @@ _DRIVER_ORDER = [
     "multimodal_meta", "multimodal_features", "multimodal_frames",
     "streaming_tumbling_replay", "streaming_dedup_replay",
     "streaming_session_chat", "streaming_foreachbatch_sink",
-    "streaming_ivf_append",
+    "streaming_ivf_append", "streaming_interval_join_replay",
     "embed_corpus",
 ]
 

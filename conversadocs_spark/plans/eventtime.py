@@ -147,3 +147,72 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# interval attribution join (the stream-stream join shape, batch form)
+# --------------------------------------------------------------------------
+
+_INTERVAL_ATTRIB_ORACLE = """
+SELECT c.event_id              AS click_id,
+       p.event_id              AS purchase_id,
+       c.user_id,
+       epoch_us(p.ts - c.ts)   AS micros_between
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register(
+    "join_interval_attrib",
+    oracle=_INTERVAL_ATTRIB_ORACLE,
+    tags=("eventtime", "join"),
+)
+def join_interval_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution: EVERY click within the 30-minute
+    window before a same-user purchase (unlike `join_asof`, which
+    keeps only the latest). This is the canonical stream-stream
+    interval join — `streaming_interval_join_replay`
+    (plans/streamqueries.py) runs the SAME predicate as a watermarked
+    stream-stream join, and tests/test_streaming.py proves replay
+    equals this batch plan.
+
+    Plan shape: equi-join on user_id carries the shuffle, the time
+    band is a post-join filter — so it scales like a hash join, not a
+    cartesian. The gap rides along as exact integer microseconds
+    (timestamp subtraction is exact in both engines; a float seconds
+    column would be another rounding-boundary trap)."""
+    ev = io.table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("c_ts").cast("timestamp"))
+        ).alias("micros_between"),
+    )

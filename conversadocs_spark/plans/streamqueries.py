@@ -201,3 +201,23 @@ def streaming_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "list_id", "batch_id")
         .orderBy("vec_id")
     )
+
+
+@register(
+    "streaming_interval_join_replay", tags=("streaming", "rows-only")
+)
+def streaming_interval_join_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream interval join (click->purchase attribution,
+    streaming/ops.py:stream_interval_join) over the 3-micro-batch
+    events replay — the join-state class of streaming operator (the
+    window/session queries cover aggregation state; this covers
+    two-sided join state with watermark-bounded eviction). Rows-only;
+    tests/test_streaming.py::test_interval_join_replay_equals_batch
+    pins replay == the oracle-checked batch `join_interval_attrib`."""
+    from conversadocs_spark.streaming.ops import stream_interval_join
+
+    path = _stage(spark, sf_dir, duplicate_rows=False)
+    ev = read_events_stream(spark, path)
+    return _replay(stream_interval_join(ev), "append")

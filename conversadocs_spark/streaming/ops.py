@@ -122,3 +122,48 @@ def foreach_batch_index_writer(index_dir: str):
         )
 
     return write
+
+
+def stream_interval_join(
+    events: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (streaming form of
+    plans/eventtime.join_interval_attrib): every click within the
+    attribution window before a same-user purchase, both sides
+    watermarked so the engine can bound join state — a click's state
+    is droppable once the watermark passes click_ts + window (the
+    time-bound condition is what makes an unbounded stream-stream
+    join finite-state; without it Spark rejects the plan in append
+    mode). The two sides are filters of ONE source stream — the
+    standard fan-out-then-join topology."""
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts")
+            + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("c_ts").cast("timestamp"))
+        ).alias("micros_between"),
+    )

@@ -336,3 +336,24 @@ def test_ivf_append_redelivery_is_idempotent(spark, tmp_path):
     writer(batch, 7)  # redelivery
     n2 = spark.read.parquet(idx).count()
     assert n1 == n2 == batch.count()
+
+
+def test_interval_join_replay_equals_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join must emit exactly
+    the batch attribution pairs — two-sided join state, replayed over
+    3 micro-batches, converges to the oracle-checked batch answer."""
+    from conversadocs_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    streamed = sorted(
+        map(
+            tuple,
+            QUERIES["streaming_interval_join_replay"](
+                spark, sf
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, QUERIES["join_interval_attrib"](spark, sf).collect())
+    )
+    assert streamed == batch and len(streamed) > 0
