@@ -42,20 +42,38 @@ from conversadocs_spark.operators.knn import knn_per_query
 BRUTE_THRESHOLD = 100_000
 
 
+#: Minimum query-batch size for an inline IVF build to amortize.
+#: Building costs ~refine_iters assignment passes over the corpus
+#: (~2n each); probing saves ~(1 - nprobe/n_lists) of a scan per
+#: query — so IVF pays only once |Q| * saved_fraction > build
+#: passes, i.e. |Q| >~ 2*refine_iters / 0.5 = 8 with the defaults.
+#: Measured at 100x (200k vectors, |Q|=5): inline-IVF 19.1 s vs
+#: brute ~2 s — exactly the case this guard exists for. Deployments
+#: with a PREBUILT index (ivf_build once, ivf_search many) bypass
+#: the planner's build-cost term entirely.
+AMORTIZE_MIN_QUERIES = 8
+
+
 def choose_knn_strategy(
     n_corpus: int,
     k: int = 3,
+    n_queries: int = AMORTIZE_MIN_QUERIES,
     brute_threshold: int = BRUTE_THRESHOLD,
 ) -> str:
-    """Pick the physical retrieval strategy from corpus cardinality.
+    """Pick the physical retrieval strategy from corpus cardinality
+    and query-batch size.
 
-    Returns ``"brute"`` (exact) when ``n_corpus <= brute_threshold``,
-    else ``"ivf"``. ``k`` only matters degenerately: a top-k that
-    wants most of the corpus back (k >= n/nprobe) cannot be pruned,
-    so it forces the exact path regardless of size.
+    Returns ``"brute"`` (exact) when ``n_corpus <= brute_threshold``
+    OR the batch is too small to amortize an inline index build
+    (``n_queries < AMORTIZE_MIN_QUERIES``), else ``"ivf"``. ``k``
+    only matters degenerately: a top-k that wants most of the corpus
+    back (k >= n/nprobe) cannot be pruned, so it forces the exact
+    path regardless of size.
     """
     if n_corpus <= brute_threshold:
         return "brute"
+    if n_queries < AMORTIZE_MIN_QUERIES:
+        return "brute"  # inline build never pays for a tiny batch
     if k * 16 >= n_corpus:  # top-k ~ corpus size: pruning is pointless
         return "brute"
     return "ivf"
@@ -66,6 +84,7 @@ def knn_auto(
     queries: DataFrame,
     k: int = 3,
     n_corpus: Optional[int] = None,
+    n_queries: Optional[int] = None,
     brute_threshold: int = BRUTE_THRESHOLD,
     force: Optional[str] = None,
     n_lists: int = 16,
@@ -83,8 +102,12 @@ def knn_auto(
         strategy = force
     else:
         stat = n_corpus if n_corpus is not None else corpus.count()
+        qstat = n_queries if n_queries is not None else queries.count()
         strategy = choose_knn_strategy(
-            stat, k=k, brute_threshold=brute_threshold
+            stat,
+            k=k,
+            n_queries=qstat,
+            brute_threshold=brute_threshold,
         )
     if strategy == "brute":
         return knn_per_query(corpus, queries, k=k), "brute"

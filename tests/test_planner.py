@@ -56,7 +56,9 @@ def test_auto_injected_stat_flips_to_ivf_with_healthy_recall(spark):
     from conversadocs_spark.operators.knn import knn_per_query
 
     corpus, queries = _query_batch(spark)
-    result, strategy = knn_auto(corpus, queries, k=3, n_corpus=10**7)
+    result, strategy = knn_auto(
+        corpus, queries, k=3, n_corpus=10**7, n_queries=100
+    )
     assert strategy == "ivf"
     rows = result.collect()
     assert result.columns == ["query_id", "vec_id", "sim", "rank"]
@@ -72,3 +74,17 @@ def test_auto_injected_stat_flips_to_ivf_with_healthy_recall(spark):
         len(per_query[q] & exact[q]) for q in exact
     ) / sum(len(v) for v in exact.values())
     assert recall >= 0.8
+
+
+def test_tiny_batch_never_pays_for_inline_build():
+    """An above-crossover corpus still plans brute when the query
+    batch is too small to amortize an inline index build — measured at
+    100x: inline IVF 19.1 s vs brute ~2 s for a 5-query batch over
+    200k vectors."""
+    from conversadocs_spark.operators.planner import AMORTIZE_MIN_QUERIES
+
+    assert choose_knn_strategy(10**7, n_queries=5) == "brute"
+    assert (
+        choose_knn_strategy(10**7, n_queries=AMORTIZE_MIN_QUERIES)
+        == "ivf"
+    )
