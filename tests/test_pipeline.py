@@ -446,3 +446,49 @@ def test_mixture_weights_equalize_token_mass(spark):
                 target, rel=1e-4
             )
         assert 0 < r["epochs"] <= 4.0
+
+
+def test_group_topk_survives_adversarial_salting(spark, tmp_path):
+    """Edge pin for the salted two-phase top-k: a stratum whose ids
+    all share ONE salt residue (the worst case for phase 1) must
+    still produce exactly the single-window answer, as must strata
+    with exactly k and fewer-than-k members."""
+    import hashlib
+
+    rows = (
+        # 30 docs, all doc_id % 64 == 0 -> one salt bucket holds the
+        # whole stratum
+        [(64 * i, "x", "src", "t") for i in range(30)]
+        # exactly k members
+        + [(1000 + i, "y", "src", "t") for i in range(20)]
+        # fewer than k members
+        + [(2000 + i, "z", "src", "t") for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        rows, ["doc_id", "lang", "source", "text"]
+    )
+    df.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r["doc_id"], r["lang"], r["sample_rank"])
+        for r in QUERIES["sample_group_topk"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # single-window reference in plain Python (same seeded md5)
+    want = set()
+    for lang in ("x", "y", "z"):
+        members = [(i, l) for (i, l, _s, _t) in rows if l == lang]
+        ordered = sorted(
+            members,
+            key=lambda m: (
+                hashlib.md5(f"topk42:{m[0]}".encode()).hexdigest(),
+                m[0],
+            ),
+        )
+        for rank, (i, l) in enumerate(ordered[:20], start=1):
+            want.add((i, l, rank))
+    assert got == want
+    assert sum(1 for _, l, _r in got if l == "x") == 20
+    assert sum(1 for _, l, _r in got if l == "z") == 3
