@@ -45,8 +45,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_ORDER = [
     # vector / ANN (flagship family; knn_auto = cost-based planner,
     # new this round — oracle-backed, never driver-recorded)
+    # (vector_centroid rotated to the tail: green rows r2-r5;
+    # knn_label_eval = new labeled-kNN eval harness, rotated in)
     "knn_topk", "knn_per_query", "similarity_join", "dedup_embedding",
-    "vector_centroid", "knn_auto",
+    "knn_auto", "knn_label_eval",
     # dedup family (dedup_clusters = transitive survivor resolution;
     # dedup_incremental = the daily-increment index lifecycle)
     "dedup_exact", "dedup_minhash", "dedup_clusters",
@@ -94,7 +96,7 @@ _DRIVER_ORDER = [
     "summarize_mapreduce",
     "ann_topk", "ann_ivf", "window_analytic", "window_frame",
     "join_semi", "join_anti", "join_range", "agg_distinct",
-    "agg_global",
+    "agg_global", "vector_centroid",
     "join_left", "join_right", "join_full", "agg_cube", "agg_rollup",
     "chunk_split", "chunk_sentences", "udf_embed_mock",
     "agg_approx_distinct", "agg_percentile_approx", "seq_pack",

@@ -407,3 +407,107 @@ def knn_auto_query(spark, sf_dir):
     corpus = emb.where(F.col("vec_id") >= 5)
     result, _strategy = knn_auto(corpus, queries, k=3)
     return result
+
+
+# --------------------------------------------------------------------------
+# labeled-kNN classification eval (embedding-quality harness)
+# --------------------------------------------------------------------------
+
+_KNN_EVAL_ORACLE = (
+    """
+WITH sims AS (
+"""
+    + _SQL_COSINE_PAIRS.format(
+        id1="query_id",
+        id2="vec_id",
+        filter_a="WHERE vec_id < 50",
+        filter_b="",
+        pair_pred="",
+    )
+    + """
+),
+ranked AS (
+    SELECT query_id, vec_id, round(sim, 6) AS sim,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY round(sim, 6) DESC, vec_id ASC) AS rn
+    FROM sims WHERE query_id <> vec_id
+),
+votes AS (
+    SELECT r.query_id, e.label, count(*) AS c
+    FROM ranked r JOIN embeddings e USING (vec_id)
+    WHERE r.rn <= 5
+    GROUP BY r.query_id, e.label
+),
+pred AS (
+    SELECT query_id, label AS predicted,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY c DESC, label ASC) AS pr
+    FROM votes
+)
+SELECT q.vec_id       AS query_id,
+       q.label        AS true_label,
+       p.predicted,
+       q.label = p.predicted AS correct
+FROM embeddings q
+JOIN pred p ON p.query_id = q.vec_id AND p.pr = 1
+WHERE q.vec_id < 50
+"""
+)
+
+
+@register("knn_label_eval", oracle=_KNN_EVAL_ORACLE, tags=("vector",))
+def knn_label_eval(spark, sf_dir):
+    """Embedding-quality evaluation harness: leave-one-out kNN
+    classification on the labeled embeddings — for each of the first
+    50 vectors, the majority label of its 5 nearest neighbors
+    (cosine, self excluded; ties broken by count desc then smallest
+    label) is compared to its own label. The per-query verdict rows
+    are what a retrieval-quality dashboard aggregates into accuracy;
+    emitting them row-level keeps the whole harness hash-checkable.
+
+    Plan shape: the 50-query batch broadcasts against one corpus
+    scan (same as `knn_per_query`), the vote count and argmax are two
+    stacked aggregations over the k x |Q| survivors — nothing after
+    the top-k touches more than 250 rows. On random fixtures accuracy
+    ~ chance; the harness measures, it does not assume."""
+    emb = io.table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    from conversadocs_spark.operators.knn import knn_per_query
+
+    corpus = emb.select("vec_id", "embedding")
+    top = knn_per_query(corpus, queries, k=6)  # k=5 + possible self
+    top = top.where(F.col("vec_id") != F.col("query_id"))
+    from pyspark.sql import Window
+
+    rew = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    top5 = (
+        top.withColumn("rn", F.row_number().over(rew))
+        .where(F.col("rn") <= 5)
+        .join(emb.select("vec_id", "label"), "vec_id")
+    )
+    votes = top5.groupBy("query_id", "label").agg(
+        F.count("*").alias("c")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("c"), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wv))
+        .where(F.col("pr") == 1)
+        .select("query_id", F.col("label").alias("predicted"))
+    )
+    truth = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    return truth.join(pred, "query_id").select(
+        "query_id",
+        "true_label",
+        "predicted",
+        (F.col("true_label") == F.col("predicted")).alias("correct"),
+    )
