@@ -357,3 +357,76 @@ def test_interval_join_replay_equals_batch(spark, sf_dir):
         map(tuple, QUERIES["join_interval_attrib"](spark, sf).collect())
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_checkpoint_resume_does_not_reprocess(spark, sf_dir, tmp_path):
+    """Exactly-once across RESTARTS: run the foreachBatch index build
+    with only slice 1 visible, then reveal slices 2-3 and run again
+    from the SAME checkpoint — the resumed query must process only
+    the new files, and the final index must equal the staged input
+    with no duplicates."""
+    import shutil
+
+    from conversadocs_spark.streaming.ops import (
+        foreach_batch_index_writer,
+    )
+
+    full = os.path.join(STAGE, "test_" + os.path.basename(sf_dir))
+    stage_events_files(spark, sf_dir, full, n_files=3)
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    shutil.copytree(f"{full}/slice=001", f"{src}/slice=001")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            read_events_stream(spark, src)
+            .writeStream.foreachBatch(foreach_batch_index_writer(idx))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    first = spark.read.parquet(idx)
+    n_first = first.count()
+    assert n_first > 0
+    batches_first = {
+        r["batch_id"]
+        for r in first.select("batch_id").distinct().collect()
+    }
+
+    shutil.copytree(f"{full}/slice=002", f"{src}/slice=002")
+    shutil.copytree(f"{full}/slice=003", f"{src}/slice=003")
+    run()
+    final = spark.read.parquet(idx)
+    n_events = io.table(spark, sf_dir, "events").count()
+    assert final.count() == n_events
+    assert final.select("event_id").distinct().count() == n_events
+    # resumed batches got NEW ids — batch 0's partition was not
+    # rewritten or duplicated by the restart
+    batches_final = {
+        r["batch_id"]
+        for r in final.select("batch_id").distinct().collect()
+    }
+    assert batches_first < batches_final
+
+
+def test_incremental_empty_batch_is_empty(spark, tmp_path):
+    """An empty increment yields an empty pair set, not an error —
+    the no-new-data day must be a no-op."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.incremental import (
+        minhash_incremental_pairs,
+        minhash_index_build,
+    )
+
+    d = io.table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "idx")
+    minhash_index_build(d, idx)
+    empty = d.where(F.col("doc_id") < 0)
+    assert minhash_incremental_pairs(spark, empty, idx).count() == 0
