@@ -116,7 +116,7 @@ _DRIVER_ORDER = [
     "streaming_tumbling_replay", "streaming_dedup_replay",
     "streaming_session_chat", "streaming_foreachbatch_sink",
     "streaming_ivf_append", "streaming_interval_join_replay",
-    "embed_corpus",
+    "embed_corpus", "embed_doc_pool",
 ]
 
 

@@ -205,3 +205,58 @@ def token_count_udf():
 
 
 pickle_module_by_value(__name__)
+
+
+def pool_doc_embeddings(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Chunk-level embeddings -> one document vector: element-wise
+    (optionally weighted) mean, then L2 normalization — the standard
+    pooling that bridges chunk retrieval (R9) and document-level
+    ANN/dedup (`dedup_embedding`, `ann_ivf`).
+
+    Scale shape: posexplode to (id, pos, component) rows, one hash
+    aggregate keyed by (id, pos) with map-side combine, regroup to
+    the array — the same dim-exploded aggregation as
+    `vector_centroid`/IVF cell means, corpus-linear with no window
+    and no driver-side vectors. Weighted form (e.g. by chunk token
+    count) multiplies before the sum and divides by the weight total,
+    so short trailing chunks don't dominate the mean.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    exploded = chunks.select(
+        F.col(id_col).alias("id"),
+        w.alias("w"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    comp = exploded.groupBy("id", "pos").agg(
+        (F.sum(F.col("x") * F.col("w")) / F.sum("w")).alias("m")
+    )
+    pooled = comp.groupBy("id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ),
+            lambda s: s.getField("m"),
+        ).alias("mean_vec")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "mean_vec",
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return pooled.select(
+        F.col("id").alias(id_col),
+        F.transform(
+            "mean_vec", lambda x: (x / norm).cast("float")
+        ).alias(vec_col),
+    )

@@ -334,3 +334,41 @@ def udtf_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_chunk_src d, LATERAL fixed_chunker(d.text) c
         """
     )
+
+
+@register("embed_doc_pool", tags=("udf", "vector", "rows-only"))
+def embed_doc_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk -> document embedding pooling (operators/embed.py:
+    pool_doc_embeddings): fixed-grid chunk the corpus, mock-embed
+    each chunk, and pool per document with a length-weighted
+    elementwise mean + L2 norm — the glue between chunk-level
+    retrieval (R9) and doc-level ANN/dedup. Rows-only (the mock
+    encoder's hash-RNG isn't SQL-expressible);
+    tests/test_embed.py::test_doc_pool_* pin the pooled vector
+    against a driver-computed weighted mean and the unit-norm /
+    one-row-per-doc invariants."""
+    from conversadocs_spark.operators.chunker import split_fixed
+    from conversadocs_spark.operators.embed import (
+        mock_embed_udf,
+        pool_doc_embeddings,
+    )
+
+    d = io.table(spark, sf_dir, "documents")
+    chunks = split_fixed(d, chunk_size=100, overlap=20).select(
+        "doc_id",
+        F.length("chunk").alias("n_chars"),
+        mock_embed_udf()(F.col("chunk")).alias("embedding"),
+    )
+    pooled = pool_doc_embeddings(chunks, weight_col="n_chars")
+    return pooled.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            4,
+        ).alias("sq_norm"),
+    )

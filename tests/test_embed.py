@@ -145,3 +145,64 @@ def test_token_count_udf_matches_catalyst_expression(spark, sf_dir):
         ).alias("jvm"),
     )
     assert both.where(F.col("py") != F.col("jvm")).count() == 0
+
+
+def test_doc_pool_is_weighted_mean_unit_norm(spark):
+    """pool_doc_embeddings must equal the driver-computed length-
+    weighted elementwise mean, L2-normalized, one row per doc."""
+    import math
+
+    from conversadocs_spark.operators.chunker import split_fixed
+    from conversadocs_spark.operators.embed import (
+        mock_embed_udf,
+        pool_doc_embeddings,
+    )
+
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(20)
+    chunks = split_fixed(d, chunk_size=100, overlap=20).select(
+        "doc_id",
+        F.length("chunk").alias("n_chars"),
+        mock_embed_udf()(F.col("chunk")).alias("embedding"),
+    )
+    rows = chunks.collect()
+    pooled = {
+        r["doc_id"]: r["embedding"]
+        for r in pool_doc_embeddings(
+            chunks, weight_col="n_chars"
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(pooled) == set(by_doc)  # one row per doc
+    for doc_id, rs in by_doc.items():
+        dim = len(rs[0]["embedding"])
+        total_w = sum(r["n_chars"] for r in rs)
+        mean = [
+            sum(r["embedding"][i] * r["n_chars"] for r in rs) / total_w
+            for i in range(dim)
+        ]
+        norm = math.sqrt(sum(x * x for x in mean))
+        want = [x / norm for x in mean]
+        got = pooled[doc_id]
+        assert len(got) == dim
+        assert sum(x * x for x in got) == pytest.approx(1.0, abs=1e-5)
+        for g, w in zip(got, want):
+            assert g == pytest.approx(w, abs=1e-5)
+
+
+def test_doc_pool_registered_query_runs(spark):
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["embed_doc_pool"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["dim"] == 64
+        assert r["sq_norm"] == pytest.approx(1.0, abs=1e-3)
