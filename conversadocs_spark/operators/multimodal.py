@@ -4,9 +4,12 @@ with decode / feature-extract / frame-sample as Arrow kernels.
 North-star surface (BASELINE.json "multimodal columns"): a 100 TB
 training-data pipeline carries images/audio/video as binary columns
 next to typed metadata, and runs decode + featurize as partition-
-parallel Python stages. The image/audio codec libraries are NOT in
-this container, so the codec call itself is STUBBED (deterministic
-byte-level stand-ins, clearly marked below); everything Spark-side —
+parallel Python stages. PIL/opencv are NOT in this container, so the
+featurize/frame kernels use deterministic byte-level stand-ins
+(clearly marked below) — but `resize_image` is REAL since r6: the
+stdlib PNG codec (functions/png.py, zlib + numpy, all five scanline
+filters) runs actual decode -> nearest-resize -> re-encode, with
+per-row quarantine for undecodable payloads. Everything Spark-side —
 schema, Arrow batch shape, iterator-form per-partition init,
 explode-style frame fan-out, partitioning — is real and tested.
 
@@ -153,13 +156,72 @@ def sample_frames(
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, format string, "
+    "payload binary, error string"
+)
+
+
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize requires a codec library that is not installed in
-    this container — explicitly stubbed per the multimodal mandate."""
-    raise NotImplementedError(
-        "resize_image needs an image codec (PIL/opencv) not present in "
-        "this environment; the decode/featurize plumbing above shows "
-        "the intended mapInPandas shape"
+    """REAL image resize, no external codec: the stdlib PNG codec
+    (functions/png.py — zlib inflate, all five scanline filters) and
+    a nearest-neighbor resample run decode -> resize -> re-encode per
+    image row inside one mapInPandas pass. Rows whose payload is not
+    a decodable PNG come back with ``payload NULL`` and the decode
+    error in ``error`` — the quarantine-not-crash contract a 100 TB
+    media sweep needs (one corrupt image must never kill the stage).
+
+    Scale shape: pure map, no shuffle; Arrow batches carry the binary
+    column, and per-row cost is the pixel count — exactly the stage
+    you size executors' Python memory for (`spark.sql.execution.
+    arrow.maxRecordsPerBatch` caps the batch bytes)."""
+
+    # Imported at closure-build time (NOT inside the kernel): the
+    # png module is registered for by-value pickling, so capturing
+    # the function objects here ships them to workers that cannot
+    # import the package themselves (serde.py contract; a worker-side
+    # import statement would defeat it).
+    from conversadocs_spark.functions.png import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    arr = decode_png(bytes(r["payload"]))
+                    resized = resize_nearest(arr, width, height)
+                    out.append(
+                        (
+                            r["media_id"],
+                            width,
+                            height,
+                            "png",
+                            encode_png(resized),
+                            None,
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001 — quarantine row
+                    out.append(
+                        (r["media_id"], None, None, None, None, str(e)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "format",
+                    "payload",
+                    "error",
+                ],
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        kernel, schema=RESIZED_SCHEMA
     )
 
 

@@ -74,3 +74,64 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows with per-frame digests."""
     docs = io.table(spark, sf_dir, "documents")
     return sample_frames(media_from_documents(docs))
+
+
+@register("multimodal_resize", tags=("multimodal", "rows-only"))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (operators/multimodal.py:
+    resize_image + the stdlib PNG codec in functions/png.py): each
+    image-kind media row gets a deterministic synthetic PNG payload
+    (pixels seeded from media_id), the stage decodes, nearest-resizes
+    to 16x12, re-encodes, and the query returns per-image byte counts
+    and a digest of the RESIZED pixels — so the driver's rows-only
+    count covers the full decode->resize->encode path, not a stub.
+    Rows-only: the pixel pipeline has no SQL form; value-level pins
+    live in tests/test_multimodal.py (round-trip over all five PNG
+    filter types, nearest-neighbor semantics, corrupt-payload
+    quarantine)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from conversadocs_spark.functions.png import encode_png
+    from conversadocs_spark.operators.multimodal import resize_image
+
+    docs = io.table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 60
+    )
+    base = media_from_documents(docs).where(F.col("kind") == "image")
+
+    def make_png(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                rng = np.random.default_rng(int(r["media_id"]))
+                arr = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+                out.append(
+                    (int(r["media_id"]), "image", encode_png(arr),
+                     32, 24, "png")
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "payload",
+                    "width", "height", "format",
+                ],
+            )
+
+    media = base.mapInPandas(
+        make_png,
+        schema=(
+            "media_id long, kind string, payload binary, "
+            "width int, height int, format string"
+        ),
+    )
+    resized = resize_image(media, 16, 12)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("digest"),
+    ).orderBy("media_id")

@@ -69,6 +69,81 @@ def test_frame_sampling_fanout(spark, sf_dir):
         assert sorted(r.frame_no for r in rows) == list(range(expected))
 
 
-def test_resize_is_an_explicit_stub(spark, sf_dir):
-    with pytest.raises(NotImplementedError):
-        resize_image(_media(spark, sf_dir), 224, 224)
+def test_resize_quarantines_fake_media_payloads(spark, sf_dir):
+    """The fixture media table's payloads are utf-8 text, not PNGs —
+    the (now real) resize stage must quarantine every image row with
+    a decode error rather than raising (the stub this test previously
+    pinned was replaced by the stdlib PNG codec in functions/png.py)."""
+    rows = resize_image(_media(spark, sf_dir), 224, 224).collect()
+    assert rows  # image rows present
+    assert all(r["payload"] is None and r["error"] for r in rows)
+
+
+def test_png_roundtrip_all_filters():
+    """Every scanline filter type the spec defines must decode back
+    to the original pixels — gray and RGB."""
+    import numpy as np
+
+    from conversadocs_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    for f in range(5):
+        assert (decode_png(encode_png(gray, f)) == gray).all()
+        assert (decode_png(encode_png(rgb, f)) == rgb).all()
+
+
+def test_png_resize_nearest_semantics():
+    import numpy as np
+
+    from conversadocs_spark.functions.png import resize_nearest
+
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    up = resize_nearest(arr, 8, 8)
+    assert up.shape == (8, 8)
+    # each source pixel becomes a 2x2 block
+    assert (up[0:2, 0:2] == arr[0, 0]).all()
+    assert (up[6:8, 6:8] == arr[3, 3]).all()
+    down = resize_nearest(arr, 2, 2)
+    assert (down == np.array([[0, 2], [8, 10]], dtype=np.uint8)).all()
+
+
+def test_resize_image_decodes_resizes_and_quarantines(spark):
+    """The mapInPandas stage must resize real PNG payloads (verified
+    by decoding the output bytes) and quarantine undecodable rows
+    with an error instead of failing the stage."""
+    import numpy as np
+
+    from conversadocs_spark.functions.png import decode_png, encode_png
+    from conversadocs_spark.operators.multimodal import resize_image
+
+    rng = np.random.default_rng(3)
+    rows = []
+    originals = {}
+    for i in range(4):
+        arr = rng.integers(0, 256, (20 + i, 30 + i, 3), dtype=np.uint8)
+        originals[i] = arr
+        rows.append(
+            (i, "image", bytearray(encode_png(arr)), 30 + i, 20 + i, "png")
+        )
+    rows.append((99, "image", bytearray(b"not a png"), 1, 1, "png"))
+    rows.append((100, "audio", bytearray(b"\x00\x01"), 0, 0, "pcm"))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "width int, height int, format string",
+    )
+    got = {
+        r["media_id"]: r
+        for r in resize_image(media, 16, 12).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 99}  # audio filtered, corrupt kept
+    assert got[99]["payload"] is None
+    assert "PNG" in got[99]["error"] or "signature" in got[99]["error"]
+    from conversadocs_spark.functions.png import resize_nearest
+
+    for i in range(4):
+        out = decode_png(bytes(got[i]["payload"]))
+        assert out.shape == (12, 16, 3)
+        assert (out == resize_nearest(originals[i], 16, 12)).all()
