@@ -113,7 +113,7 @@ _DRIVER_ORDER = [
     "ingest_scan_text",
     "index_build_overwrite",
     "multimodal_meta", "multimodal_features", "multimodal_frames",
-    "multimodal_resize",
+    "multimodal_resize", "multimodal_audio",
     "streaming_tumbling_replay", "streaming_dedup_replay",
     "streaming_session_chat", "streaming_foreachbatch_sink",
     "streaming_ivf_append", "streaming_interval_join_replay",

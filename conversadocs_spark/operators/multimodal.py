@@ -4,12 +4,15 @@ with decode / feature-extract / frame-sample as Arrow kernels.
 North-star surface (BASELINE.json "multimodal columns"): a 100 TB
 training-data pipeline carries images/audio/video as binary columns
 next to typed metadata, and runs decode + featurize as partition-
-parallel Python stages. PIL/opencv are NOT in this container, so the
-featurize/frame kernels use deterministic byte-level stand-ins
-(clearly marked below) — but `resize_image` is REAL since r6: the
-stdlib PNG codec (functions/png.py, zlib + numpy, all five scanline
-filters) runs actual decode -> nearest-resize -> re-encode, with
-per-row quarantine for undecodable payloads. Everything Spark-side —
+parallel Python stages. PIL/opencv/librosa are NOT in this container;
+since r6 the image and audio paths are REAL anyway: `resize_image`
+decodes/resizes/re-encodes through the stdlib PNG codec
+(functions/png.py — zlib, all five scanline filters) and
+`featurize_audio` parses RIFF PCM16 and computes FFT spectral
+features (functions/wav.py), both with per-row quarantine for
+undecodable payloads. Only the generic `featurize_media` histogram
+and the video frame-split remain deterministic byte-level stand-ins
+(clearly marked below). Everything Spark-side —
 schema, Arrow batch shape, iterator-form per-partition init,
 explode-style frame fan-out, partitioning — is real and tested.
 
@@ -226,3 +229,59 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 pickle_module_by_value(__name__)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, duration_s double, rms double, "
+    "zcr double, dominant_hz double, centroid_hz double, error string"
+)
+
+
+def featurize_audio(media: DataFrame) -> DataFrame:
+    """REAL audio featurization, no external codec: the stdlib WAV
+    parser (functions/wav.py — RIFF PCM16, mono/stereo) decodes each
+    audio payload and numpy computes duration / RMS / zero-crossing
+    rate / dominant frequency / spectral centroid in one mapInPandas
+    pass. Undecodable rows come back with the features NULL and the
+    error captured — the same quarantine-not-crash contract as
+    resize_image. Pure map, no shuffle."""
+    from conversadocs_spark.functions.wav import (
+        audio_features,
+        decode_wav,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    rate, x = decode_wav(bytes(r["payload"]))
+                    f = audio_features(rate, x)
+                    out.append(
+                        (
+                            r["media_id"],
+                            rate,
+                            round(f["duration_s"], 6),
+                            round(f["rms"], 6),
+                            round(f["zcr"], 6),
+                            round(f["dominant_hz"], 6),
+                            round(f["centroid_hz"], 6),
+                            None,
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001 — quarantine row
+                    out.append(
+                        (r["media_id"], None, None, None, None, None,
+                         None, str(e)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "duration_s", "rms",
+                    "zcr", "dominant_hz", "centroid_hz", "error",
+                ],
+            )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        kernel, schema=AUDIO_FEATURES_SCHEMA
+    )

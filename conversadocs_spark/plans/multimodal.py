@@ -135,3 +135,59 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").alias("n_bytes"),
         F.sha2("payload", 256).alias("digest"),
     ).orderBy("media_id")
+
+
+@register("multimodal_audio", tags=("multimodal", "rows-only"))
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + spectral featurization end-to-end
+    (operators/multimodal.py:featurize_audio + the stdlib WAV parser
+    in functions/wav.py): each audio-kind media row gets a synthetic
+    PCM16 tone whose frequency is a pure function of media_id
+    (200 + 20*(media_id % 50) Hz plus deterministic noise), and the
+    stage must recover that tone as ``dominant_hz`` via the FFT — so
+    the driver's rows-only count rides on a pipeline whose OUTPUT is
+    physically checkable, and
+    tests/test_multimodal.py::test_audio_features_recover_injected_tone
+    pins the recovery exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from conversadocs_spark.functions.wav import encode_wav
+    from conversadocs_spark.operators.multimodal import featurize_audio
+
+    docs = io.table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 60
+    )
+    base = media_from_documents(docs).where(F.col("kind") == "audio")
+
+    def make_wav(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                mid = int(r["media_id"])
+                rng = np.random.default_rng(mid)
+                rate, dur = 8000, 0.5
+                t = np.arange(int(rate * dur)) / rate
+                freq = 200.0 + 20.0 * (mid % 50)
+                sig = 0.6 * np.sin(2 * np.pi * freq * t)
+                sig = sig + 0.05 * rng.standard_normal(len(t))
+                pcm = (np.clip(sig, -1, 1) * 32767).astype(np.int16)
+                out.append(
+                    (mid, "audio", encode_wav(pcm, rate), 0, 0, "wav")
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "payload",
+                    "width", "height", "format",
+                ],
+            )
+
+    media = base.mapInPandas(
+        make_wav,
+        schema=(
+            "media_id long, kind string, payload binary, "
+            "width int, height int, format string"
+        ),
+    )
+    return featurize_audio(media).orderBy("media_id")

@@ -147,3 +147,51 @@ def test_resize_image_decodes_resizes_and_quarantines(spark):
         out = decode_png(bytes(got[i]["payload"]))
         assert out.shape == (12, 16, 3)
         assert (out == resize_nearest(originals[i], 16, 12)).all()
+
+
+def test_wav_roundtrip_and_stereo_downmix():
+    import numpy as np
+
+    from conversadocs_spark.functions.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-32768, 32767, 4000, dtype=np.int16)
+    rate, x = decode_wav(encode_wav(pcm, 8000))
+    assert rate == 8000
+    assert np.allclose(x * 32768.0, pcm.astype(np.float64))
+    # corrupt container rejected with a named error
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+
+
+def test_audio_features_recover_injected_tone(spark):
+    """The registered query synthesizes tones at 200 + 20*(id%50) Hz;
+    the FFT-based featurizer must recover exactly that dominant
+    frequency for every row (bin width 2 Hz at 0.5 s / 8 kHz), with
+    no quarantined rows."""
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["multimodal_audio"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["error"] is None
+        want = 200.0 + 20.0 * (r["media_id"] % 50)
+        assert r["dominant_hz"] == pytest.approx(want, abs=2.0)
+        assert r["duration_s"] == pytest.approx(0.5, abs=1e-6)
+        assert 0.3 < r["rms"] < 0.5  # 0.6-amplitude sine ~ 0.42
+
+
+def test_featurize_audio_quarantines_non_wav(spark):
+    from conversadocs_spark.operators.multimodal import featurize_audio
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(b"junk"), 0, 0, "wav"),
+         (2, "image", bytearray(b"x"), 0, 0, "png")],
+        "media_id long, kind string, payload binary, "
+        "width int, height int, format string",
+    )
+    rows = featurize_audio(media).collect()
+    assert len(rows) == 1  # image filtered
+    assert rows[0]["error"] and rows[0]["rms"] is None
