@@ -195,3 +195,29 @@ def test_featurize_audio_quarantines_non_wav(spark):
     rows = featurize_audio(media).collect()
     assert len(rows) == 1  # image filtered
     assert rows[0]["error"] and rows[0]["rms"] is None
+
+
+# hypothesis fuzz: PNG round-trip over arbitrary sizes/content/filters
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    rgb=st.booleans(),
+    ftype=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_fuzz(h, w, rgb, ftype, seed):
+    import numpy as np
+
+    from conversadocs_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    arr = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_png(encode_png(arr, ftype))
+    assert out.shape == arr.shape
+    assert (out == arr).all()
