@@ -49,10 +49,14 @@ _DRIVER_ORDER = [
     # knn_label_eval = new labeled-kNN eval harness, rotated in)
     "knn_topk", "knn_per_query", "similarity_join", "dedup_embedding",
     "knn_auto", "knn_label_eval",
+    # retrieval (r6 continuation: BM25 lexical ranking + RRF hybrid
+    # fusion — oracle-backed, never driver-recorded, rotated in)
+    "bm25_topk", "hybrid_rrf",
     # dedup family (dedup_clusters = transitive survivor resolution;
-    # dedup_incremental = the daily-increment index lifecycle)
+    # dedup_incremental = the daily-increment index lifecycle;
+    # dedup_ngram_jaccard rotated to the tail: green rows r2-r5)
     "dedup_exact", "dedup_minhash", "dedup_clusters",
-    "dedup_incremental", "dedup_ngram_jaccard", "corpus_clean",
+    "dedup_incremental", "corpus_clean",
     # text analysis (vocab_topk / gopher_repetition / lm_bigram_score:
     # oracle-backed r6 additions, never driver-recorded — rotated in)
     "text_stats", "text_stats_by_lang", "lang_id", "text_quality",
@@ -64,10 +68,12 @@ _DRIVER_ORDER = [
     "corpus_split_shuffle", "stratified_sample", "pii_redact",
     "contamination_ngram", "span_dedup",
     "sample_group_topk", "length_histogram", "quality_filter_stack",
-    # chunking
-    "chunk_fixed", "udtf_chunk_fixed",
-    # python kernels
-    "udf_token_count", "udaf_price_range",
+    # chunking (chunk_fixed rotated to the tail: green rows r1-r5;
+    # the UDTF form keeps the family's driver row)
+    "udtf_chunk_fixed",
+    # python kernels (udf_token_count rotated to the tail: green rows
+    # r1-r5)
+    "udaf_price_range",
     "grouped_map_order_seq", "grouped_map_partitionwise",
     # ranking windows (window_analytic/window_frame rotated to the
     # tail: green driver rows in r2/r4/r5)
@@ -83,17 +89,21 @@ _DRIVER_ORDER = [
     "scan_csv_roundtrip", "scan_json_roundtrip",
     "scan_json_corrupt_tolerant",
     # joins (join_left/right/full rotated to the tail: green driver rows
-    # in r1/r2/r4/r5; join_inner keeps the family's equi-join row)
+    # in r1/r2/r4/r5; join_inner rotated to the tail too — green
+    # r1-r5; join_fuzzy = new edit-distance-blocked join;
+    # resample_gapfill = new time-series conforming op)
     # (join_range rotated to the tail: green rows r2/r4/r5;
     # join_interval_attrib = new stream-stream batch twin, rotated in)
-    "join_inner", "join_star", "join_asof", "join_interval_attrib",
+    "join_star", "join_asof", "join_interval_attrib",
+    "join_fuzzy", "resample_gapfill",
     # skew mitigation
     "join_skew_salted", "agg_skew_distinct",
     # composed RAG pipeline (summarize_mapreduce rotated to the tail:
     # green driver rows since r2)
     "rag_answer_pipeline",
     # --- 50 ---
-    "summarize_mapreduce",
+    "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
+    "chunk_fixed", "udf_token_count",
     "ann_topk", "ann_ivf", "window_analytic", "window_frame",
     "join_semi", "join_anti", "join_range", "agg_distinct",
     "agg_global", "vector_centroid",

@@ -17,6 +17,7 @@ from conversadocs_spark.plans import (  # noqa: E402,F401
     pipeline,
     rag,
     relational,
+    retrieval,
     setops,
     skew,
     streamqueries,

@@ -16,7 +16,7 @@ columns (the plans/ decimal policy).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conversadocs_spark import io
@@ -215,4 +215,97 @@ def join_interval_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("p_ts").cast("timestamp"))
             - F.unix_micros(F.col("c_ts").cast("timestamp"))
         ).alias("micros_between"),
+    )
+
+
+# --------------------------------------------------------------------------
+# resample to a fixed grid + forward-fill gaps (time-series conforming)
+# --------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH ev AS (
+    SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket, value
+    FROM events WHERE user_id < 8
+),
+agg AS (
+    SELECT user_id, bucket, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS obs
+    FROM ev GROUP BY user_id, bucket
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM ev),
+hours AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS bucket
+    FROM bounds
+),
+users AS (SELECT DISTINCT user_id FROM ev),
+grid AS (SELECT user_id, bucket FROM users CROSS JOIN hours)
+SELECT g.user_id, g.bucket,
+       coalesce(a.n_events, 0) AS n_events,
+       last_value(a.obs IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled,
+       a.n_events IS NOT NULL AS is_observed
+FROM grid g
+LEFT JOIN agg a ON a.user_id = g.user_id AND a.bucket = g.bucket
+"""
+
+
+@register("resample_gapfill", oracle=_GAPFILL_ORACLE, tags=("eventtime",))
+def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample per-user event values onto a dense 1-hour grid and
+    forward-fill gaps (the conforming step before any time-series
+    model or as-of join; TimescaleDB's time_bucket_gapfill + locf).
+
+    Plan: one (user, bucket) partial-aggregated shuffle over the
+    filtered events; the grid is users x buckets built from a 1-row
+    bounds aggregate (sequence + explode, broadcast onto the user
+    list — never a scan-sized relation); forward-fill is one window
+    pass per user ordered by bucket. At 100 TB the only data-sized
+    stage is the first aggregation; grid size is |users| x |buckets|,
+    which is a *model* decision, and the window shuffle moves the
+    already-aggregated grid, not raw events. Exactness: hourly mean
+    goes through DECIMAL sum / exact count, so no float-order drift.
+    Leading gaps (before a user's first observation) stay NULL — the
+    honest answer locf gives.
+    """
+    ev = io.table(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    bucketed = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "value",
+    )
+    agg = bucketed.groupBy("user_id", "bucket").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("obs"),
+    )
+    bounds = bucketed.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket")
+    )
+    users = bucketed.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(hours))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("obs", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("n_events").isNotNull().alias("is_observed"),
+        )
     )
