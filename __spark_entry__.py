@@ -59,9 +59,13 @@ _DRIVER_ORDER = [
     "dedup_incremental", "corpus_clean",
     # text analysis (vocab_topk / gopher_repetition / lm_bigram_score:
     # oracle-backed r6 additions, never driver-recorded — rotated in)
+    # (tfidf_top_terms rotated to the tail: green rows r2-r5)
     "text_stats", "text_stats_by_lang", "lang_id", "text_quality",
-    "doc_fingerprint", "tfidf_top_terms",
+    "doc_fingerprint",
     "vocab_topk", "gopher_repetition", "lm_bigram_score",
+    # lake / table maintenance (r6 continuation: CDC MERGE, SCD2
+    # history, seeded weighted sampling — all new, rotated in)
+    "merge_upsert", "scd2_history", "weighted_sample",
     # training-data pipeline (all oracle-checked; span_dedup new in r6
     # — never driver-recorded, so it takes agg_rollup's slot per the
     # COVERAGE.md rotation policy)
@@ -75,15 +79,15 @@ _DRIVER_ORDER = [
     # r1-r5)
     "udaf_price_range",
     "grouped_map_order_seq", "grouped_map_partitionwise",
-    # ranking windows (window_analytic/window_frame rotated to the
-    # tail: green driver rows in r2/r4/r5)
-    "window_rank",
+    # ranking windows rotated wholly to the tail (window_rank green
+    # r1-r5; window_analytic/window_frame green r2/r4/r5)
     # aggregates (agg_percentile / agg_pivot rotated in per r5 verdict:
     # oracle-backed but never driver-recorded before round 6)
     # (agg_distinct, agg_global rotated to the tail: green rows
     # r1/r2/r4/r5)
+    # (agg_collect_stuff rotated to the tail: green rows r2-r5)
     "agg_grouped",
-    "agg_collect_stuff", "agg_percentile", "agg_pivot",
+    "agg_percentile", "agg_pivot",
     # structured sources (rotated in per r5 verdict, same reason;
     # corrupt-tolerant scan new in r6 continuation)
     "scan_csv_roundtrip", "scan_json_roundtrip",
@@ -103,7 +107,8 @@ _DRIVER_ORDER = [
     "rag_answer_pipeline",
     # --- 50 ---
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
-    "chunk_fixed", "udf_token_count",
+    "chunk_fixed", "udf_token_count", "tfidf_top_terms",
+    "window_rank", "agg_collect_stuff",
     "ann_topk", "ann_ivf", "window_analytic", "window_frame",
     "join_semi", "join_anti", "join_range", "agg_distinct",
     "agg_global", "vector_centroid",

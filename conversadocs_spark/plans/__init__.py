@@ -12,6 +12,7 @@ from conversadocs_spark.plans import (  # noqa: E402,F401
     eventtime,
     ingestion,
     joins,
+    lake,
     lm,
     multimodal,
     pipeline,

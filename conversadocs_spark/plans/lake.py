@@ -1,0 +1,177 @@
+"""Table-maintenance ("lakehouse") operators: CDC MERGE/upsert and
+SCD type-2 history construction.
+
+The reference rebuilds its whole index per upload (replace-only,
+/root/reference/conversadocs/bones.py:62-79); a corpus that accretes
+daily needs the standard maintenance surface instead: apply a
+change-data-capture batch to a keyed table (MERGE), and derive
+validity-interval history for changing attributes (SCD2). Both are
+expressed as joins/windows so Catalyst plans them; neither needs a
+table format — the same plans write through sink_overwrite (or any
+ACID table format) unchanged.
+
+Determinism: the CDC batch is derived in-plan from the target by pure
+key arithmetic (no rand()), so the merge result is hash-checkable
+against the DuckDB oracle.
+
+Scale shape (100 TB): a real CDC batch is tiny vs the target —
+`merge_upsert` keeps the target on one side of ONE equi-join
+(broadcast when the batch is small; shuffle-on-key against a bucketed
+target otherwise) plus a union of inserts; rewrite cost is then
+bounded by affected partitions, not table size. `scd2_history` is one
+window pass per entity — a single shuffle on the entity key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.plans.registry import register
+
+# --------------------------------------------------------------------------
+# MERGE / upsert: apply a CDC batch (insert + update + delete) to a table
+# --------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH changes AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+           round(c_acctbal + 100.5, 2)  AS new_acctbal,
+           'UPDATED'                    AS new_mktsegment
+    FROM customer
+    WHERE c_custkey % 13 = 0 OR c_custkey % 7 = 0
+),
+inserts AS (
+    SELECT s.c_custkey + 1000000        AS c_custkey,
+           concat('Customer#NEW', CAST(s.c_custkey AS VARCHAR)) AS c_name,
+           s.c_nationkey,
+           0.0                          AS c_acctbal,
+           'NEWSEG'                     AS c_mktsegment
+    FROM customer s WHERE s.c_custkey % 17 = 0
+),
+merged AS (
+    SELECT t.c_custkey, t.c_name, t.c_nationkey,
+           CASE WHEN ch.op = 'U' THEN ch.new_acctbal
+                ELSE t.c_acctbal END     AS c_acctbal,
+           CASE WHEN ch.op = 'U' THEN ch.new_mktsegment
+                ELSE t.c_mktsegment END  AS c_mktsegment,
+           CASE WHEN ch.op = 'U' THEN 'updated'
+                ELSE 'kept' END          AS merge_action
+    FROM customer t
+    LEFT JOIN changes ch ON ch.c_custkey = t.c_custkey
+    WHERE ch.op IS NULL OR ch.op <> 'D'
+)
+SELECT * FROM merged
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       'inserted' AS merge_action
+FROM inserts
+"""
+
+
+@register("merge_upsert", oracle=_MERGE_ORACLE, tags=("lake",))
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: one CDC batch with
+    updates (custkey % 7), deletes (custkey % 13, delete wins on
+    overlap), and inserts (custkey % 17, re-keyed +1M), applied in a
+    single left join + filter + union. `merge_action` audits what
+    happened to every surviving row.
+
+    The target is scanned once; the batch side is the small relation
+    (broadcast in practice). Delete = filter on the joined op; update
+    = CASE over joined new values; insert = unioned batch remainder —
+    exactly how Delta/Iceberg MERGE lowers into a join under AQE.
+    """
+    t = io.table(spark, sf_dir, "customer")
+    changes = (
+        t.where((F.col("c_custkey") % 13 == 0) | (F.col("c_custkey") % 7 == 0))
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 13 == 0, "D")
+            .otherwise("U")
+            .alias("op"),
+            F.round(F.col("c_acctbal") + 100.5, 2).alias("new_acctbal"),
+            F.lit("UPDATED").alias("new_mktsegment"),
+        )
+    )
+    inserts = (
+        t.where(F.col("c_custkey") % 17 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(
+                F.lit("Customer#NEW"), F.col("c_custkey").cast("string")
+            ).alias("c_name"),
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEWSEG").alias("c_mktsegment"),
+            F.lit("inserted").alias("merge_action"),
+        )
+    )
+    is_upd = F.col("op") == "U"
+    merged = (
+        t.join(F.broadcast(changes), "c_custkey", "left")
+        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.when(is_upd, F.col("new_acctbal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(is_upd, F.col("new_mktsegment"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.when(is_upd, "updated").otherwise("kept").alias(
+                "merge_action"
+            ),
+        )
+    )
+    return merged.unionByName(inserts)
+
+
+# --------------------------------------------------------------------------
+# SCD type-2: validity intervals for a changing attribute
+# --------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+SELECT o_custkey                       AS custkey,
+       o_orderkey                      AS orderkey,
+       o_orderstatus                   AS status,
+       round(o_totalprice, 2)          AS totalprice,
+       o_orderdate                     AS valid_from,
+       lead(o_orderdate) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+       )                               AS valid_to,
+       lead(o_orderdate) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+       ) IS NULL                       AS is_current
+FROM orders
+WHERE o_custkey < 200
+"""
+
+
+@register("scd2_history", oracle=_SCD2_ORACLE, tags=("lake",))
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: each order is a new version
+    of its customer's state; versions carry [valid_from, valid_to)
+    with an open interval (NULL valid_to, is_current=true) for the
+    latest. One lead() window per entity — the standard
+    history-table build, a single shuffle on the entity key at any
+    scale. Ties on the date are ordered by orderkey so intervals are
+    deterministic."""
+    o = io.table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_to = F.lead("o_orderdate").over(w)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -707,3 +707,60 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("epochs"),
     )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis, seeded)
+# --------------------------------------------------------------------------
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           round(
+               ln((CAST(concat('0x',
+                        substr(md5('ws42:' || CAST(doc_id AS VARCHAR)),
+                               1, 8)) AS UBIGINT) + 0.5)
+                  / 4294967296.0)
+               / n_chars,
+               6) AS es_key
+    FROM documents
+)
+SELECT doc_id, n_chars, es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id ASC
+LIMIT 100
+"""
+
+
+@register(
+    "weighted_sample", oracle=_WEIGHTED_SAMPLE_ORACLE, tags=("pipeline",)
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sample of 100 docs WITHOUT replacement
+    (weight = n_chars): Efraimidis–Spirakis A-ES — per-row key
+    u^(1/w), global top-k, here ranked by the monotone-equivalent
+    ln(u)/w (descending) to stay in well-defined cross-engine math.
+    u is derived from a seeded md5, not rand(): the sample is a pure
+    function of (seed, doc_id) — identical under retries, partition
+    changes, and speculative execution, which df.sample(weights=...)
+    cannot promise.
+
+    Scale shape: one scan computing a codegen'd key + a global top-k
+    (TakeOrderedAndProject, k rows per partition) — no shuffle of the
+    data, no per-group state. This is THE distributed weighted-
+    sampling algorithm: take the k largest keys and the inclusion
+    probabilities match sequential weighted draws exactly.
+    """
+    d = io.table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(_seeded_md5("ws42:", F.col("doc_id")), 1, 8), 16, 10
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        d.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(100)
+    )

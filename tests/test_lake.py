@@ -1,0 +1,67 @@
+"""Lake-surface tests: MERGE semantics decomposition, SCD2 interval
+chaining, and the weighted-sample bias/determinism properties."""
+
+from __future__ import annotations
+
+from conversadocs_spark import io
+from conversadocs_spark.plans.registry import QUERIES
+
+
+def test_merge_upsert_semantics(spark, sf_dir):
+    target = {
+        r.c_custkey: r
+        for r in io.table(spark, sf_dir, "customer").collect()
+    }
+    out = QUERIES["merge_upsert"](spark, sf_dir).collect()
+    by_key = {r.c_custkey: r for r in out}
+    assert len(by_key) == len(out)  # key stays unique after merge
+    for k, t in target.items():
+        if k % 13 == 0:
+            assert k not in by_key  # deletes win (even over updates)
+        elif k % 7 == 0:
+            r = by_key[k]
+            assert r.merge_action == "updated"
+            assert r.c_acctbal == round(t.c_acctbal + 100.5, 2)
+            assert r.c_mktsegment == "UPDATED"
+        else:
+            r = by_key[k]
+            assert r.merge_action == "kept"
+            assert (r.c_acctbal, r.c_mktsegment) == (
+                t.c_acctbal,
+                t.c_mktsegment,
+            )
+    inserts = [r for r in out if r.merge_action == "inserted"]
+    expected_inserts = [k for k in target if k % 17 == 0]
+    assert sorted(r.c_custkey for r in inserts) == sorted(
+        k + 1000000 for k in expected_inserts
+    )
+    for r in inserts:
+        assert r.c_name == f"Customer#NEW{r.c_custkey - 1000000}"
+        assert r.c_acctbal == 0.0
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    rows = QUERIES["scd2_history"](spark, sf_dir).collect()
+    per_cust: dict[int, list] = {}
+    for r in rows:
+        per_cust.setdefault(r.custkey, []).append(r)
+    assert per_cust  # non-vacuous
+    for versions in per_cust.values():
+        versions.sort(key=lambda r: (r.valid_from, r.orderkey))
+        assert sum(r.is_current for r in versions) == 1
+        assert versions[-1].is_current and versions[-1].valid_to is None
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to == b.valid_from  # gapless chain
+            assert a.valid_from <= a.valid_to  # no inverted interval
+
+
+def test_weighted_sample_bias_and_determinism(spark, sf_dir):
+    out1 = QUERIES["weighted_sample"](spark, sf_dir).collect()
+    out2 = QUERIES["weighted_sample"](spark, sf_dir).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert len(out1) == 100
+    corpus = io.table(spark, sf_dir, "documents").collect()
+    corpus_mean = sum(r.n_chars for r in corpus) / len(corpus)
+    sample_mean = sum(r.n_chars for r in out1) / len(out1)
+    # length-weighted inclusion must skew the sample long
+    assert sample_mean > corpus_mean
