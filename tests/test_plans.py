@@ -303,3 +303,61 @@ def test_incremental_candidate_join_broadcasts_batch(spark, tmp_path):
     # O(batch). A second one would mean the stored corpus band table
     # is being shuffled.
     assert plan.count("hashpartitioning(band") == 1
+
+
+def test_bm25_broadcasts_stats_no_cartesian_blowup(spark):
+    """BM25's df/corpus-stats sides are broadcast (vocabulary- and
+    1-row-sized) and the result is a TakeOrderedAndProject — never a
+    global sort of the scored corpus."""
+    plan = _plan(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    # the only BroadcastNestedLoopJoin allowed is the 1-row stats side
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_is_blocked_equijoin_not_cross(spark):
+    """The fuzzy join must run as equi-joins on the blocking keys —
+    a CartesianProduct over the name relation means blocking was
+    silently lost."""
+    plan = _plan(spark, "join_fuzzy")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_is_take_ordered_scan(spark):
+    """A-ES weighted sampling = keyed scan + global top-k: no shuffle
+    of the data, no window."""
+    plan = _plan(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_merge_upsert_broadcasts_cdc_batch(spark):
+    """MERGE keeps the target on the streaming side of one broadcast
+    join; no shuffle of the target relation."""
+    plan = _plan(spark, "merge_upsert")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_scd2_single_shuffle_window(spark):
+    """SCD2 = exactly one hash shuffle (the entity key) feeding the
+    lead() window."""
+    plan = _plan(spark, "scd2_history")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_gapfill_grid_is_broadcast_not_data_sized(spark):
+    """resample_gapfill's dense grid comes from a broadcast of the
+    bounds-derived hour sequence — the raw events relation is shuffled
+    only once (the (user,bucket) partial agg) plus once more for the
+    per-user fill window over the already-aggregated grid."""
+    plan = _plan(spark, "resample_gapfill")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_count" in plan  # map-side combine on the agg
+    assert plan.count("Exchange hashpartitioning") <= 3
