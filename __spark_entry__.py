@@ -66,10 +66,14 @@ _DRIVER_ORDER = [
     # lake / table maintenance (r6 continuation: CDC MERGE, SCD2
     # history, seeded weighted sampling — all new, rotated in)
     "merge_upsert", "scd2_history", "weighted_sample",
+    # event analytics (r6 continuation: ordered funnel + cohort
+    # retention — new, rotated in; displacing corpus_split_shuffle
+    # and stratified_sample, green driver rows in r5)
+    "funnel_conversion", "cohort_retention",
     # training-data pipeline (all oracle-checked; span_dedup new in r6
     # — never driver-recorded, so it takes agg_rollup's slot per the
     # COVERAGE.md rotation policy)
-    "corpus_split_shuffle", "stratified_sample", "pii_redact",
+    "pii_redact",
     "contamination_ngram", "span_dedup",
     "sample_group_topk", "length_histogram", "quality_filter_stack",
     # chunking (chunk_fixed rotated to the tail: green rows r1-r5;
@@ -109,6 +113,7 @@ _DRIVER_ORDER = [
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
     "chunk_fixed", "udf_token_count", "tfidf_top_terms",
     "window_rank", "agg_collect_stuff",
+    "corpus_split_shuffle", "stratified_sample",
     "ann_topk", "ann_ivf", "window_analytic", "window_frame",
     "join_semi", "join_anti", "join_range", "agg_distinct",
     "agg_global", "vector_centroid",

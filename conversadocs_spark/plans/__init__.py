@@ -9,6 +9,7 @@ from conversadocs_spark.plans.registry import ORACLES, QUERIES, register  # noqa
 # Import for side effect: each module registers its queries.
 from conversadocs_spark.plans import (  # noqa: E402,F401
     aggregates,
+    analytics,
     eventtime,
     ingestion,
     joins,

@@ -1,0 +1,92 @@
+"""Analytics-surface tests: funnel ordering semantics re-derived from
+raw events in plain Python, and cohort-retention matrix invariants."""
+
+from __future__ import annotations
+
+from conversadocs_spark import io
+from conversadocs_spark.plans.registry import QUERIES
+
+
+def test_funnel_matches_python_rederivation(spark, sf_dir):
+    events = io.table(spark, sf_dir, "events").collect()
+    per_user: dict[int, list] = {}
+    for e in events:
+        per_user.setdefault(e.user_id, []).append(e)
+    expected = {}
+    for uid, evs in per_user.items():
+        views = sorted(e.ts for e in evs if e.event_type == "view")
+        if not views:
+            continue
+        t_view = views[0]
+        clicks = sorted(
+            e.ts
+            for e in evs
+            if e.event_type == "click" and e.ts > t_view
+        )
+        t_click = clicks[0] if clicks else None
+        t_purchase = None
+        if t_click is not None:
+            purchases = sorted(
+                e.ts
+                for e in evs
+                if e.event_type == "purchase" and e.ts > t_click
+            )
+            t_purchase = purchases[0] if purchases else None
+        expected[uid] = (t_view, t_click, t_purchase, t_purchase is not None)
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase, r.converted)
+        for r in QUERIES["funnel_conversion"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    # non-vacuous: conversions exist at this sf (drop cases are pinned
+    # by the constructed-order test below)
+    assert any(v[3] for v in got.values())
+
+
+def test_funnel_strict_ordering_drop_cases(spark, tmp_path):
+    """Constructed corpus covering each drop reason: events out of
+    order, missing middle step, and users with no view at all."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: perfect order -> converted
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2: purchase+click BEFORE the first view -> view-only
+        (2, t(1), "purchase"), (2, t(2), "click"), (2, t(3), "view"),
+        # user 3: no click between view and purchase -> not converted
+        (3, t(1), "view"), (3, t(2), "purchase"),
+        # user 4: never viewed -> not in the funnel at all
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: (r.t_click, r.t_purchase, r.converted)
+        for r in QUERIES["funnel_conversion"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (t(2), t(3), True)
+    assert out[2] == (None, None, False)
+    assert out[3] == (None, None, False)
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    rows = QUERIES["cohort_retention"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.day_offset <= 14
+        assert 1 <= r.n_active <= r.cohort_size
+        assert r.retention == round(r.n_active / r.cohort_size, 6)
+    # day-0 row exists for every cohort and has 100% retention
+    # (every user is active on their own first day)
+    cohorts = {r.cohort_day for r in rows}
+    day0 = {r.cohort_day: r for r in rows if r.day_offset == 0}
+    assert set(day0) == cohorts
+    for r in day0.values():
+        assert r.n_active == r.cohort_size and r.retention == 1.0
+    # retention never exceeds day-0 cohort size (monotone upper bound)
+    for r in rows:
+        assert r.cohort_size == day0[r.cohort_day].cohort_size
