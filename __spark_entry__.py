@@ -138,6 +138,10 @@ _DRIVER_ORDER = [
     "streaming_session_chat", "streaming_foreachbatch_sink",
     "streaming_ivf_append", "streaming_interval_join_replay",
     "embed_corpus", "embed_doc_pool",
+    # r6 continuation: iterative graph centrality + MG sketch (both
+    # rows-only by design; NumPy-reference and MG-bound tests pin
+    # values locally)
+    "graph_pagerank", "heavy_hitters_terms",
 ]
 
 

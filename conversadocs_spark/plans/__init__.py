@@ -11,6 +11,7 @@ from conversadocs_spark.plans import (  # noqa: E402,F401
     aggregates,
     analytics,
     eventtime,
+    graph,
     ingestion,
     joins,
     lake,

@@ -764,3 +764,34 @@ def gopher_signals(grams: DataFrame) -> DataFrame:
             F.lit(1.0) - F.count("*") / F.sum("c"), 6
         ).alias("dup_gram_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# heavy hitters: Misra-Gries frequent terms (the 100 TB vocab path)
+# --------------------------------------------------------------------------
+
+
+@register("heavy_hitters_terms", tags=("text", "sketch"))
+def heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 frequent terms by Misra-Gries sketch (k=200 counters per
+    partition; operators/sketch.py). Unlike vocab_topk's exact
+    (term, count) shuffle, the sketch shuffles at most k rows per
+    partition no matter how heavy-tailed the vocabulary is — the
+    scale path when the term dictionary itself stops fitting.
+
+    Rows-only by design (estimates depend on partition layout);
+    tests/test_graph.py pins the MG guarantee value-wise: every term
+    with true frequency > n/(k+1) survives, and estimates sit in
+    [true - n/(k+1), true].
+    """
+    from conversadocs_spark.operators.sketch import heavy_hitters
+
+    d = io.table(spark, sf_dir, "documents")
+    terms = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).where(F.length("term") >= 4)
+    return (
+        heavy_hitters(terms, "term", k=200)
+        .orderBy(F.desc("est"), F.asc("term"))
+        .limit(20)
+    )

@@ -1,0 +1,88 @@
+"""Graph + sketch tests: PageRank against a NumPy power-iteration
+reference (including a dangling node), and the Misra-Gries guarantee
+checked value-wise against exact counts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conversadocs_spark import io
+from conversadocs_spark.operators.pagerank import pagerank
+from conversadocs_spark.operators.sketch import heavy_hitters
+from conversadocs_spark.plans.registry import QUERIES
+
+
+def _numpy_pagerank(edges, alpha=0.85, iters=200):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = {i: 0 for i in range(n)}
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        new = np.full(n, (1.0 - alpha) / n)
+        dangling = sum(r[i] for i in range(n) if out_deg[i] == 0)
+        new += alpha * dangling / n
+        for s, d in edges:
+            new[idx[d]] += alpha * r[idx[s]] / out_deg[idx[s]]
+        r = new
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_numpy_with_dangling(spark):
+    # 1->2, 1->3, 2->3, 3->1 plus dangling node 4 (edge 1->4, no out)
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (1, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.id: r.rank for r in pagerank(df, max_iter=100, tol=1e-10).collect()
+    }
+    ref = _numpy_pagerank(edges)
+    assert set(got) == set(ref)
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_raises_without_convergence(spark):
+    # asymmetric graph (node 3 dangling): ranks move on every early
+    # round, so 1 iteration cannot reach a 1e-300 residual
+    df = spark.createDataFrame([(1, 2), (1, 3), (2, 1)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pagerank(df, max_iter=1, tol=1e-300)
+
+
+def test_graph_pagerank_query_ranks_hubs(spark, sf_dir):
+    rows = QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    assert rows
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r.rank > 0 for r in rows)
+
+
+def test_misra_gries_guarantee(spark, sf_dir):
+    terms = (
+        io.table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .where(F.length("term") >= 4)
+    )
+    exact = {
+        r.term: r["cnt"]
+        for r in terms.groupBy("term").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(exact.values())
+    k = 50  # tighter than the query's 200 to make the bound bite
+    est = {r.term: r.est for r in heavy_hitters(terms, "term", k=k).collect()}
+    budget = n / (k + 1)
+    # every heavy term survives
+    for t, c in exact.items():
+        if c > budget:
+            assert t in est, f"heavy term {t} ({c} > {budget}) dropped"
+    # estimates are underestimates within the MG budget
+    for t, e in est.items():
+        assert e <= exact[t]
+        assert e >= exact[t] - budget
