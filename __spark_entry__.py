@@ -59,9 +59,11 @@ _DRIVER_ORDER = [
     "dedup_incremental", "corpus_clean",
     # text analysis (vocab_topk / gopher_repetition / lm_bigram_score:
     # oracle-backed r6 additions, never driver-recorded — rotated in)
-    # (tfidf_top_terms rotated to the tail: green rows r2-r5)
-    "text_stats", "text_stats_by_lang", "lang_id", "text_quality",
-    "doc_fingerprint",
+    # (tfidf_top_terms rotated to the tail: green rows r2-r5;
+    # text_stats / lang_id / doc_fingerprint rotated to the tail too —
+    # green r5; text_stats_by_lang + text_quality keep the family's
+    # driver rows)
+    "text_stats_by_lang", "text_quality",
     "vocab_topk", "gopher_repetition", "lm_bigram_score",
     # lake / table maintenance (r6 continuation: CDC MERGE, SCD2
     # history, seeded weighted sampling — all new, rotated in)
@@ -70,6 +72,9 @@ _DRIVER_ORDER = [
     # retention — new, rotated in; displacing corpus_split_shuffle
     # and stratified_sample, green driver rows in r5)
     "funnel_conversion", "cohort_retention",
+    # r6 continuation wave 2: RANGE-frame rolling window, Markov
+    # transition matrix, and the Deequ-style rule sweep — all new
+    "window_range_time", "event_transitions", "dq_audit",
     # training-data pipeline (all oracle-checked; span_dedup new in r6
     # — never driver-recorded, so it takes agg_rollup's slot per the
     # COVERAGE.md rotation policy)
@@ -114,6 +119,7 @@ _DRIVER_ORDER = [
     "chunk_fixed", "udf_token_count", "tfidf_top_terms",
     "window_rank", "agg_collect_stuff",
     "corpus_split_shuffle", "stratified_sample",
+    "text_stats", "lang_id", "doc_fingerprint",
     "ann_topk", "ann_ivf", "window_analytic", "window_frame",
     "join_semi", "join_anti", "join_range", "agg_distinct",
     "agg_global", "vector_centroid",

@@ -20,7 +20,7 @@ Scale shape (100 TB of events):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conversadocs_spark import io
@@ -178,3 +178,206 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# time-range rolling window (RANGE frame over seconds, per user)
+# --------------------------------------------------------------------------
+
+_RANGE_TIME_ORACLE = """
+WITH sec AS (
+    SELECT event_id, user_id, ts, value,
+           (CAST(ts AS DATE) - DATE '2024-01-01') * 86400
+           + hour(ts) * 3600 + minute(ts) * 60 + second(ts) AS sec
+    FROM events WHERE user_id < 10
+)
+SELECT event_id, user_id, ts,
+       count(*) OVER w                                   AS n_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE),
+             6)                                          AS sum_1h
+FROM sec
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("window_range_time", oracle=_RANGE_TIME_ORACLE, tags=("analytics",))
+def window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour aggregate per user with a RANGE (time-interval)
+    frame — the frame every monitoring/feature-engineering query
+    wants, and a different physical shape from ROWS frames: the frame
+    bounds follow the VALUE of the ordering column, so each row's
+    window covers however many events fell in its trailing hour.
+
+    The NTZ timestamp is lowered to epoch-style integer seconds with
+    field arithmetic (TIMESTAMP_NTZ has no direct long cast), then
+    rangeBetween(-3600, 0). One shuffle on user_id; frame evaluation
+    is streaming within each sorted partition. Sums go through
+    DECIMAL so the rolling values are float-order exact.
+    """
+    ev = io.table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    sec = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        * 86400
+        + F.hour("ts") * 3600
+        + F.minute("ts") * 60
+        + F.second("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("sec"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.withColumn("sec", sec)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count("*").over(w).alias("n_1h"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .over(w)
+                .cast("double"),
+                6,
+            ).alias("sum_1h"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# event transition matrix (first-order Markov over event_type)
+# --------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+),
+totals AS (
+    SELECT prev_type, sum(n) AS total FROM counts GROUP BY prev_type
+)
+SELECT c.prev_type, c.next_type, c.n,
+       round(CAST(c.n AS DOUBLE) / t.total, 6) AS p
+FROM counts c JOIN totals t USING (prev_type)
+"""
+
+
+@register("event_transitions", oracle=_TRANSITIONS_ORACLE,
+          tags=("analytics",))
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | prev_type) with exact counts.
+
+    lag() needs one shuffle on user_id; the (prev, next) aggregation
+    is partial-aggregated map-side and its output is |types|^2 rows —
+    model-sized at any corpus scale. The row-denominator join is a
+    broadcast of the |types|-row totals."""
+    ev = io.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return counts.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# data-quality audit (Deequ/dbt-test style rule sweep)
+# --------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH corrupted_docs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN '' ELSE text END AS text
+    FROM documents
+),
+corrupted_orders AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 89 = 0 THEN o_custkey + 900000
+                ELSE o_custkey END AS o_custkey
+    FROM orders
+)
+SELECT 'empty_text' AS rule, count(*) AS violations
+FROM corrupted_docs WHERE length(text) = 0
+UNION ALL
+SELECT 'fk_orphan_orders', count(*)
+FROM corrupted_orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'dup_customer_key', count(*) FROM (
+    SELECT c_custkey FROM customer
+    GROUP BY c_custkey HAVING count(*) > 1
+)
+UNION ALL
+SELECT 'negative_quantity', count(*) FROM lineitem WHERE l_quantity < 0
+"""
+
+
+@register("dq_audit", oracle=_DQ_ORACLE, tags=("analytics", "quality"))
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule sweep (the Deequ/dbt-test shape): one row per
+    rule with its violation count. Rules: empty text, FK orphans
+    (orders -> customer via left anti), duplicate primary keys,
+    domain-range violation. Violations are injected deterministically
+    in-plan (doc_id % 97 empties text, o_orderkey % 89 re-keys the
+    customer FK out of range) so the audit itself is hash-checked
+    non-vacuously — the pii_redact pattern.
+
+    Each rule is a scan + aggregate or an anti-join keyed for
+    broadcast/shuffle as size dictates; rules share no state, so the
+    union runs them as independent parallel stages."""
+    docs = io.table(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 97 == 0, "").otherwise(
+            F.col("text")
+        ).alias("text")
+    )
+    orders = io.table(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_custkey") + 900000
+        ).otherwise(F.col("o_custkey")).alias("o_custkey")
+    )
+    cust = io.table(spark, sf_dir, "customer")
+    li = io.table(spark, sf_dir, "lineitem")
+    r1 = docs.where(F.length("text") == 0).agg(
+        F.count("*").alias("violations")
+    ).select(F.lit("empty_text").alias("rule"), "violations")
+    r2 = (
+        orders.join(
+            cust.select("c_custkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("fk_orphan_orders").alias("rule"), "violations")
+    )
+    r3 = (
+        cust.groupBy("c_custkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("dup_customer_key").alias("rule"), "violations")
+    )
+    r4 = (
+        li.where(F.col("l_quantity") < 0)
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("negative_quantity").alias("rule"), "violations")
+    )
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4)

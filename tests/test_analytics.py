@@ -90,3 +90,67 @@ def test_cohort_retention_invariants(spark, sf_dir):
     # retention never exceeds day-0 cohort size (monotone upper bound)
     for r in rows:
         assert r.cohort_size == day0[r.cohort_day].cohort_size
+
+
+def test_window_range_time_python_rederivation(spark, sf_dir):
+    rows = QUERIES["window_range_time"](spark, sf_dir).collect()
+    ev = [
+        r
+        for r in io.table(spark, sf_dir, "events").collect()
+        if r.user_id < 10
+    ]
+    per_user: dict[int, list] = {}
+    for e in ev:
+        sec = (
+            (e.ts.day - 1) * 86400
+            + e.ts.hour * 3600
+            + e.ts.minute * 60
+            + e.ts.second
+        )
+        per_user.setdefault(e.user_id, []).append((sec, e))
+    expected = {}
+    for uid, items in per_user.items():
+        for sec, e in items:
+            in_frame = [x for s, x in items if sec - 3600 <= s <= sec]
+            expected[e.event_id] = len(in_frame)
+    got = {r.event_id: r.n_1h for r in rows}
+    assert got == expected
+    assert any(v > 1 for v in got.values())  # frames actually overlap
+
+
+def test_event_transitions_is_stochastic_matrix(spark, sf_dir):
+    rows = QUERIES["event_transitions"](spark, sf_dir).collect()
+    assert rows
+    by_prev: dict[str, list] = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rs in by_prev.items():
+        total = sum(r.n for r in rs)
+        for r in rs:
+            assert r.p == round(r.n / total, 6)
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-4
+    # total transitions = sum over users of (events - 1)
+    ev = io.table(spark, sf_dir, "events").collect()
+    per_user_counts: dict[int, int] = {}
+    for e in ev:
+        per_user_counts[e.user_id] = per_user_counts.get(e.user_id, 0) + 1
+    assert sum(r.n for r in rows) == sum(
+        c - 1 for c in per_user_counts.values()
+    )
+
+
+def test_dq_audit_detects_exactly_injected_violations(spark, sf_dir):
+    got = {
+        r.rule: r.violations
+        for r in QUERIES["dq_audit"](spark, sf_dir).collect()
+    }
+    docs = io.table(spark, sf_dir, "documents").collect()
+    orders = io.table(spark, sf_dir, "orders").collect()
+    assert got["empty_text"] == sum(1 for d in docs if d.doc_id % 97 == 0)
+    assert got["fk_orphan_orders"] == sum(
+        1 for o in orders if o.o_orderkey % 89 == 0
+    )
+    assert got["empty_text"] > 0 and got["fk_orphan_orders"] > 0
+    # the fixture's real data is clean on the un-injected rules
+    assert got["dup_customer_key"] == 0
+    assert got["negative_quantity"] == 0
