@@ -54,6 +54,10 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_nodes = nodes.count()  # scalar: also materializes the cache
+    if n_nodes == 0:
+        # empty graph: empty result, not a divide-by-zero
+        nodes.unpersist()
+        return nodes.select("id", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # (src, dst, out_deg) hash-partitioned once on src: both per-round
     # joins (ranks->contrib on src) reuse this distribution.
