@@ -31,8 +31,11 @@ def test_driver_order_covers_registry_exactly():
         f"{set(q) ^ set(entry_mod._DRIVER_ORDER)}"
     )
     head = list(q)[:50]
+    # family representatives: window_rank's slot passed to
+    # window_range_time when it rotated to the tail with r1-r5 greens
     for must in ("knn_topk", "dedup_minhash", "corpus_clean",
-                 "udtf_chunk_fixed", "window_rank", "text_stats_by_lang"):
+                 "udtf_chunk_fixed", "window_range_time",
+                 "text_stats_by_lang"):
         assert must in head
 
 
