@@ -63,7 +63,7 @@ _DRIVER_ORDER = [
     # text_stats / lang_id / doc_fingerprint rotated to the tail too —
     # green r5; text_stats_by_lang + text_quality keep the family's
     # driver rows)
-    "text_stats_by_lang", "text_quality",
+    "text_stats_by_lang",
     "vocab_topk", "gopher_repetition", "lm_bigram_score",
     # lake / table maintenance (r6 continuation: CDC MERGE, SCD2
     # history, seeded weighted sampling — all new, rotated in)
@@ -75,10 +75,13 @@ _DRIVER_ORDER = [
     # r6 continuation wave 2: RANGE-frame rolling window, Markov
     # transition matrix, and the Deequ-style rule sweep — all new
     "window_range_time", "event_transitions", "dq_audit",
+    # wave 3: gaps-and-islands sessionization, melt, and the max_by
+    # log-compaction snapshot (displacing text_quality / pii_redact /
+    # udaf_price_range — green driver rows r5 or earlier)
+    "sessionize", "agg_unpivot", "latest_per_key",
     # training-data pipeline (all oracle-checked; span_dedup new in r6
     # — never driver-recorded, so it takes agg_rollup's slot per the
     # COVERAGE.md rotation policy)
-    "pii_redact",
     "contamination_ngram", "span_dedup",
     "sample_group_topk", "length_histogram", "quality_filter_stack",
     # chunking (chunk_fixed rotated to the tail: green rows r1-r5;
@@ -86,7 +89,6 @@ _DRIVER_ORDER = [
     "udtf_chunk_fixed",
     # python kernels (udf_token_count rotated to the tail: green rows
     # r1-r5)
-    "udaf_price_range",
     "grouped_map_order_seq", "grouped_map_partitionwise",
     # ranking windows rotated wholly to the tail (window_rank green
     # r1-r5; window_analytic/window_frame green r2/r4/r5)
@@ -120,6 +122,7 @@ _DRIVER_ORDER = [
     "window_rank", "agg_collect_stuff",
     "corpus_split_shuffle", "stratified_sample",
     "text_stats", "lang_id", "doc_fingerprint",
+    "text_quality", "pii_redact", "udaf_price_range",
     "ann_topk", "ann_ivf", "window_analytic", "window_frame",
     "join_semi", "join_anti", "join_range", "agg_distinct",
     "agg_global", "vector_centroid",

@@ -403,3 +403,39 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# unpivot / melt (wide -> long)
+# --------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_size' AS attr,
+       round(CAST(p_size AS DOUBLE), 6) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice',
+       round(CAST(p_retailprice AS DOUBLE), 6)
+FROM part
+"""
+
+
+@register("agg_unpivot", oracle=_UNPIVOT_ORACLE, tags=("agg",))
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape (melt): the inverse of agg_pivot, via the
+    native unpivot operator (an Expand node — one pass, rows x
+    n_attrs output, no join/shuffle). The long form feeds per-attr
+    aggregation/histograms without one query per column."""
+    p = io.table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.col("p_size").cast("double"), 6).alias("p_size"),
+        F.round(F.col("p_retailprice").cast("double"), 6).alias(
+            "p_retailprice"
+        ),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )

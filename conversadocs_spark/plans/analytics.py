@@ -381,3 +381,67 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("negative_quantity").alias("rule"), "violations")
     )
     return r1.unionByName(r2).unionByName(r3).unionByName(r4)
+
+
+# --------------------------------------------------------------------------
+# sessionization: assign session ids by inactivity gap
+# --------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH seq AS (
+    SELECT event_id, user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events WHERE user_id < 20
+),
+flagged AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_session
+    FROM seq
+)
+SELECT event_id, user_id, ts,
+       CAST(sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS INTEGER)
+           AS session_seq
+FROM flagged
+"""
+
+
+@register("sessionize", oracle=_SESSIONIZE_ORACLE, tags=("analytics",))
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign per-user session sequence numbers: a >30-minute
+    inactivity gap starts a new session (the raw-event labeling that
+    window_session aggregates; this keeps every event row, which
+    funnels/attribution need).
+
+    lag + running sum over one user_id shuffle — the standard
+    gaps-and-islands lowering; both windows share the same sort so
+    Catalyst evaluates them in a single Window operator."""
+    ev = io.table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(
+        F.col("ts").cast("timestamp").cast("long")
+    ).over(w)
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("int")
+        .alias("session_seq"),
+    )

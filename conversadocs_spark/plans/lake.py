@@ -175,3 +175,44 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# latest-per-key compaction (CDC log -> current snapshot)
+# --------------------------------------------------------------------------
+
+_LATEST_ORACLE = """
+SELECT o_custkey                  AS custkey,
+       o_orderkey                 AS latest_orderkey,
+       o_orderdate                AS latest_orderdate,
+       round(o_totalprice, 2)     AS latest_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC,
+                                    o_orderkey DESC) = 1
+"""
+
+
+@register("latest_per_key", oracle=_LATEST_ORACLE, tags=("lake",))
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state snapshot from an append log: the latest order per
+    customer (ties on the date broken by orderkey) — the compaction
+    read every CDC/log-structured table needs.
+
+    max_by over a struct = ONE partial-aggregated shuffle; the
+    window-rank formulation of the same query shuffles every log row
+    to sort full partitions. At 100 TB of log the difference is the
+    whole game, which is why this registers as its own operator
+    rather than a window_rank variant."""
+    o = io.table(spark, sf_dir, "orders")
+    latest = F.max_by(
+        F.struct("o_orderkey", "o_totalprice"),
+        F.struct("o_orderdate", "o_orderkey"),
+    )
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        latest.getField("o_orderkey").alias("latest_orderkey"),
+        F.max("o_orderdate").alias("latest_orderdate"),
+        F.round(latest.getField("o_totalprice"), 2).alias(
+            "latest_totalprice"
+        ),
+    )

@@ -154,3 +154,54 @@ def test_dq_audit_detects_exactly_injected_violations(spark, sf_dir):
     # the fixture's real data is clean on the un-injected rules
     assert got["dup_customer_key"] == 0
     assert got["negative_quantity"] == 0
+
+
+def test_sessionize_gap_semantics(spark, sf_dir):
+    rows = QUERIES["sessionize"](spark, sf_dir).collect()
+    per_user: dict[int, list] = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert per_user
+    saw_multi_session = False
+    for series in per_user.values():
+        series.sort(key=lambda r: (r.ts, r.event_id))
+        assert series[0].session_seq == 1  # first event opens session 1
+        for a, b in zip(series, series[1:]):
+            gap = (b.ts - a.ts).total_seconds()
+            if gap > 1800:
+                assert b.session_seq == a.session_seq + 1
+                saw_multi_session = True
+            else:
+                assert b.session_seq == a.session_seq
+    assert saw_multi_session  # fixture actually contains gaps
+
+
+def test_latest_per_key_matches_python(spark, sf_dir):
+    orders = io.table(spark, sf_dir, "orders").collect()
+    expected = {}
+    for o in orders:
+        k = o.o_custkey
+        cand = (o.o_orderdate, o.o_orderkey, round(o.o_totalprice, 2))
+        if k not in expected or cand[:2] > expected[k][:2]:
+            expected[k] = cand
+    got = {
+        r.custkey: (r.latest_orderdate, r.latest_orderkey,
+                    r.latest_totalprice)
+        for r in QUERIES["latest_per_key"](spark, sf_dir).collect()
+    }
+    assert got == {
+        k: (d, o, p) for k, (d, o, p) in expected.items()
+    }
+
+
+def test_unpivot_is_lossless_reshape(spark, sf_dir):
+    parts = io.table(spark, sf_dir, "part").collect()
+    rows = QUERIES["agg_unpivot"](spark, sf_dir).collect()
+    assert len(rows) == 2 * len(parts)
+    by_part: dict[int, dict] = {}
+    for r in rows:
+        by_part.setdefault(r.p_partkey, {})[r.attr] = r.val
+    for p in parts:
+        got = by_part[p.p_partkey]
+        assert got["p_size"] == float(p.p_size)
+        assert got["p_retailprice"] == round(p.p_retailprice, 6)
