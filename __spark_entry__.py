@@ -64,7 +64,7 @@ _DRIVER_ORDER = [
     # green r5; text_stats_by_lang + text_quality keep the family's
     # driver rows)
     "text_stats_by_lang",
-    "vocab_topk", "gopher_repetition", "lm_bigram_score",
+    "lm_bigram_score",
     # lake / table maintenance (r6 continuation: CDC MERGE, SCD2
     # history, seeded weighted sampling — all new, rotated in)
     "merge_upsert", "scd2_history", "weighted_sample",
@@ -79,6 +79,9 @@ _DRIVER_ORDER = [
     # log-compaction snapshot (displacing text_quality / pii_redact /
     # udaf_price_range — green driver rows r5 or earlier)
     "sessionize", "agg_unpivot", "latest_per_key",
+    # wave 4: trailing-baseline anomaly scoring + market-basket lift
+    # (displacing vocab_topk / gopher_repetition — green rows r6)
+    "anomaly_zscore", "basket_lift",
     # training-data pipeline (all oracle-checked; span_dedup new in r6
     # — never driver-recorded, so it takes agg_rollup's slot per the
     # COVERAGE.md rotation policy)
@@ -123,6 +126,7 @@ _DRIVER_ORDER = [
     "corpus_split_shuffle", "stratified_sample",
     "text_stats", "lang_id", "doc_fingerprint",
     "text_quality", "pii_redact", "udaf_price_range",
+    "vocab_topk", "gopher_repetition",
     "ann_topk", "ann_ivf", "window_analytic", "window_frame",
     "join_semi", "join_anti", "join_range", "agg_distinct",
     "agg_global", "vector_centroid",

@@ -445,3 +445,173 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("session_seq"),
     )
+
+
+# --------------------------------------------------------------------------
+# anomaly detection: z-score vs trailing baseline
+# --------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, win_start, n_events,
+           count(*)              OVER w AS base_n,
+           sum(n_events)         OVER w AS s1,
+           sum(n_events * n_events) OVER w AS s2
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY win_start
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, win_start, n_events,
+       round((n_events - CAST(s1 AS DOUBLE) / base_n)
+             / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / base_n)
+                    / (base_n - 1)), 6) AS zscore
+FROM stats
+WHERE base_n >= 12
+  AND (s2 - CAST(s1 AS DOUBLE) * s1 / base_n) > 0
+"""
+
+
+@register("anomaly_zscore", oracle=_ANOMALY_ORACLE, tags=("analytics",))
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly event counts scored against their own trailing
+    24-hour baseline: z = (x - mean) / std over the PRECEDING frame
+    (current bucket excluded, so a spike can't mask itself). Rows need
+    >= 12 baseline buckets and nonzero variance.
+
+    The baseline moments are integer window sums (count/sum/sum-sq
+    over counts — exact at any scale); mean/variance derive from them
+    in one deterministic double expression, so no float-accumulation
+    drift. One shuffle to hourly buckets (map-side partial agg over
+    raw events), one bucket-count-sized window pass."""
+    ev = io.table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.window("ts", "1 hour").alias("win")
+    ).agg(F.count("*").alias("n_events")).select(
+        "event_type", F.col("win.start").alias("win_start"), "n_events"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("win_start")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "win_start",
+        "n_events",
+        F.count("*").over(w).alias("base_n"),
+        F.sum("n_events").over(w).alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("base_n")
+    var = (
+        F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("base_n")
+    ) / (F.col("base_n") - 1)
+    return (
+        stats.where(
+            (F.col("base_n") >= 12)
+            & (
+                F.col("s2")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("base_n")
+                > 0
+            )
+        )
+        .select(
+            "event_type",
+            "win_start",
+            "n_events",
+            F.round((F.col("n_events") - mean) / F.sqrt(var), 6).alias(
+                "zscore"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# market-basket co-occurrence with lift
+# --------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS pair_n
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+part_n AS (
+    SELECT l_partkey, count(*) AS n FROM baskets GROUP BY 1
+),
+total AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets)
+SELECT p.part_a, p.part_b, p.pair_n,
+       round(CAST(p.pair_n AS DOUBLE) * t.n_orders
+             / (na.n * CAST(nb.n AS DOUBLE)), 6) AS lift
+FROM pairs p
+JOIN part_n na ON na.l_partkey = p.part_a
+JOIN part_n nb ON nb.l_partkey = p.part_b
+CROSS JOIN total t
+WHERE p.pair_n >= 3
+"""
+
+
+@register("basket_lift", oracle=_BASKET_ORACLE, tags=("analytics",))
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: parts bought together in one
+    order, with lift = P(a,b) / (P(a) P(b)); pairs seen >= 3 times.
+
+    The self-join is keyed on l_orderkey, so fan-out is C(items, 2)
+    PER ORDER — bounded by basket size (~7 here), i.e. linear in
+    orders, not quadratic in parts. Per-part frequencies broadcast
+    (part-count-sized); the total is a 1-row broadcast. This is the
+    co-occurrence shape recommendation pipelines run at full scale."""
+    li = io.table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_n"))
+        .where(F.col("pair_n") >= 3)
+    )
+    part_n = baskets.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    total = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    return (
+        pairs.join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("part_a"),
+                                      F.col("n").alias("na"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("part_b"),
+                                      F.col("n").alias("nb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            F.round(
+                F.col("pair_n").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -27,7 +27,13 @@ if REPO_ROOT not in sys.path:
 
 #: oracle is brute-force-quadratic over the full table: skip the
 #: DuckDB side at scale, still execute + count the Spark side
-QUADRATIC_ORACLES = {"dedup_minhash", "dedup_clusters", "dedup_incremental"}
+QUADRATIC_ORACLES = {
+    "dedup_minhash", "dedup_clusters", "dedup_incremental",
+    # not quadratic, but DuckDB's planner takes ~390 s on the
+    # compound-predicate self-join at 6M baskets (Spark side: 9 s);
+    # the sf0.01 driver check still runs the full hash compare
+    "basket_lift",
+}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "

@@ -205,3 +205,65 @@ def test_unpivot_is_lossless_reshape(spark, sf_dir):
         got = by_part[p.p_partkey]
         assert got["p_size"] == float(p.p_size)
         assert got["p_retailprice"] == round(p.p_retailprice, 6)
+
+
+def test_anomaly_zscore_flags_known_spike(spark, sf_dir):
+    rows = QUERIES["anomaly_zscore"](spark, sf_dir).collect()
+    assert rows
+    # moments re-derived in Python for a sample of rows
+    hourly = {}
+    for e in io.table(spark, sf_dir, "events").collect():
+        key = (e.event_type,
+               e.ts.replace(minute=0, second=0, microsecond=0))
+        hourly[key] = hourly.get(key, 0) + 1
+    by_type: dict[str, list] = {}
+    for (t, h), n in hourly.items():
+        by_type.setdefault(t, []).append((h, n))
+    import math
+
+    expected = {}
+    for t, series in by_type.items():
+        series.sort()
+        for i, (h, n) in enumerate(series):
+            base = [x for _, x in series[max(0, i - 24):i]]
+            if len(base) < 12:
+                continue
+            mean = sum(base) / len(base)
+            var = sum((x - mean) ** 2 for x in base) / (len(base) - 1)
+            if var <= 0:
+                continue
+            expected[(t, h)] = (n - mean) / math.sqrt(var)
+    got = {(r.event_type, r.win_start): r.zscore for r in rows}
+    assert set(got) == set(expected)
+    for k, z in got.items():
+        assert abs(z - expected[k]) < 1e-4
+
+
+def test_basket_lift_matches_python(spark, sf_dir):
+    li = io.table(spark, sf_dir, "lineitem").collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    from collections import Counter
+
+    pair_n = Counter()
+    part_n = Counter()
+    for items in baskets.values():
+        for p in items:
+            part_n[p] += 1
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair_n[(s[i], s[j])] += 1
+    n_orders = len(baskets)
+    expected = {
+        k: (n, round(n * n_orders / (part_n[k[0]] * part_n[k[1]]), 6))
+        for k, n in pair_n.items()
+        if n >= 3
+    }
+    got = {
+        (r.part_a, r.part_b): (r.pair_n, r.lift)
+        for r in QUERIES["basket_lift"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got  # non-vacuous
