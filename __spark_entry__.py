@@ -105,7 +105,12 @@ _DRIVER_ORDER = [
     # structured sources (rotated in per r5 verdict, same reason;
     # corrupt-tolerant scan new in r6 continuation)
     "scan_csv_roundtrip", "scan_json_roundtrip",
-    "scan_json_corrupt_tolerant",
+    "scan_json_corrupt_tolerant", "scan_orc_roundtrip",
+    # text normalization + the mapInArrow fast path (oracle-backed,
+    # new in this continuation — never driver-recorded, rotated in;
+    # out go join_skew_salted / agg_skew_distinct /
+    # rag_answer_pipeline, each green r2/r4/r5)
+    "text_normalize", "arrow_text_stats",
     # joins (join_left/right/full rotated to the tail: green driver rows
     # in r1/r2/r4/r5; join_inner rotated to the tail too — green
     # r1-r5; join_fuzzy = new edit-distance-blocked join;
@@ -114,12 +119,10 @@ _DRIVER_ORDER = [
     # join_interval_attrib = new stream-stream batch twin, rotated in)
     "join_star", "join_asof", "join_interval_attrib",
     "join_fuzzy", "resample_gapfill",
-    # skew mitigation
-    "join_skew_salted", "agg_skew_distinct",
-    # composed RAG pipeline (summarize_mapreduce rotated to the tail:
-    # green driver rows since r2)
-    "rag_answer_pipeline",
     # --- 50 ---
+    # skew mitigation + composed RAG rotated to the tail this
+    # continuation (green driver rows r2/r4/r5) to make room above
+    "join_skew_salted", "agg_skew_distinct", "rag_answer_pipeline",
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
     "chunk_fixed", "udf_token_count", "tfidf_top_terms",
     "window_rank", "agg_collect_stuff",

@@ -138,6 +138,44 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORC_ORACLE = """
+SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+       l_extendedprice, l_returnflag, l_shipdate
+FROM lineitem
+WHERE l_orderkey % 199 = 0
+"""
+
+
+@register("scan_orc_roundtrip", oracle=_ORC_ORACLE, tags=("ingest",))
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source: stage a lineitem slice as ORC and read it back —
+    the third columnar format a lakehouse ingests alongside parquet
+    (Hive-era warehouses hand over ORC far more often than CSV). The
+    oracle reads the parquet ground truth, so the value-hash proves
+    the ORC write+read preserved doubles, TIMESTAMP_NTZ, and strings
+    cell-for-cell through ORC's own encoders (RLE v2, dictionary,
+    timestamp epoch-join) — the parts that differ from parquet.
+
+    Scale shape: identical to scan_parquet — columnar, splittable,
+    predicate-pushdown-capable; the slice filter is applied before the
+    write so the staged file is the slice, and the read-back plan is a
+    plain pruned columnar scan."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"orc_{tag}")
+    cols = [
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_shipdate",
+    ]
+    (
+        io.table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 199 == 0)
+        .select(*cols)
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    return spark.read.orc(path).select(*cols)
+
+
 @register("index_build_overwrite", tags=("ingest", "rows-only"))
 def index_build_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R7/R8 lifecycle: build the chunk+embedding index from a small

@@ -6,6 +6,7 @@ dedup).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -794,4 +795,87 @@ def heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         heavy_hitters(terms, "term", k=200)
         .orderBy(F.desc("est"), F.asc("term"))
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization (NFC) — the first step of every crawl cleaner
+# --------------------------------------------------------------------------
+
+# The fixture corpus is ASCII, so the query injects deterministic
+# non-NFC suffixes in-plan (same trick as pii_redact's injection):
+# decomposed e+combining-acute, precomposed é, the fi ligature (NFC
+# leaves it — the classic "normalize did nothing" trap NFKC would
+# change), and A+combining-ring. Both engines inject the identical
+# bytes, so the hash check proves the NORMALIZATION, not the fixture.
+_NFC_CASES = [
+    (0, " café"),        # e + U+0301 -> é (shrinks)
+    (1, " éclair"),       # already NFC (must be unchanged)
+    (2, " ﬁle"),          # fi ligature (NFC-invariant)
+    (3, " Åberg"),       # A + U+030A -> Å (shrinks)
+]
+
+_NORMALIZE_ORACLE = (
+    "SELECT doc_id,\n"
+    "       CAST(length(injected) AS INTEGER)  AS n_before,\n"
+    "       CAST(length(normed) AS INTEGER)    AS n_after,\n"
+    "       right(normed, 6)                   AS tail\n"
+    "FROM (\n"
+    "  SELECT doc_id, injected, nfc_normalize(injected) AS normed\n"
+    "  FROM (\n"
+    "    SELECT doc_id, text || CASE CAST(doc_id % 4 AS INTEGER)\n"
+    + "".join(
+        f"      WHEN {i} THEN '{s}'\n" for i, s in _NFC_CASES
+    )
+    + "    END AS injected\n"
+    "    FROM documents\n"
+    "  )\n"
+    ")\n"
+)
+
+
+@register("text_normalize", oracle=_NORMALIZE_ORACLE, tags=("text",))
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the step every multilingual crawl
+    pipeline runs before tokenization/dedup (bytes that render
+    identically must hash identically, or exact-dedup silently splits
+    duplicates). Spark has no NFC built-in, so this is an Arrow-batched
+    pandas_udf over ``unicodedata.normalize`` — a narrow map, no
+    shuffle; at 100 TB it costs one Python pass over the text column
+    and nothing else.
+
+    Oracle-checked against DuckDB's ``nfc_normalize`` on byte-identical
+    injected inputs: two INDEPENDENT Unicode implementations (CPython's
+    unicodedata vs DuckDB's utf8proc) must agree cell-for-cell on
+    composition, invariance, and character counts.
+    """
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None
+            if t is None
+            else unicodedata.normalize("NFC", t)
+        )
+
+    inj = F.col("text")
+    case = F.when(F.lit(False), F.lit(""))
+    for i, suffix in _NFC_CASES:
+        case = case.when(
+            (F.col("doc_id") % 4).cast("int") == i, F.lit(suffix)
+        )
+    d = io.table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", F.concat(inj, case).alias("injected")
+        )
+        .select("doc_id", nfc(F.col("injected")).alias("normed"),
+                F.length("injected").alias("n_before"))
+        .select(
+            "doc_id",
+            F.col("n_before").cast("int").alias("n_before"),
+            F.length("normed").cast("int").alias("n_after"),
+            F.substring("normed", -6, 6).alias("tail"),
+        )
     )

@@ -283,6 +283,64 @@ def grouped_map_partitionwise(
     )
 
 
+# --------------------------------------------------------------------------
+# mapInArrow: zero-copy Arrow-native batch map — oracle-checked
+# --------------------------------------------------------------------------
+
+_ARROW_STATS_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER)
+           AS n_tokens,
+       CAST(length(text) AS INTEGER)               AS n_chars,
+       CAST(length(text) - length(replace(text, chr(10), ''))
+            AS INTEGER)                            AS n_newlines
+FROM documents
+"""
+
+
+@register("arrow_text_stats", oracle=_ARROW_STATS_ORACLE, tags=("udf",))
+def arrow_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` text statistics: the FASTEST Python interop path
+    Spark has — RecordBatches flow Arrow->Arrow with no pandas
+    conversion (no object-dtype string boxing, the hidden cost of
+    mapInPandas on text), and every kernel below is a vectorized C++
+    pyarrow.compute call, so the Python layer only orchestrates.
+
+    Completes the Python-surface matrix (scalar pandas_udf / UDAF /
+    applyInPandas / mapInPandas / UDTF / mapInArrow) and is the
+    template for the 100 TB hot path when a corpus pass genuinely
+    needs Python: narrow map, no shuffle, O(batch) Python overhead
+    independent of row width. Oracle-checked cell-for-cell against
+    DuckDB regexes, proving the Arrow kernels' token/char/newline
+    semantics match ANSI-SQL string functions exactly."""
+    import pyarrow as pa
+
+    def stats(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(
+                        pc.count_substring_regex(text, r"\S+"), pa.int32()
+                    ),
+                    pc.cast(pc.utf8_length(text), pa.int32()),
+                    pc.cast(pc.count_substring(text, "\n"), pa.int32()),
+                ],
+                names=["doc_id", "n_tokens", "n_chars", "n_newlines"],
+            )
+
+    d = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        stats,
+        schema=(
+            "doc_id long, n_tokens int, n_chars int, n_newlines int"
+        ),
+    )
+
+
 pickle_module_by_value(__name__)
 
 

@@ -217,3 +217,19 @@ def test_corrupt_json_lines_are_quarantined_verbatim(spark):
     for r in rows:
         assert r["_corrupt_record"].startswith("{oops")
         assert r["event_type"] is None and r["value"] is None
+
+
+def test_orc_roundtrip_matches_oracle_and_writes_orc(spark):
+    """The staged ORC slice must parse back cell-identical to the
+    parquet ground truth, and the staged files must really be ORC
+    (not a silently-defaulted format)."""
+    import glob
+    import os
+
+    from conversadocs_spark.plans.ingestion import _SCRATCH
+    from tests.conftest import SF_ORACLE
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, "scan_orc_roundtrip", SF_ORACLE)
+    files = glob.glob(os.path.join(_SCRATCH, "orc_sf0.01", "part-*"))
+    assert files and all(f.endswith(".orc") for f in files)

@@ -149,3 +149,25 @@ def test_scaled_integer_money_path_is_exact(spark, sf_oracle_dir):
         F.round(sum_scaled(disc_price_e4(), 10000), 4).alias("i"),
     ).first()
     assert dec_sum == int_sum
+
+
+def test_arrow_text_stats_matches_pure_python(spark, sf_dir):
+    """mapInArrow kernel semantics pinned against a plain-Python
+    recompute on the same rows (the oracle sweep separately checks it
+    against DuckDB regexes at sf0.01)."""
+    import re
+
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chars"], r["n_newlines"])
+        for r in QUERIES["arrow_text_stats"](spark, sf_dir).collect()
+    }
+    for row in io.table(spark, sf_dir, "documents").collect():
+        want = (
+            len(re.findall(r"\S+", row["text"])),
+            len(row["text"]),
+            row["text"].count("\n"),
+        )
+        assert got[row["doc_id"]] == want

@@ -255,3 +255,27 @@ def test_corpus_clean_composition(spark, sf_oracle_dir):
         and lang.get(d % 1000000) == "en"
     }
     assert {r.doc_id for r in cleaned} == expected
+
+
+def test_text_normalize_nfc_semantics(spark, sf_oracle_dir):
+    """NFC value semantics, independent of the oracle: decomposed
+    suffixes (doc_id%4 in {0,3}) must SHRINK by exactly one char,
+    precomposed and ligature suffixes (1, 2) must be byte-unchanged;
+    the normalized tails are the expected composed strings."""
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["text_normalize"](spark, sf_oracle_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        mod = r["doc_id"] % 4
+        delta = r["n_before"] - r["n_after"]
+        if mod in (0, 3):
+            assert delta == 1, r
+        else:
+            assert delta == 0, r
+        if mod == 0:
+            assert r["tail"].endswith("café")
+        elif mod == 3:
+            assert r["tail"].endswith("Åberg")
+        elif mod == 2:
+            assert r["tail"].endswith("ﬁle")
