@@ -511,3 +511,32 @@ def knn_label_eval(spark, sf_dir):
         "predicted",
         (F.col("true_label") == F.col("predicted")).alias("correct"),
     )
+
+
+@register("ann_pq", tags=("vector", "rows-only"))
+def ann_pq(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py), the MEMORY scale
+    path for R9: the corpus is stored as m=8 one-byte codes per
+    vector (32x smaller than dim=64 float32), queries scan codes via
+    ADC lookup tables and exact cosine re-ranks only the top-96 pool.
+
+    Approximate by design -> no SQL oracle;
+    tests/test_vector.py::test_pq_recall_at_3 enforces recall@3 >= 0.8
+    vs exact `knn_per_query` on the uniform-random fixtures (the PQ
+    worst case: quantization error is maximal when subspace mass is
+    uniform). Carries the same in-plan ``recall_at_k`` audit as
+    `ann_topk`/`ann_ivf` (floor 0.8, 0 rows on drift) so the driver's
+    rows-only count observes retrieval quality."""
+    from conversadocs_spark.operators.pq import pq_topk
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    ann = pq_topk(
+        corpus, queries, k=3, m=8, ksub=16, pool=96, refine_iters=2
+    )
+    exact = knn_per_query(corpus, queries, k=3)
+    return _with_recall_audit(ann, exact, k=3, floor=0.8)
