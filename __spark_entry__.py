@@ -158,6 +158,9 @@ _DRIVER_ORDER = [
     # rows-only by design; NumPy-reference and MG-bound tests pin
     # values locally)
     "graph_pagerank", "heavy_hitters_terms",
+    # distributed BPE merge training (iterative driver loop, rows-only;
+    # merge sequence pinned against the pure-Python Sennrich reference)
+    "bpe_train",
 ]
 
 

@@ -1,0 +1,148 @@
+"""Distributed BPE (byte-pair-encoding) merge training — the
+tokenizer-training step of an LLM data pipeline (Sennrich, Haddow,
+Birch, "Neural Machine Translation of Rare Words with Subword Units",
+ACL 2016), downstream of `vocab_topk`'s word counting.
+
+Why this shape scales: BPE statistics live on the DISTINCT-WORD table
+(Heaps' law: ~10^6-10^8 words for a 100 TB corpus), not the corpus.
+The corpus is read exactly once to build (word, freq); every merge
+iteration after that is
+
+    explode adjacent symbol pairs (weighted by word freq)
+    -> one partial-aggregated groupBy(pair) over vocab-sized data
+    -> a 1-ROW driver collect of the argmax pair (the merge rule)
+    -> a narrow-map fold over the vocab applying the merge
+    -> localCheckpoint (truncates the per-iteration expression
+       lineage, same discipline as operators/components.py)
+
+so the driver never holds data, and per-iteration cost is independent
+of corpus size. The merge application is a left fold
+(``F.aggregate``) implementing the standard greedy non-overlapping
+left-to-right replacement; pair counting counts overlapping adjacent
+occurrences — both exactly the reference algorithm's semantics
+(pinned value-for-value against a pure-Python Sennrich implementation
+in tests/test_text.py).
+
+Determinism: the argmax tie-break is (count desc, left asc, right
+asc), and word frequencies are exact integers, so the merge sequence
+is a pure function of the corpus — partition- and retry-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over lowercase alphabetic words — one corpus pass,
+    map-side-combined aggregate; the only corpus-sized step."""
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+
+
+def _init_syms(word: Column) -> Column:
+    """word -> [c1, c2, ..., cn, '</w>'] (the classic end-of-word
+    marker so merges can learn suffixes)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i, F.lit(1)),
+    )
+    return F.concat(chars, F.array(F.lit(END_OF_WORD)))
+
+
+def _pairs(syms: Column) -> Column:
+    """All OVERLAPPING adjacent pairs as structs (empty for 1-symbol
+    words — sequence(0, -1) would be DESCENDING, the pinned Spark
+    edge case from gopher_repetition)."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda i: F.struct(
+                F.get(syms, i).alias("left"),
+                F.get(syms, i + 1).alias("right"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy non-overlapping left-to-right replacement of the
+    adjacent pair (left, right) with left||right, as a left fold.
+    ``F.get`` (0-indexed, null out of bounds) keeps the peek at the
+    accumulator's last element ANSI-safe on the empty prefix."""
+    merged = left + right
+
+    def step(acc: Column, x: Column) -> Column:
+        last = F.get(acc, F.size(acc) - 1)
+        hit = last.eqNullSafe(F.lit(left)) & (x == F.lit(right))
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        syms, F.array().cast("array<string>"), step
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 40,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``n_merges`` merge rules; returns
+    [(step, left, right, pair_count), ...] in training order.
+
+    Stops early when the best pair's weighted count falls below
+    ``min_pair_count`` (merging singletons learns noise). The returned
+    list IS the tokenizer model — applying rules in order re-tokenizes
+    any text.
+    """
+    spark = docs.sparkSession
+    vocab = (
+        word_counts(docs, text_col=text_col)
+        .select("word", "freq", _init_syms(F.col("word")).alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step_i in range(n_merges):
+        best = (
+            vocab.select("freq", F.explode(_pairs(F.col("syms"))).alias("p"))
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+            .orderBy(
+                F.desc("pair_count"), F.asc("left"), F.asc("right")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < min_pair_count:
+            break
+        left, right, cnt = (
+            best[0]["left"], best[0]["right"], best[0]["pair_count"]
+        )
+        merges.append((step_i, left, right, cnt))
+        vocab = vocab.select(
+            "word",
+            "freq",
+            _apply_merge(F.col("syms"), left, right).alias("syms"),
+        ).localCheckpoint()
+    vocab.unpersist()
+    return merges

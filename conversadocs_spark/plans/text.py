@@ -879,3 +879,29 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("normed", -6, 6).alias("tail"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (tokenizer training over the corpus)
+# --------------------------------------------------------------------------
+
+
+@register("bpe_train", tags=("text", "rows-only"))
+def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 40 BPE merge rules from the corpus
+    (operators/bpe.py, Sennrich et al. ACL 2016): the tokenizer-
+    training step downstream of `vocab_topk`. Iterative driver loop
+    (1-row argmax collect per merge) -> rows-only by design;
+    tests/test_text.py::test_bpe_train_matches_python_reference pins
+    the merge sequence value-for-value against a pure-Python Sennrich
+    implementation on the same word counts.
+
+    Scale: every iteration runs over the DISTINCT-WORD table, not the
+    corpus (see operators/bpe.py docstring) — corpus is read once."""
+    from conversadocs_spark.operators.bpe import bpe_train
+
+    d = io.table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=40, min_pair_count=2)
+    return spark.createDataFrame(
+        merges, schema="step int, left string, right string, pair_count bigint"
+    )

@@ -279,3 +279,54 @@ def test_text_normalize_nfc_semantics(spark, sf_oracle_dir):
             assert r["tail"].endswith("Åberg")
         elif mod == 2:
             assert r["tail"].endswith("ﬁle")
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed BPE merge sequence must equal, rule for rule
+    and count for count, the classic pure-Python Sennrich algorithm
+    run on the same word frequencies (overlapping pair counts, greedy
+    non-overlapping replacement, (count desc, left, right) ties)."""
+    import re
+    from collections import Counter
+
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.bpe import bpe_train
+
+    docs = io.table(spark, sf_dir, "documents")
+    got = bpe_train(docs, n_merges=25, min_pair_count=2)
+
+    freqs = Counter()
+    for row in docs.collect():
+        for w in re.findall(r"[a-z]+", row["text"].lower()):
+            freqs[w] += 1
+    vocab = {w: list(w) + ["</w>"] for w in freqs}
+    want = []
+    for step in range(25):
+        stats = Counter()
+        for w, syms in vocab.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        if not stats:
+            break
+        (left, right), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        want.append((step, left, right, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == want
