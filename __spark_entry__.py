@@ -87,6 +87,9 @@ _DRIVER_ORDER = [
     # COVERAGE.md rotation policy)
     "contamination_ngram", "span_dedup",
     "sample_group_topk", "length_histogram", "quality_filter_stack",
+    # k-fold CV assignment (oracle-backed, new — rotated in; out goes
+    # agg_grouped, green r1-r5)
+    "kfold_split",
     # chunking (chunk_fixed rotated to the tail: green rows r1-r5;
     # the UDTF form keeps the family's driver row)
     "udtf_chunk_fixed",
@@ -100,7 +103,6 @@ _DRIVER_ORDER = [
     # (agg_distinct, agg_global rotated to the tail: green rows
     # r1/r2/r4/r5)
     # (agg_collect_stuff rotated to the tail: green rows r2-r5)
-    "agg_grouped",
     "agg_percentile", "agg_pivot",
     # structured sources (rotated in per r5 verdict, same reason;
     # corrupt-tolerant scan new in r6 continuation)
@@ -122,6 +124,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     # skew mitigation + composed RAG rotated to the tail this
     # continuation (green driver rows r2/r4/r5) to make room above
+    "agg_grouped",
     "join_skew_salted", "agg_skew_distinct", "rag_answer_pipeline",
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
     "chunk_fixed", "udf_token_count", "tfidf_top_terms",

@@ -764,3 +764,36 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# k-fold cross-validation assignment
+# --------------------------------------------------------------------------
+
+_KFOLD_ORACLE = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5('cv42:' || CAST(doc_id AS VARCHAR)),
+                            1, 6))::BIGINT % 5 AS INTEGER) AS fold
+FROM documents
+"""
+
+
+@register("kfold_split", oracle=_KFOLD_ORACLE, tags=("pipeline",))
+def kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment: fold =
+    seeded-md5(doc_id) interpreted as a hex int, mod k. Same
+    partition-invariance/retry-reproducibility argument as
+    `corpus_split_shuffle`; the mod-k form (vs hex-band thresholds)
+    gives EXACTLY uniform expected fold mass for any k, which band
+    boundaries on 2 hex digits cannot. Fold i's training set is a
+    cheap ``fold != i`` filter — no data movement to realize a fold,
+    which is the property that matters when the corpus is 100 TB and
+    you need 5 train/eval passes over it."""
+    d = io.table(spark, sf_dir, "documents")
+    h6 = F.substring(_seeded_md5("cv42:", F.col("doc_id")), 1, 6)
+    return d.select(
+        "doc_id",
+        (F.conv(h6, 16, 10).cast("bigint") % 5)
+        .cast("int")
+        .alias("fold"),
+    )

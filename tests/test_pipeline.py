@@ -492,3 +492,18 @@ def test_group_topk_survives_adversarial_salting(spark, tmp_path):
     assert got == want
     assert sum(1 for _, l, _r in got if l == "x") == 20
     assert sum(1 for _, l, _r in got if l == "z") == 3
+
+
+def test_kfold_split_is_exhaustive_disjoint_balanced(spark, sf_oracle_dir):
+    """Every doc lands in exactly one of 5 folds, and the fold masses
+    are within 2x of each other (hash uniformity at n=500)."""
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["kfold_split"](spark, sf_oracle_dir).collect()
+    assert len(rows) == 500
+    assert len({r["doc_id"] for r in rows}) == 500
+    from collections import Counter
+
+    sizes = Counter(r["fold"] for r in rows)
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    assert max(sizes.values()) < 2 * min(sizes.values())
