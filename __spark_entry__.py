@@ -164,6 +164,8 @@ _DRIVER_ORDER = [
     # distributed BPE merge training (iterative driver loop, rows-only;
     # merge sequence pinned against the pure-Python Sennrich reference)
     "bpe_train",
+    # distributed PCA (rows-only; numpy-parity + invariant tests)
+    "embed_pca",
 ]
 
 

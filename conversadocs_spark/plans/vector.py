@@ -540,3 +540,26 @@ def ann_pq(spark, sf_dir):
     )
     exact = knn_per_query(corpus, queries, k=3)
     return _with_recall_audit(ann, exact, k=3, floor=0.8)
+
+
+@register("embed_pca", tags=("vector", "rows-only"))
+def embed_pca(spark, sf_dir):
+    """Distributed PCA to 8 components over the embeddings corpus
+    (operators/pca.py): per-Arrow-batch Gram matrices -> one d x d
+    covariance on the driver (a 32 KB model statistic, not data) ->
+    eigh -> projection as pure Catalyst dot products. Rows-only
+    (eigendecomposition has no ANSI-SQL form);
+    tests/test_vector.py::test_pca_matches_numpy pins mean/components/
+    projections value-for-value against numpy PCA on the same rows,
+    and the variance-ordering/orthonormality invariants."""
+    from conversadocs_spark.operators.pca import pca_fit, pca_project
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    mean, comps, _var = pca_fit(emb, n_components=8)
+    proj = pca_project(emb, mean, comps)
+    return proj.select(
+        "vec_id",
+        F.transform("projected", lambda x: F.round(x, 6)).alias(
+            "projected"
+        ),
+    )

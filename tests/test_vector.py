@@ -285,3 +285,43 @@ def test_pq_encode_no_exchange(spark, sf_oracle_dir):
     )[0]
     assert "Exchange" not in corpus_side, corpus_side
     assert "Window" not in plan and "row_number" not in plan
+
+
+def test_pca_matches_numpy(spark, sf_oracle_dir):
+    """pca_fit's mean/covariance eigensystem and pca_project's
+    Catalyst projections must match a straight numpy PCA on the
+    collected rows (same sign convention), and the model must satisfy
+    the PCA invariants: descending explained variance, orthonormal
+    components."""
+    import numpy as np
+
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.pca import pca_fit, pca_project
+
+    emb = io.table(spark, sf_oracle_dir, "embeddings")
+    mean, comps, var = pca_fit(emb, n_components=8)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    np.testing.assert_allclose(mean, x.mean(axis=0), atol=1e-9)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    want = evecs[:, order].T
+    for j in range(8):
+        k = int(np.argmax(np.abs(want[j])))
+        if want[j, k] < 0:
+            want[j] = -want[j]
+    np.testing.assert_allclose(comps, want, atol=1e-7)
+    # invariants
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(7))
+    np.testing.assert_allclose(comps @ comps.T, np.eye(8), atol=1e-9)
+    # projections
+    got = {
+        r["vec_id"]: np.array(r["projected"])
+        for r in pca_project(emb, mean, comps).collect()
+    }
+    want_proj = (x - x.mean(axis=0)) @ want.T
+    ids = [r["vec_id"] for r in rows]
+    for i, vid in enumerate(ids):
+        np.testing.assert_allclose(got[vid], want_proj[i], atol=1e-6)
