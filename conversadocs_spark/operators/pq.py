@@ -252,7 +252,10 @@ def pq_topk(
         lambda j: F.transform(
             F.sequence(F.lit(0), F.lit(ksub - 1)),
             lambda c: F.coalesce(
-                F.element_at(
+                # F.get (0-indexed) returns NULL on the empty array a
+                # Lloyd-emptied cell produces — element_at would raise
+                # under ANSI mode
+                F.get(
                     F.transform(
                         F.filter(
                             F.col("cb"),
@@ -268,7 +271,7 @@ def pq_topk(
                             9,
                         ),
                     ),
-                    1,
+                    0,
                 ),
                 F.lit(-1e9),
             ),
