@@ -138,7 +138,8 @@ _DRIVER_ORDER = [
     "agg_global", "vector_centroid",
     "join_left", "join_right", "join_full", "agg_cube", "agg_rollup",
     "chunk_split", "chunk_sentences", "udf_embed_mock",
-    "agg_approx_distinct", "agg_percentile_approx", "seq_pack",
+    "agg_approx_distinct", "agg_percentile_approx",
+    "agg_hll_mergeable", "seq_pack",
     "dedup_simhash",
     "scan_project", "filter_pred", "string_funcs", "date_funcs",
     "math_funcs", "array_funcs", "json_funcs", "map_funcs",

@@ -439,3 +439,39 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="attr",
         valueColumnName="val",
     )
+
+
+@register("agg_hll_mergeable", tags=("agg", "approx"))
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Datasketches HLL via Spark
+    4's hll_sketch_agg / hll_union_agg): per-(event_type, day) user
+    sketches are built first, then UNIONED across days per type —
+    the two-level shape that matters at 100 TB: daily partitions
+    build sketches once (bytes, not user sets), and any later
+    rollup — weekly, monthly, all-time, cross-source — is a cheap
+    union of stored sketch blobs with NO re-scan of the raw events.
+    ``approx_count_distinct`` alone cannot do this: its estimate is
+    not a first-class value you can persist and re-merge.
+
+    Output carries the exact count alongside (exact_users) so the
+    estimate is auditable in-plan; rows-only by design (sketch
+    estimates are engine-specific);
+    tests/test_relational.py::test_hll_union_within_tolerance pins
+    rel-err <= 5% (lgConfigK=12 -> ~1.6% expected) and that the
+    union equals a direct one-level sketch of the same data."""
+    ev = io.table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sketch"))
+    merged = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg("sketch", F.lit(False))
+        ).cast("bigint").alias("est_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return merged.join(exact, on="event_type").select(
+        "event_type", "n_days", "est_users", "exact_users"
+    )

@@ -171,3 +171,35 @@ def test_arrow_text_stats_matches_pure_python(spark, sf_dir):
             row["text"].count("\n"),
         )
         assert got[row["doc_id"]] == want
+
+
+def test_hll_union_within_tolerance(spark, sf_oracle_dir):
+    """The two-level sketch (daily build -> union) must estimate
+    within 5% of the exact distinct count, and must equal the
+    one-level sketch of the same rows exactly (union of partial
+    sketches is lossless vs sketching everything at once — the
+    property that makes stored sketch blobs re-mergeable)."""
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["agg_hll_mergeable"](spark, sf_oracle_dir).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["est_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel <= 0.05, (r, rel)
+
+    from pyspark.sql import functions as F
+
+    ev = io.table(spark, sf_oracle_dir, "events")
+    one_level = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12))
+            .cast("bigint")
+            .alias("est")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r["est_users"] == one_level[r["event_type"]]
