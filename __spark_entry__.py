@@ -87,9 +87,9 @@ _DRIVER_ORDER = [
     # COVERAGE.md rotation policy)
     "contamination_ngram", "span_dedup",
     "sample_group_topk", "length_histogram", "quality_filter_stack",
-    # k-fold CV assignment (oracle-backed, new — rotated in; out goes
-    # agg_grouped, green r1-r5)
-    "kfold_split",
+    # k-fold CV assignment + scalable row ids (oracle-backed, new —
+    # rotated in; out go agg_grouped and join_star, green r1-r5)
+    "kfold_split", "stable_row_ids",
     # chunking (chunk_fixed rotated to the tail: green rows r1-r5;
     # the UDTF form keeps the family's driver row)
     "udtf_chunk_fixed",
@@ -119,12 +119,12 @@ _DRIVER_ORDER = [
     # resample_gapfill = new time-series conforming op)
     # (join_range rotated to the tail: green rows r2/r4/r5;
     # join_interval_attrib = new stream-stream batch twin, rotated in)
-    "join_star", "join_asof", "join_interval_attrib",
+    "join_asof", "join_interval_attrib",
     "join_fuzzy", "resample_gapfill",
     # --- 50 ---
     # skew mitigation + composed RAG rotated to the tail this
     # continuation (green driver rows r2/r4/r5) to make room above
-    "agg_grouped",
+    "agg_grouped", "join_star",
     "join_skew_salted", "agg_skew_distinct", "rag_answer_pipeline",
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
     "chunk_fixed", "udf_token_count", "tfidf_top_terms",

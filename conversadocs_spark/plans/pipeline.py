@@ -797,3 +797,67 @@ def kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("fold"),
     )
+
+
+# --------------------------------------------------------------------------
+# scalable contiguous row ids (global ordering without a global window)
+# --------------------------------------------------------------------------
+
+_ROWID_ORACLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+FROM documents
+"""
+
+
+@register("stable_row_ids", oracle=_ROWID_ORACLE, tags=("pipeline",))
+def stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0..n-1 row ids in doc_id order WITHOUT the global
+    window (``row_number() OVER (ORDER BY ...)`` lowers to Exchange
+    SinglePartition — one reducer sorts the entire corpus, the classic
+    100 TB deadend; ``monotonically_increasing_id`` is sparse and
+    layout-dependent, ``zipWithIndex`` leaves the DataFrame API).
+
+    The scalable lowering: range-repartition on the order key, number
+    rows WITHIN each range partition (a per-partition window), count
+    rows per partition (a partition-count-sized aggregate), turn the
+    counts into cumulative offsets (a window over the tiny count
+    table), and add offset + local rank. Deterministic wherever the
+    order key is a total order — range boundary placement only moves
+    rows between adjacent partitions, never changes the global
+    numbering. The driver-facing use: training-sample indices /
+    shard-stable example ids.
+
+    tests/test_pipeline.py pins the plan contract: the data-sized
+    window partitions by pid, and the only SinglePartition exchange
+    in the executed plan sits above the partition-count HashAggregate
+    (16 rows), never above a scan."""
+    from pyspark.sql import Window
+
+    d = io.table(spark, sf_dir, "documents").select("doc_id")
+    parts = d.repartitionByRange(16, F.col("doc_id")).select(
+        "doc_id", F.spark_partition_id().alias("pid")
+    )
+    w_local = Window.partitionBy("pid").orderBy("doc_id")
+    local = parts.select(
+        "doc_id", "pid",
+        (F.row_number().over(w_local) - 1).alias("local_rank"),
+    )
+    w_off = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "pid",
+            (F.sum("cnt").over(w_off) - F.col("cnt")).alias("offset"),
+        )
+    )
+    return local.join(F.broadcast(offsets), on="pid").select(
+        "doc_id",
+        (F.col("offset") + F.col("local_rank"))
+        .cast("bigint")
+        .alias("row_id"),
+    )

@@ -507,3 +507,25 @@ def test_kfold_split_is_exhaustive_disjoint_balanced(spark, sf_oracle_dir):
     sizes = Counter(r["fold"] for r in rows)
     assert set(sizes) == {0, 1, 2, 3, 4}
     assert max(sizes.values()) < 2 * min(sizes.values())
+
+
+def test_stable_row_ids_plan_has_no_global_data_window(
+    spark, sf_oracle_dir
+):
+    """The 100 TB contract for global numbering: the corpus-sized
+    window must partition by pid (range partitions), and every
+    SinglePartition exchange in the plan must feed directly off a
+    HashAggregate (the 16-row partition-count table) — a
+    SinglePartition above a scan would mean the one-reducer global
+    sort this operator exists to avoid."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["stable_row_ids"](spark, sf_oracle_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(pid" in plan
+    for frag in plan.split("Exchange SinglePartition")[1:]:
+        first_child = frag.split("+-", 1)[1].lstrip()
+        assert first_child.startswith(
+            ("HashAggregate", "*(")
+        ) and "HashAggregate" in first_child.split("\n", 1)[0], frag[:300]
