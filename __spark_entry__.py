@@ -90,12 +90,15 @@ _DRIVER_ORDER = [
     # k-fold CV assignment + scalable row ids (oracle-backed, new —
     # rotated in; out go agg_grouped and join_star, green r1-r5)
     "kfold_split", "stable_row_ids",
+    # mixture realization (oracle-backed, new — rotated in; out goes
+    # grouped_map_partitionwise, green r5, family keeps order_seq)
+    "mixture_realize",
     # chunking (chunk_fixed rotated to the tail: green rows r1-r5;
     # the UDTF form keeps the family's driver row)
     "udtf_chunk_fixed",
     # python kernels (udf_token_count rotated to the tail: green rows
     # r1-r5)
-    "grouped_map_order_seq", "grouped_map_partitionwise",
+    "grouped_map_order_seq",
     # ranking windows rotated wholly to the tail (window_rank green
     # r1-r5; window_analytic/window_frame green r2/r4/r5)
     # aggregates (agg_percentile / agg_pivot rotated in per r5 verdict:
@@ -124,7 +127,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     # skew mitigation + composed RAG rotated to the tail this
     # continuation (green driver rows r2/r4/r5) to make room above
-    "agg_grouped", "join_star",
+    "agg_grouped", "join_star", "grouped_map_partitionwise",
     "join_skew_salted", "agg_skew_distinct", "rag_answer_pipeline",
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
     "chunk_fixed", "udf_token_count", "tfidf_top_terms",

@@ -861,3 +861,115 @@ def stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("row_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# mixture realization: epoch-expand the corpus per source weights
+# --------------------------------------------------------------------------
+
+_MIXTURE_REALIZE_ORACLE = """
+WITH per_src AS (
+    SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS t, count(*) AS k FROM per_src),
+ep AS (
+    SELECT p.source,
+           round(least(CAST(tot.t AS DOUBLE) / (tot.k * p.n_tokens),
+                       4.0), 6) AS epochs
+    FROM per_src p, tot
+),
+expanded AS (
+    SELECT d.doc_id, d.source,
+           CAST(floor(ep.epochs) +
+                CASE WHEN (CAST(concat('0x',
+                          substr(md5('mx42:' || CAST(d.doc_id AS VARCHAR)),
+                                 1, 8)) AS UBIGINT) / 4294967296.0)
+                         < ep.epochs - floor(ep.epochs)
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+    FROM documents d JOIN ep USING (source)
+)
+SELECT doc_id, source, n_copies, CAST(g.c AS INTEGER) AS copy,
+       md5('mx42:' || CAST(doc_id AS VARCHAR) || ':'
+           || CAST(g.c AS VARCHAR))                  AS shuffle_key
+FROM expanded, LATERAL (SELECT unnest(range(n_copies)) AS c) g
+"""
+
+
+@register(
+    "mixture_realize", oracle=_MIXTURE_REALIZE_ORACLE, tags=("pipeline",)
+)
+def mixture_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize `source_mixture_weights` into the actual training
+    stream: each doc is repeated floor(epochs) times plus one seeded
+    Bernoulli copy with probability frac(epochs) — so a source with
+    epochs=2.3 contributes each doc 2 times and a deterministic 30%
+    of docs a 3rd time, realizing the target token shares EXACTLY in
+    expectation with zero coordination. Every copy gets its own
+    shuffle key (per-copy md5) so repeated docs spread across the
+    training order instead of clumping — repeats that arrive adjacent
+    are the classic mixing failure.
+
+    Plan: K-row epochs table broadcast onto the corpus, explode by
+    sequence(n_copies) — output-sized, no shuffle until the write
+    orders by shuffle_key (`repartitionByRange`, as in
+    corpus_split_shuffle). Deterministic end to end: retries and
+    partition layout cannot change which copies exist."""
+    d = io.table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("k")
+    )
+    ep = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.col("t").cast("double")
+                / (F.col("k") * F.col("n_tokens")),
+                F.lit(4.0),
+            ),
+            6,
+        ).alias("epochs"),
+    )
+    u = F.conv(
+        F.substring(_seeded_md5("mx42:", F.col("doc_id")), 1, 8), 16, 10
+    ).cast("double") / F.lit(4294967296.0)
+    n_copies = (
+        F.floor("epochs")
+        + F.when(u < F.col("epochs") - F.floor("epochs"), 1).otherwise(0)
+    ).cast("bigint")
+    expanded = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(ep), on="source")
+        .select("doc_id", "source", n_copies.alias("n_copies"))
+    )
+    return expanded.select(
+        "doc_id",
+        "source",
+        "n_copies",
+        # sequence(0, -1) is DESCENDING in Spark (the pinned edge from
+        # gopher_repetition/_pairs): 0-copy docs must explode to NOTHING
+        F.explode(
+            F.when(
+                F.col("n_copies") > 0,
+                F.sequence(F.lit(0), F.col("n_copies") - 1),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("copy"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_copies",
+        F.col("copy").cast("int").alias("copy"),
+        F.md5(
+            F.concat(
+                F.lit("mx42:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("copy").cast("string"),
+            )
+        ).alias("shuffle_key"),
+    )

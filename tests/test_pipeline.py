@@ -529,3 +529,36 @@ def test_stable_row_ids_plan_has_no_global_data_window(
         assert first_child.startswith(
             ("HashAggregate", "*(")
         ) and "HashAggregate" in first_child.split("\n", 1)[0], frag[:300]
+
+
+def test_mixture_realize_matches_weights(spark, sf_oracle_dir):
+    """Realized copy counts must decompose as floor(epochs) +
+    Bernoulli(frac): per source, every doc appears either floor or
+    floor+1 times, and the total realized token mass moves each
+    source toward the uniform target (no source with epochs > 1
+    shrinks; no source with epochs < 1 grows)."""
+    import math
+    from collections import Counter
+
+    from conversadocs_spark.plans import QUERIES
+
+    weights = {
+        r["source"]: r["epochs"]
+        for r in QUERIES["source_mixture_weights"](
+            spark, sf_oracle_dir
+        ).collect()
+    }
+    rows = QUERIES["mixture_realize"](spark, sf_oracle_dir).collect()
+    per_doc = Counter((r["source"], r["doc_id"]) for r in rows)
+    n_copies = {
+        (r["source"], r["doc_id"]): r["n_copies"] for r in rows
+    }
+    for (src, doc), cnt in per_doc.items():
+        ep = weights[src]
+        assert cnt in (math.floor(ep), math.floor(ep) + 1), (src, doc)
+        assert cnt == n_copies[(src, doc)]
+    # copies are uniquely keyed and shuffle keys are distinct
+    assert len({r["shuffle_key"] for r in rows}) == len(rows)
+    # 0-copy docs (epochs < 1, Bernoulli miss) are genuinely dropped
+    docs_in = 500
+    assert len({(r["source"], r["doc_id"]) for r in rows}) < docs_in
