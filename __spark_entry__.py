@@ -93,12 +93,11 @@ _DRIVER_ORDER = [
     # mixture realization (oracle-backed, new — rotated in; out goes
     # grouped_map_partitionwise, green r5, family keeps order_seq)
     "mixture_realize",
-    # chunking (chunk_fixed rotated to the tail: green rows r1-r5;
-    # the UDTF form keeps the family's driver row)
-    "udtf_chunk_fixed",
     # python kernels (udf_token_count rotated to the tail: green rows
-    # r1-r5)
-    "grouped_map_order_seq",
+    # r1-r5; udtf_chunk_fixed too — green r5/r6-judge, chunk family
+    # covered by the sweep; in comes the applyInArrow grouped map,
+    # oracle-backed and never driver-recorded)
+    "grouped_map_order_seq", "arrow_grouped_seq",
     # ranking windows rotated wholly to the tail (window_rank green
     # r1-r5; window_analytic/window_frame green r2/r4/r5)
     # aggregates (agg_percentile / agg_pivot rotated in per r5 verdict:
@@ -130,7 +129,8 @@ _DRIVER_ORDER = [
     "agg_grouped", "join_star", "grouped_map_partitionwise",
     "join_skew_salted", "agg_skew_distinct", "rag_answer_pipeline",
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
-    "chunk_fixed", "udf_token_count", "tfidf_top_terms",
+    "chunk_fixed", "udtf_chunk_fixed", "udf_token_count",
+    "tfidf_top_terms",
     "window_rank", "agg_collect_stuff",
     "corpus_split_shuffle", "stratified_sample",
     "text_stats", "lang_id", "doc_fingerprint",

@@ -430,3 +430,80 @@ def embed_doc_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sq_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# grouped-map applyInArrow: per-group Arrow-native kernel — oracle-checked
+# --------------------------------------------------------------------------
+
+_ARROW_GROUPED_ORACLE = """
+SELECT event_id, event_type,
+       CAST(row_number() OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) - 1 AS INTEGER)
+           AS seq,
+       round(value - lag(value) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id), 6)
+           AS delta_value
+FROM events
+WHERE event_id % 7 = 0
+"""
+
+
+@register(
+    "arrow_grouped_seq", oracle=_ARROW_GROUPED_ORACLE, tags=("udf",)
+)
+def arrow_grouped_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` grouped map: per-event-type time ordering with
+    sequence numbers and value deltas, computed entirely with
+    pyarrow.compute kernels on the group's Arrow table — no pandas
+    conversion (the applyInPandas path boxes every string/timestamp
+    into Python objects; Arrow tables keep group bytes columnar end
+    to end). With `arrow_text_stats` (mapInArrow) this completes the
+    Arrow-native surface next to the pandas forms.
+
+    Same shuffle contract as applyInPandas: ONE exchange on the group
+    key, group must fit a task (event types are few/heavy here — the
+    bounded-group regime, exactly where grouped dispatch is the right
+    tool; the high-cardinality regime belongs to
+    `grouped_map_partitionwise`). Oracle-checked cell-for-cell against
+    the equivalent SQL window functions."""
+    import pyarrow as pa
+
+    def seq(table: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import numpy as np
+
+        idx = pc.sort_indices(
+            table,
+            sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        t = table.take(idx)
+        n = t.num_rows
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        delta = np.full(n, np.nan)
+        if n > 1:
+            delta[1:] = np.round(np.diff(val), 6)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "seq": pa.array(np.arange(n, dtype=np.int32)),
+                "delta_value": pa.array(delta, type=pa.float64(),
+                                        from_pandas=True),
+            }
+        )
+
+    ev = (
+        io.table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 7 == 0)
+        .select("event_id", "event_type", "ts", "value")
+    )
+    return ev.groupBy("event_type").applyInArrow(
+        seq,
+        schema=(
+            "event_id long, event_type string, seq int, "
+            "delta_value double"
+        ),
+    )
