@@ -203,3 +203,14 @@ def test_hll_union_within_tolerance(spark, sf_oracle_dir):
     }
     for r in rows:
         assert r["est_users"] == one_level[r["event_type"]]
+
+
+def test_new_oracle_queries_match(spark, sf_oracle_dir):
+    """Session-wave oracle parity in CI: the applyInArrow grouped map,
+    the mixture realization, and stable_row_ids (the sf0.01 gate and
+    the driver run them too; this keeps plain pytest sufficient)."""
+    for name in (
+        "arrow_grouped_seq", "mixture_realize", "stable_row_ids",
+        "kfold_split", "scan_orc_roundtrip",
+    ):
+        assert_query_matches_oracle(spark, name, sf_oracle_dir)
