@@ -32,10 +32,14 @@ def test_driver_order_covers_registry_exactly():
     )
     head = list(q)[:50]
     # family representatives: window_rank's slot passed to
-    # window_range_time when it rotated to the tail with r1-r5 greens
+    # window_range_time when it rotated to the tail with r1-r5 greens;
+    # udtf_chunk_fixed's (green r5) passed to arrow_grouped_seq when
+    # the applyInArrow form rotated in (session-close wave) — the
+    # python-kernel family row is grouped_map_order_seq + the Arrow
+    # grouped map
     for must in ("knn_topk", "dedup_minhash", "corpus_clean",
-                 "udtf_chunk_fixed", "window_range_time",
-                 "text_stats_by_lang"):
+                 "grouped_map_order_seq", "arrow_grouped_seq",
+                 "window_range_time", "text_stats_by_lang"):
         assert must in head
 
 
