@@ -55,7 +55,7 @@ _DRIVER_ORDER = [
     # dedup family (dedup_clusters = transitive survivor resolution;
     # dedup_incremental = the daily-increment index lifecycle;
     # dedup_ngram_jaccard rotated to the tail: green rows r2-r5)
-    "dedup_exact", "dedup_minhash", "dedup_clusters",
+    "dedup_minhash", "dedup_clusters",
     "dedup_incremental", "corpus_clean",
     # text analysis (vocab_topk / gopher_repetition / lm_bigram_score:
     # oracle-backed r6 additions, never driver-recorded — rotated in)
@@ -110,6 +110,10 @@ _DRIVER_ORDER = [
     # corrupt-tolerant scan new in r6 continuation)
     "scan_csv_roundtrip", "scan_json_roundtrip",
     "scan_json_corrupt_tolerant", "scan_orc_roundtrip",
+    # schema-evolution read + snapshot diff (oracle-backed, new —
+    # rotated in; out go join_asof and dedup_exact, green r1/r2-r5,
+    # both families keep other driver rows)
+    "scan_schema_evolution", "table_diff",
     # text normalization + the mapInArrow fast path (oracle-backed,
     # new in this continuation — never driver-recorded, rotated in;
     # out go join_skew_salted / agg_skew_distinct /
@@ -121,12 +125,13 @@ _DRIVER_ORDER = [
     # resample_gapfill = new time-series conforming op)
     # (join_range rotated to the tail: green rows r2/r4/r5;
     # join_interval_attrib = new stream-stream batch twin, rotated in)
-    "join_asof", "join_interval_attrib",
+    "join_interval_attrib",
     "join_fuzzy", "resample_gapfill",
     # --- 50 ---
     # skew mitigation + composed RAG rotated to the tail this
     # continuation (green driver rows r2/r4/r5) to make room above
-    "agg_grouped", "join_star", "grouped_map_partitionwise",
+    "agg_grouped", "join_star", "join_asof", "dedup_exact",
+    "grouped_map_partitionwise",
     "join_skew_salted", "agg_skew_distinct", "rag_answer_pipeline",
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
     "chunk_fixed", "udtf_chunk_fixed", "udf_token_count",

@@ -276,3 +276,60 @@ def scan_json_corrupt_tolerant(
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+_EVOLVE_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+           AS o_priority_v2
+FROM orders
+WHERE o_orderkey % 89 = 0
+"""
+
+
+@register(
+    "scan_schema_evolution", oracle=_EVOLVE_ORACLE, tags=("ingest",)
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a table directory whose early files
+    lack a column added later (every long-lived ingest directory ends
+    up here) must read as ONE relation with NULLs for the missing
+    column — ``mergeSchema`` — never by dropping old files or failing
+    the scan. Batch 1 (even keys) is written without
+    ``o_priority_v2``; batch 2 (odd keys) carries it; the oracle
+    recomputes the expected NULL pattern from the parquet ground
+    truth, so the merged read is hash-checked cell-for-cell.
+
+    Scale note: mergeSchema=true on the READ does a footer pass over
+    files — fine for a one-off audit; steady-state 100 TB tables
+    should register the superset schema in the catalog and read with
+    an explicit schema instead (documented here as the deployment
+    guidance; the operator proves the engine handles the layout)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"evolve_{tag}")
+    base = (
+        io.table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 89 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    (
+        base.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    (
+        base.where(F.col("o_orderkey") % 2 == 1)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderpriority").alias("o_priority_v2"),
+        )
+        .write.mode("append")
+        .parquet(path)
+    )
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path)
+        .select("o_orderkey", "o_totalprice", "o_priority_v2")
+    )

@@ -216,3 +216,94 @@ def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "latest_totalprice"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# snapshot diff / reconciliation: what changed between two versions
+# --------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH v1 AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 != 0
+),
+v2 AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0
+                THEN round(o_totalprice + 10.0, 2)
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 3 != 0 AND o_orderkey % 7 != 0
+    UNION ALL
+    SELECT o_orderkey + 2000000, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+       CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+            WHEN v2.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END                AS change,
+       v1.o_totalprice                        AS old_totalprice,
+       v2.o_totalprice                        AS new_totalprice
+FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+   OR v1.o_totalprice != v2.o_totalprice
+   OR v1.o_orderstatus != v2.o_orderstatus
+"""
+
+
+@register("table_diff", oracle=_DIFF_ORACLE, tags=("lake",))
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: given two versions of a keyed table,
+    emit exactly the added / removed / changed keys (the complement
+    of `merge_upsert`: MERGE applies known changes, diff DETECTS them
+    — migration validation, replica drift checks, CDC backfill
+    audits). Versions are derived in-plan by pure key arithmetic so
+    the row set is hash-checkable.
+
+    Scale shape: ONE full-outer equi-join on the key — shuffle both
+    sides on o_orderkey (or zero shuffle when both snapshots are
+    bucketed on the key, the table_diff deployment pattern), then a
+    row-local filter keeps only differing rows; unchanged rows (the
+    overwhelming majority of a real diff) never leave the join."""
+    o = io.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = o.where(F.col("o_orderkey") % 3 != 0)
+    v2 = (
+        v1.where(F.col("o_orderkey") % 7 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                F.round(F.col("o_totalprice") + 10.0, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 2000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), on="o_orderkey", how="full_outer"
+    )
+    return (
+        j.select(
+            "o_orderkey",
+            F.when(F.col("a.o_orderstatus").isNull(), "added")
+            .when(F.col("b.o_orderstatus").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change"),
+            F.col("a.o_totalprice").alias("old_totalprice"),
+            F.col("b.o_totalprice").alias("new_totalprice"),
+        )
+        .where(
+            F.col("change").isin("added", "removed")
+            | (F.col("old_totalprice") != F.col("new_totalprice"))
+        )
+    )

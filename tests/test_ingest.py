@@ -233,3 +233,19 @@ def test_orc_roundtrip_matches_oracle_and_writes_orc(spark):
     assert_query_matches_oracle(spark, "scan_orc_roundtrip", SF_ORACLE)
     files = glob.glob(os.path.join(_SCRATCH, "orc_sf0.01", "part-*"))
     assert files and all(f.endswith(".orc") for f in files)
+
+
+def test_schema_evolution_read_fills_missing_column(spark):
+    """Batch-1 rows (even keys, written without the column) must read
+    back with o_priority_v2 NULL; batch-2 rows carry real values; the
+    merged relation holds both file generations."""
+    from conversadocs_spark.plans import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    rows = QUERIES["scan_schema_evolution"](spark, SF_ORACLE).collect()
+    assert rows
+    evens = [r for r in rows if r["o_orderkey"] % 2 == 0]
+    odds = [r for r in rows if r["o_orderkey"] % 2 == 1]
+    assert evens and odds
+    assert all(r["o_priority_v2"] is None for r in evens)
+    assert all(r["o_priority_v2"] is not None for r in odds)

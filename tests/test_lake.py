@@ -65,3 +65,29 @@ def test_weighted_sample_bias_and_determinism(spark, sf_dir):
     sample_mean = sum(r.n_chars for r in out1) / len(out1)
     # length-weighted inclusion must skew the sample long
     assert sample_mean > corpus_mean
+
+
+def test_table_diff_detects_exactly_the_injected_changes(
+    spark, sf_oracle_dir
+):
+    """Semantic decomposition: 'removed' keys are exactly v1 % 7 == 0,
+    'added' keys are exactly the +2000000 inserts, 'changed' keys are
+    exactly the surviving % 5 == 0 rows with delta +10.00."""
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["table_diff"](spark, sf_oracle_dir).collect()
+    by_change = {}
+    for r in rows:
+        by_change.setdefault(r["change"], []).append(r)
+    for r in by_change["removed"]:
+        assert r["o_orderkey"] % 7 == 0 and r["o_orderkey"] % 3 != 0
+        assert r["new_totalprice"] is None
+    for r in by_change["added"]:
+        assert r["o_orderkey"] >= 2000000  # orderkey 0 maps to exactly 2000000
+        assert r["old_totalprice"] is None
+    for r in by_change["changed"]:
+        assert r["o_orderkey"] % 5 == 0 and r["o_orderkey"] % 7 != 0
+        assert (
+            abs(r["new_totalprice"] - r["old_totalprice"] - 10.0) < 1e-6
+        )
+    assert all(len(v) > 0 for v in by_change.values())
