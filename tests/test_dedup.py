@@ -300,3 +300,45 @@ def test_incremental_index_survives_compaction(spark, tmp_path):
         map(tuple, minhash_incremental_pairs(spark, batch, idx).collect())
     )
     assert after == before and len(after) > 0
+
+
+def test_fixture_has_no_pairs_in_lsh_recall_gap():
+    """ADVICE r5: dedup_minhash/dedup_clusters oracles include every
+    pair with J >= 0.5, but 16x4 banding only has ~64% candidate
+    recall AT J = 0.5 — parity relies on fixture near-dup pairs
+    sitting at J >= ~0.85 where banding recall is ~1. Fixtures
+    regenerate every round, so ASSERT the invariant instead of
+    assuming it: the brute-force Jaccard distribution (the oracle's
+    own shingle definition) must contain NO pair in [0.5, 0.85)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    )
+    gap = con.execute(
+        """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                     CASE WHEN len(string_split(text, ' ')) >= 3
+                          THEN [array_to_string(
+                                  string_split(text, ' ')[i:i+2], ' ')
+                                for i in range(
+                                  1, len(string_split(text, ' ')) - 1)]
+                          ELSE [text]
+                     END) AS shingles
+            FROM documents
+        )
+        SELECT count(*) FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles)))
+              BETWEEN 0.5 AND 0.8499999
+        """
+    ).fetchone()[0]
+    assert gap == 0, (
+        f"{gap} fixture pairs sit in the LSH recall gap [0.5, 0.85): "
+        "either regenerate fixtures or raise bands so banding recall "
+        "covers the oracle threshold"
+    )
