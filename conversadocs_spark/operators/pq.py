@@ -144,6 +144,7 @@ def pq_train(
     refine_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Train the per-subspace codebooks: (sub, code, centroid).
 
@@ -151,9 +152,11 @@ def pq_train(
     dim-exploded aggregation — nothing shuffles wider than
     (sub, code, pos). Real systems train on a bounded sample of the
     corpus (the codebook is a statistic, not an index); the full-pass
-    form here keeps the query deterministic end to end.
+    form here keeps the query deterministic end to end. Pass ``dim``
+    when known (a schema fact) to skip the 1-row probe scan.
     """
-    dim = len(vectors.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -208,6 +211,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """ADC scan + exact refine: (query_id, vec_id, sim, rank<=k).
 
@@ -219,11 +223,12 @@ def pq_topk(
     IVF's (tests/test_vector.py pins the floor on the uniform-random
     worst-case fixtures).
     """
-    dim = len(vectors.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
     dsub = dim // m
     codebook = pq_train(
         vectors, m=m, ksub=ksub, refine_iters=refine_iters,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, dim=dim,
     )
     normed = vectors.select(
         id_col, l2_normalize(F.col(vec_col)).alias(vec_col)

@@ -536,7 +536,7 @@ def ann_pq(spark, sf_dir):
     )
     corpus = emb.where(F.col("vec_id") >= 5)
     ann = pq_topk(
-        corpus, queries, k=3, m=8, ksub=16, pool=96, refine_iters=2
+        corpus, queries, k=3, m=8, ksub=16, pool=96, refine_iters=2, dim=64
     )
     exact = knn_per_query(corpus, queries, k=3)
     return _with_recall_audit(ann, exact, k=3, floor=0.8)
