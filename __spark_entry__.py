@@ -47,8 +47,11 @@ _DRIVER_ORDER = [
     # new this round — oracle-backed, never driver-recorded)
     # (vector_centroid rotated to the tail: green rows r2-r5;
     # knn_label_eval = new labeled-kNN eval harness, rotated in)
-    "knn_topk", "knn_per_query", "similarity_join", "dedup_embedding",
+    "knn_topk", "similarity_join", "dedup_embedding",
     "knn_auto", "knn_label_eval",
+    # semantic duplicate clusters (oracle-backed, new — rotated in;
+    # out goes knn_per_query, green r1-r5)
+    "dedup_semantic_clusters",
     # retrieval (r6 continuation: BM25 lexical ranking + RRF hybrid
     # fusion — oracle-backed, never driver-recorded, rotated in)
     "bm25_topk", "hybrid_rrf",
@@ -131,7 +134,7 @@ _DRIVER_ORDER = [
     # skew mitigation + composed RAG rotated to the tail this
     # continuation (green driver rows r2/r4/r5) to make room above
     "agg_grouped", "join_star", "join_asof", "dedup_exact",
-    "grouped_map_partitionwise",
+    "knn_per_query", "grouped_map_partitionwise",
     "join_skew_salted", "agg_skew_distinct", "rag_answer_pipeline",
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
     "chunk_fixed", "udtf_chunk_fixed", "udf_token_count",

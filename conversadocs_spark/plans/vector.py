@@ -563,3 +563,88 @@ def embed_pca(spark, sf_dir):
             "projected"
         ),
     )
+
+
+_SEMANTIC_CLUSTERS_ORACLE = (
+    """
+WITH RECURSIVE pairs AS (
+    SELECT id1, id2 FROM (
+"""
+    + _SQL_COSINE_PAIRS.format(
+        id1="id1",
+        id2="id2",
+        filter_a="WHERE vec_id < 200",
+        filter_b="WHERE vec_id < 200",
+        pair_pred="WHERE a.vec_id < b.vec_id",
+    )
+    + """
+    ) s WHERE round(s.sim, 6) >= 0.3
+),
+nodes AS (
+    SELECT DISTINCT id
+    FROM (SELECT id1 AS id FROM pairs UNION SELECT id2 FROM pairs)
+),
+edges AS (
+    SELECT id1 AS src, id2 AS dst FROM pairs
+    UNION ALL
+    SELECT id2, id1 FROM pairs
+),
+reach(src, dst) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src                  AS vec_id,
+       min(dst)             AS cluster_id,
+       src = min(dst)       AS is_survivor
+FROM reach
+GROUP BY src
+"""
+)
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_SEMANTIC_CLUSTERS_ORACLE,
+    tags=("vector", "dedup"),
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SEMANTIC duplicate clusters: cosine-threshold pairs resolved to
+    components with a min-id survivor per cluster — `dedup_clusters`'
+    transitive-collapse semantics applied to the embedding modality
+    instead of MinHash pairs (paraphrase groups chain exactly like
+    near-dup groups: A~B and B~C must collapse even when cos(A,C)
+    falls under threshold). Reuses operators/components.py unchanged —
+    the operator is pair-source-agnostic by design, and this query is
+    the proof.
+
+    Scale shape: the quadratic pair join here is the ORACLE-bounded
+    form (vec_id < 200); at 100 TB the pair source swaps to the LSH
+    bucket join / IVF probes (`ann_topk`/`ann_ivf`) with the component
+    resolution unchanged. Components converge in O(log diameter)
+    path-halving rounds over a pair-sized label table."""
+    from conversadocs_spark.operators.components import (
+        connected_components,
+    )
+
+    emb = io.table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 200
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("emb1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("emb2")
+    )
+    sim = cosine_similarity(F.col("emb1"), F.col("emb2"))
+    pairs = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") >= 0.3)
+    )
+    comp = connected_components(pairs, "id1", "id2")
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_survivor"),
+    )
