@@ -59,7 +59,11 @@ _DRIVER_ORDER = [
     # dedup_incremental = the daily-increment index lifecycle;
     # dedup_ngram_jaccard rotated to the tail: green rows r2-r5)
     "dedup_minhash", "dedup_clusters",
-    "dedup_incremental", "corpus_clean",
+    "dedup_incremental",
+    # composed end-to-end pretraining build (oracle-backed, new —
+    # rotated in; out goes corpus_clean, green r2-r5, still covered
+    # by the sweep + tests)
+    "pretrain_corpus",
     # text analysis (vocab_topk / gopher_repetition / lm_bigram_score:
     # oracle-backed r6 additions, never driver-recorded — rotated in)
     # (tfidf_top_terms rotated to the tail: green rows r2-r5;
@@ -134,7 +138,7 @@ _DRIVER_ORDER = [
     # skew mitigation + composed RAG rotated to the tail this
     # continuation (green driver rows r2/r4/r5) to make room above
     "agg_grouped", "join_star", "join_asof", "dedup_exact",
-    "knn_per_query", "grouped_map_partitionwise",
+    "knn_per_query", "corpus_clean", "grouped_map_partitionwise",
     "join_skew_salted", "agg_skew_distinct", "rag_answer_pipeline",
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
     "chunk_fixed", "udtf_chunk_fixed", "udf_token_count",

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from conversadocs_spark import io
 from conversadocs_spark.operators.dedup import (
     minhash_near_dups,
+    normalize_text,
     shingle_docs,
 )
 from conversadocs_spark.operators.packing import pack_documents
@@ -972,4 +973,134 @@ def mixture_realize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("copy").cast("string"),
             )
         ).alias("shuffle_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# composed end-to-end pretraining-corpus build (the flagship pipeline)
+# --------------------------------------------------------------------------
+
+_PRETRAIN_ORACLE = f"""
+WITH doubled AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents
+),
+survivors AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (
+                   PARTITION BY sha256(trim(regexp_replace(lower(text),
+                                                           '\\s+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+        FROM doubled) WHERE rn = 1
+),
+toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM survivors
+),
+g AS (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(t) >= {_CONTAM_N}
+                  THEN [array_to_string(t[i:i+{_CONTAM_N - 1}], ' ')
+                        for i in range(1, len(t) - {_CONTAM_N - 2})]
+                  ELSE [array_to_string(t, ' ')]
+             END) AS grams
+    FROM toks
+),
+ev AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20
+),
+tr AS (
+    SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+    FROM g WHERE doc_id >= 20
+),
+keep AS (
+    SELECT t.doc_id
+    FROM tr t LEFT JOIN ev e USING (gram)
+    GROUP BY t.doc_id, t.n_grams
+    HAVING CAST(count(e.gram) AS DOUBLE) / t.n_grams <= 0.5
+)
+SELECT s.doc_id,
+       CASE WHEN substr(md5('s42:' || CAST(s.doc_id AS VARCHAR)), 1, 2)
+                 < 'cd'
+            THEN 'train' ELSE 'test' END              AS split,
+       CAST(('0x' || substr(md5('cv42:' || CAST(s.doc_id AS VARCHAR)),
+                            1, 6))::BIGINT % 5 AS INTEGER) AS fold,
+       CAST(len(string_split(s.text, ' ')) AS BIGINT) AS n_tokens,
+       md5('s42:' || CAST(s.doc_id AS VARCHAR))       AS shuffle_key
+FROM survivors s JOIN keep k USING (doc_id)
+"""
+
+
+@register("pretrain_corpus", oracle=_PRETRAIN_ORACLE, tags=("pipeline",))
+def pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end pretraining-data build, ONE declarative
+    plan: exact dedup (doubled corpus, min-id survivor) -> eval
+    decontamination (drop training docs sharing > 50% of their
+    distinct 5-grams with the doc_id < 20 eval set) -> split / fold /
+    shuffle-key / token-count assignment. Every stage is individually
+    oracle-checked elsewhere (`dedup_exact`, `contamination_ngram`,
+    `corpus_split_shuffle`, `kfold_split`); this query proves they
+    COMPOSE — Catalyst sees the whole pipeline and orders
+    filters/joins itself, which is the argument for building pipelines
+    as one plan instead of materialized hops.
+
+    Scale shape: one hash-partitioned window for dedup, one broadcast
+    of eval grams, one gram explode + partial agg on the training
+    side, then pure per-row expressions — the same shapes the stage
+    queries pinned, fused."""
+    from pyspark.sql import Window
+
+    d = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    w = Window.partitionBy(
+        F.sha2(normalize_text(F.col("text")), 256)
+    ).orderBy("doc_id")
+    surv = (
+        doubled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    g = shingle_docs(surv, "text", "doc_id", _CONTAM_N)
+    ev = (
+        g.where(F.col("id") < 20)
+        .select(F.explode_outer("shingles").alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tr = g.where(F.col("id") >= 20).select(
+        F.col("id").alias("doc_id"),
+        F.size("shingles").cast("long").alias("n_grams"),
+        F.explode_outer("shingles").alias("gram"),
+    )
+    keep = (
+        tr.join(F.broadcast(ev), "gram", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("_hit").alias("n_shared"))
+        .where(
+            F.col("n_shared").cast("double") / F.col("n_grams") <= 0.5
+        )
+        .select("doc_id")
+    )
+    h = _seeded_md5("s42:", F.col("doc_id"))
+    return surv.join(keep, on="doc_id").select(
+        "doc_id",
+        F.when(F.substring(h, 1, 2) < "cd", "train")
+        .otherwise("test")
+        .alias("split"),
+        (
+            F.conv(
+                F.substring(_seeded_md5("cv42:", F.col("doc_id")), 1, 6),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        )
+        .cast("int")
+        .alias("fold"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        h.alias("shuffle_key"),
     )

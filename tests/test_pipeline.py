@@ -562,3 +562,39 @@ def test_mixture_realize_matches_weights(spark, sf_oracle_dir):
     # 0-copy docs (epochs < 1, Bernoulli miss) are genuinely dropped
     docs_in = 500
     assert len({(r["source"], r["doc_id"]) for r in rows}) < docs_in
+
+
+def test_pretrain_corpus_composes_its_stages(spark, sf_oracle_dir):
+    """The composed plan must agree stage-for-stage with the
+    individually-verified queries: survivors only (no +1M duplicate
+    ids), no eval docs, exactly the docs contamination_ngram scores
+    > 0.5 dropped, and split/fold columns identical to
+    corpus_split_shuffle / kfold_split for every surviving doc."""
+    from conversadocs_spark.plans import QUERIES
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["pretrain_corpus"](spark, sf_oracle_dir).collect()
+    }
+    assert out and all(k < 1000000 for k in out)
+    assert all(k >= 20 for k in out)
+    contam = {
+        r["doc_id"]: r["contamination"]
+        for r in QUERIES["contamination_ngram"](
+            spark, sf_oracle_dir
+        ).collect()
+    }
+    dropped = {k for k, c in contam.items() if c > 0.5}
+    assert set(contam) - dropped == set(out)
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in QUERIES["corpus_split_shuffle"](
+            spark, sf_oracle_dir
+        ).collect()
+    }
+    folds = {
+        r["doc_id"]: r["fold"]
+        for r in QUERIES["kfold_split"](spark, sf_oracle_dir).collect()
+    }
+    for k, r in out.items():
+        assert r["split"] == splits[k] and r["fold"] == folds[k]
