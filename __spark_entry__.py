@@ -54,7 +54,7 @@ _DRIVER_ORDER = [
     "dedup_semantic_clusters",
     # retrieval (r6 continuation: BM25 lexical ranking + RRF hybrid
     # fusion — oracle-backed, never driver-recorded, rotated in)
-    "bm25_topk", "hybrid_rrf",
+    "bm25_topk", "hybrid_rrf", "rerank_topk",
     # dedup family (dedup_clusters = transitive survivor resolution;
     # dedup_incremental = the daily-increment index lifecycle;
     # dedup_ngram_jaccard rotated to the tail: green rows r2-r5)
@@ -70,7 +70,8 @@ _DRIVER_ORDER = [
     # text_stats / lang_id / doc_fingerprint rotated to the tail too —
     # green r5; text_stats_by_lang + text_quality keep the family's
     # driver rows)
-    "text_stats_by_lang",
+    # (text_stats_by_lang rotated to the tail for rerank_topk's first
+    # recording: green r2/r4/r5, the r5 HUGEINT fix pinned by test)
     "lm_bigram_score",
     # lake / table maintenance (r6 continuation: CDC MERGE, SCD2
     # history, seeded weighted sampling — all new, rotated in)
@@ -138,7 +139,8 @@ _DRIVER_ORDER = [
     # skew mitigation + composed RAG rotated to the tail this
     # continuation (green driver rows r2/r4/r5) to make room above
     "agg_grouped", "join_star", "join_asof", "dedup_exact",
-    "knn_per_query", "corpus_clean", "grouped_map_partitionwise",
+    "knn_per_query", "corpus_clean", "text_stats_by_lang",
+    "grouped_map_partitionwise",
     "join_skew_salted", "agg_skew_distinct", "rag_answer_pipeline",
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
     "chunk_fixed", "udtf_chunk_fixed", "udf_token_count",

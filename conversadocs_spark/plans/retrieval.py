@@ -265,3 +265,65 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+# --------------------------------------------------------------------------
+# rerank stage: candidate-bounded rescoring over the fused list
+# --------------------------------------------------------------------------
+
+_RERANK_ORACLE = f"""
+WITH cands AS (
+    {_HYBRID_ORACLE}
+)
+SELECT c.doc_id,
+       round(CAST(len(list_intersect(
+                 list_distinct(string_split(lower(d.text), ' ')),
+                 [{_TERMS_SQL}])) AS DOUBLE)
+             / {len(_QUERY_TERMS)}, 6)   AS rerank_score,
+       c.rrf_score
+FROM cands c JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY rerank_score DESC, c.rrf_score DESC, c.doc_id ASC
+LIMIT 5
+"""
+
+
+@register(
+    "rerank_topk", oracle=_RERANK_ORACLE, tags=("retrieval", "text")
+)
+def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RERANK stage completing the production retrieval stack
+    (retrieve wide -> rerank narrow): the hybrid RRF top-10 is
+    re-scored by query-term coverage (|doc tokens ∩ Q| / |Q| — the
+    deterministic stand-in for a cross-encoder, which scores each
+    (query, doc) PAIR and is therefore only affordable on a bounded
+    candidate list), fused order breaking ties; top-5 out.
+
+    Scale shape — the part that matters: the expensive scorer touches
+    exactly |candidates| = 10 rows no matter the corpus size, because
+    the candidate list is broadcast and the documents join fetches
+    only matching rows; the corpus-sized work already happened in the
+    retrieve stage's scale-correct plans. Swapping the coverage
+    expression for a real cross-encoder pandas_udf changes ONE
+    projection, not the plan shape."""
+    cands = hybrid_rrf(spark, sf_dir)
+    d = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    coverage = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(t) for t in _QUERY_TERMS])
+        )
+    ).cast("double") / F.lit(float(len(_QUERY_TERMS)))
+    return (
+        d.join(F.broadcast(cands), on="doc_id")
+        .select(
+            "doc_id",
+            F.round(coverage, 6).alias("rerank_score"),
+            "rrf_score",
+        )
+        .orderBy(
+            F.desc("rerank_score"),
+            F.desc("rrf_score"),
+            F.asc("doc_id"),
+        )
+        .limit(5)
+    )
