@@ -37,9 +37,13 @@ def test_driver_order_covers_registry_exactly():
     # the applyInArrow form rotated in (session-close wave) — the
     # python-kernel family row is grouped_map_order_seq + the Arrow
     # grouped map
-    for must in ("knn_topk", "dedup_minhash", "corpus_clean",
+    # corpus_clean's slot passed to pretrain_corpus and
+    # text_stats_by_lang's to rerank_topk (both displaced with
+    # multi-round greens in the session-close rotation)
+    for must in ("knn_topk", "dedup_minhash", "pretrain_corpus",
                  "grouped_map_order_seq", "arrow_grouped_seq",
-                 "window_range_time", "text_stats_by_lang"):
+                 "window_range_time", "lm_bigram_score",
+                 "rerank_topk"):
         assert must in head
 
 
