@@ -361,3 +361,53 @@ def test_gapfill_grid_is_broadcast_not_data_sized(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "partial_count" in plan  # map-side combine on the agg
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(
+    spark, sf_oracle_dir, tmp_path
+):
+    """The 100 TB star-join contract Spark provides for free WHEN the
+    fact table is partitioned on the join key: joining a selective
+    dim against a day-partitioned fact must plan a dynamicpruning
+    subquery (DPP), so the fact scan reads only the dim's surviving
+    partitions at runtime — without it, a date-dim join scans all
+    partitions and filters after IO. Pins both the plan marker and
+    the semantic result."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+
+    ev = io.table(spark, sf_oracle_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    # DPP requires a FILTERED SCAN on the dim side (a LocalRelation
+    # dim never plans the pruning subquery) — the real star-schema
+    # shape: a date dimension table with a selective predicate.
+    dim_path = str(tmp_path / "date_dim")
+    ev.select("day").distinct().write.mode("overwrite").parquet(
+        dim_path
+    )
+    dim = (
+        spark.read.parquet(dim_path)
+        .where(F.dayofmonth("day") <= 2)
+    )
+    days = [r["day"] for r in dim.collect()]
+    j = fact.join(F.broadcast(dim), "day").groupBy("day").agg(
+        F.count("*").alias("n")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {r["day"]: r["n"] for r in j.collect()}
+    want = {
+        r["day"]: r["n"]
+        for r in fact.where(F.col("day").isin(days))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and set(got) == set(days)
