@@ -168,7 +168,7 @@ _DRIVER_ORDER = [
     "sort_limit_topk", "union_all", "set_ops",
     "window_tumbling", "window_sliding", "window_session",
     "ingest_scan_text",
-    "index_build_overwrite",
+    "index_build_overwrite", "index_time_travel",
     "multimodal_meta", "multimodal_features", "multimodal_frames",
     "multimodal_resize", "multimodal_audio",
     "streaming_tumbling_replay", "streaming_dedup_replay",

@@ -333,3 +333,34 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("o_orderkey", "o_totalprice", "o_priority_v2")
     )
+
+
+@register("index_time_travel", tags=("ingest", "rows-only"))
+def index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation lifecycle (sources/sink.py versioned
+    writes): build index v1 from 20 docs, v2 from 60 — then read BOTH
+    the pinned old version and the latest through the marker. Output
+    is one row per (version, n_rows, is_latest): proves old versions
+    stay readable after new commits (time travel) and the marker
+    names the newest complete version. tests/test_ingest.py pins the
+    lifecycle (immutability, marker flip, pinned-read stability)."""
+    from conversadocs_spark.sources.sink import (
+        read_versioned,
+        write_versioned,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"tt_{tag}")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = write_versioned(docs.where(F.col("doc_id") < 20), path)
+    v2 = write_versioned(docs.where(F.col("doc_id") < 60), path)
+    rows = [
+        (v1, read_versioned(spark, path, v1).count(), False),
+        (v2, read_versioned(spark, path).count(), True),
+    ]
+    return spark.createDataFrame(
+        rows, schema="version int, n_rows bigint, is_latest boolean"
+    )

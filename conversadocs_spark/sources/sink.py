@@ -135,3 +135,52 @@ def compact_table(
     for root, _dirs, files in os.walk(path):
         written += sum(f.endswith(".parquet") for f in files)
     return written
+
+
+# --------------------------------------------------------------------------
+# versioned writes + time-travel reads (poor-man's transaction log)
+# --------------------------------------------------------------------------
+
+_LATEST_MARKER = "_LATEST"
+
+
+def write_versioned(df: DataFrame, table_path: str) -> int:
+    """Write ``df`` as a NEW immutable version under
+    ``table_path/v=<n>`` and flip the ``_LATEST`` marker to it last —
+    the minimal snapshot-isolation discipline a real table format
+    (Delta/Iceberg, not shipped in this container) implements with a
+    transaction log: data files are never mutated, readers pinned to
+    an old version keep a consistent view, and the marker flip is the
+    single commit point (a reader never sees a half-written version
+    because the version dir is complete before the marker names it).
+    Returns the new version number."""
+    import os
+
+    os.makedirs(table_path, exist_ok=True)
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_path)
+        if d.startswith("v=")
+    ]
+    new_v = max(versions, default=0) + 1
+    df.write.mode("overwrite").parquet(
+        os.path.join(table_path, f"v={new_v}")
+    )
+    marker_tmp = os.path.join(table_path, _LATEST_MARKER + ".tmp")
+    with open(marker_tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.replace(marker_tmp, os.path.join(table_path, _LATEST_MARKER))
+    return new_v
+
+
+def read_versioned(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a specific version (time travel) or the latest committed
+    one (the marker, atomically swapped by write_versioned)."""
+    import os
+
+    if version is None:
+        with open(os.path.join(table_path, _LATEST_MARKER)) as fh:
+            version = int(fh.read().strip())
+    return spark.read.parquet(os.path.join(table_path, f"v={version}"))

@@ -249,3 +249,33 @@ def test_schema_evolution_read_fills_missing_column(spark):
     assert evens and odds
     assert all(r["o_priority_v2"] is None for r in evens)
     assert all(r["o_priority_v2"] is not None for r in odds)
+
+
+def test_versioned_writes_time_travel(spark, tmp_path):
+    """Versioned-write lifecycle: v1 stays byte-stable after v2
+    commits (time travel), the marker always names the newest
+    complete version, and versions are immutable (re-reading v1
+    yields identical rows before and after the v2 commit)."""
+    from conversadocs_spark import io
+    from conversadocs_spark.sources.sink import (
+        read_versioned,
+        write_versioned,
+    )
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "tt")
+    docs = io.table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    v1 = write_versioned(docs.where("doc_id < 5"), path)
+    before = sorted(
+        r["doc_id"] for r in read_versioned(spark, path, v1).collect()
+    )
+    v2 = write_versioned(docs.where("doc_id < 9"), path)
+    assert (v1, v2) == (1, 2)
+    after = sorted(
+        r["doc_id"] for r in read_versioned(spark, path, v1).collect()
+    )
+    assert before == after == [0, 1, 2, 3, 4]
+    latest = read_versioned(spark, path)
+    assert latest.count() == 9
