@@ -47,7 +47,7 @@ _DRIVER_ORDER = [
     # new this round — oracle-backed, never driver-recorded)
     # (vector_centroid rotated to the tail: green rows r2-r5;
     # knn_label_eval = new labeled-kNN eval harness, rotated in)
-    "knn_topk", "similarity_join", "dedup_embedding",
+    "knn_topk", "dedup_embedding",
     "knn_auto", "knn_label_eval",
     # semantic duplicate clusters (oracle-backed, new — rotated in;
     # out goes knn_per_query, green r1-r5)
@@ -83,6 +83,9 @@ _DRIVER_ORDER = [
     # r6 continuation wave 2: RANGE-frame rolling window, Markov
     # transition matrix, and the Deequ-style rule sweep — all new
     "window_range_time", "event_transitions", "dq_audit",
+    # IGNORE-NULLS window analytics (oracle-backed, new — rotated in;
+    # out goes similarity_join, green r2-r5)
+    "window_ignore_nulls",
     # wave 3: gaps-and-islands sessionization, melt, and the max_by
     # log-compaction snapshot (displacing text_quality / pii_redact /
     # udaf_price_range — green driver rows r5 or earlier)
@@ -139,8 +142,8 @@ _DRIVER_ORDER = [
     # skew mitigation + composed RAG rotated to the tail this
     # continuation (green driver rows r2/r4/r5) to make room above
     "agg_grouped", "join_star", "join_asof", "dedup_exact",
-    "knn_per_query", "corpus_clean", "text_stats_by_lang",
-    "grouped_map_partitionwise",
+    "knn_per_query", "similarity_join", "corpus_clean",
+    "text_stats_by_lang", "grouped_map_partitionwise",
     "join_skew_salted", "agg_skew_distinct", "rag_answer_pipeline",
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
     "chunk_fixed", "udtf_chunk_fixed", "udf_token_count",

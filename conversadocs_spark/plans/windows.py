@@ -202,3 +202,70 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cume_num"),
     )
+
+
+# --------------------------------------------------------------------------
+# IGNORE NULLS analytics: last-observation-carried-forward over sparse data
+# --------------------------------------------------------------------------
+
+_WINDOW_IGNORE_NULLS_ORACLE = """
+SELECT event_id, user_id,
+       last_value(v IGNORE NULLS) OVER w   AS last_seen_value,
+       first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                           AS first_seen_value
+FROM (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_id % 3 = 0 THEN round(value, 6) END AS v
+    FROM events WHERE user_id < 40
+)
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "window_ignore_nulls",
+    oracle=_WINDOW_IGNORE_NULLS_ORACLE,
+    tags=("window",),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window analytics — the sparse-sensor idiom: only
+    every 3rd event carries a reading (NULL injected in-plan, so the
+    sparsity is hash-checked too); `last_value(... ignoreNulls)` over
+    a trailing frame is last-observation-carried-forward WITHOUT the
+    dense grid `resample_gapfill` builds, and the unbounded
+    first_value backfills the leading NULLs. One shuffle on user_id,
+    both functions share the same window sort."""
+    ev = io.table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_id") % 3 == 0, F.round("value", 6)
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(w).alias("last_seen_value"),
+        F.first("v", ignorenulls=True)
+        .over(w_all)
+        .alias("first_seen_value"),
+    )
