@@ -221,3 +221,52 @@ def streaming_interval_join_replay(
     path = _stage(spark, sf_dir, duplicate_rows=False)
     ev = read_events_stream(spark, path)
     return _replay(stream_interval_join(ev), "append")
+
+
+@register("streaming_hll_replay", tags=("streaming", "rows-only"))
+def streaming_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user cardinality via a maintained HLL sketch
+    table (streaming/ops.py:foreach_batch_hll_merger): the 3-batch
+    events replay merges per-type sketches version-by-version; the
+    result reads the LATEST sketch version and returns
+    (event_type, est_users, exact_users). Stream == one-shot batch
+    sketch EXACTLY (HLL union is register-max, order- and
+    batching-independent) — pinned with the redelivery no-op in
+    tests/test_streaming.py."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.sources.sink import read_versioned
+    from conversadocs_spark.streaming.ops import (
+        foreach_batch_hll_merger,
+    )
+
+    path = _stage(spark, sf_dir, duplicate_rows=False)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table = os.path.join(
+        _STAGE_ROOT, f"hll_{tag}_{os.getpid()}_{next(_COUNTER)}"
+    )
+    ckpt = table + "_ckpt"
+    shutil.rmtree(table, ignore_errors=True)
+    ev = read_events_stream(spark, path)
+    q = (
+        ev.writeStream.foreachBatch(foreach_batch_hll_merger(table))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sk = read_versioned(spark, table).select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").cast("bigint").alias("est_users"),
+    )
+    exact = (
+        io.table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("exact_users")
+        )
+    )
+    return sk.join(exact, on="event_type")

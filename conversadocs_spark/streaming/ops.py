@@ -167,3 +167,49 @@ def stream_interval_join(
             - F.unix_micros(F.col("c_ts").cast("timestamp"))
         ).alias("micros_between"),
     )
+
+
+def foreach_batch_hll_merger(table_path: str):
+    """foreachBatch kernel maintaining a per-event-type HLL sketch
+    table: each micro-batch is sketched (bytes, not user sets) and
+    UNIONED into the stored sketches, committed as a new immutable
+    version (sources/sink.py write_versioned — atomic marker flip).
+
+    Redelivery-safe BY ALGEBRA, not bookkeeping: HLL union is a
+    register-wise max, so re-merging an already-merged batch is a
+    no-op — the sketch table needs no batch_id dedup to stay exactly
+    correct under at-least-once delivery. This is the streaming form
+    of `agg_hll_mergeable`'s build-then-union contract: stored blobs
+    absorb increments without rescanning history, the property that
+    matters when history is 100 TB."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark.sources.sink import (
+        read_versioned,
+        write_versioned,
+    )
+
+    def fn(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bsk = batch_df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id", 12).alias("sketch")
+        )
+        try:
+            prev = read_versioned(spark, table_path)
+            merged = (
+                prev.unionByName(bsk)
+                .groupBy("event_type")
+                .agg(
+                    F.hll_union_agg("sketch", F.lit(False)).alias(
+                        "sketch"
+                    )
+                )
+            )
+        except Exception:  # first batch: no committed version yet
+            merged = bsk
+        # K-row table (one per event type): localCheckpoint detaches
+        # the new version from the previous version's files before the
+        # overwrite-free versioned write
+        write_versioned(merged.localCheckpoint(), table_path)
+
+    return fn

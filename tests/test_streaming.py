@@ -430,3 +430,65 @@ def test_incremental_empty_batch_is_empty(spark, tmp_path):
     minhash_index_build(d, idx)
     empty = d.where(F.col("doc_id") < 0)
     assert minhash_incremental_pairs(spark, empty, idx).count() == 0
+
+
+def test_streaming_hll_equals_batch_and_redelivery_is_noop(
+    spark, sf_oracle_dir, tmp_path
+):
+    """The maintained sketch table's estimates must equal the one-shot
+    batch sketch EXACTLY (HLL union is register-max: batching cannot
+    change the registers), stay within 5% of truth, and re-merging an
+    already-merged batch must not change any estimate (at-least-once
+    delivery safety by algebra)."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+    from conversadocs_spark.sources.sink import read_versioned
+    from conversadocs_spark.streaming.ops import (
+        foreach_batch_hll_merger,
+    )
+
+    rows = QUERIES["streaming_hll_replay"](spark, sf_oracle_dir).collect()
+    assert rows
+    ev = io.table(spark, sf_oracle_dir, "events")
+    one_shot = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12))
+            .cast("bigint")
+            .alias("est")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r["est_users"] == one_shot[r["event_type"]]
+        rel = abs(r["est_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel <= 0.05
+
+    # redelivery: merge one batch twice into a fresh table
+    table = str(tmp_path / "hll_redeliver")
+    fn = foreach_batch_hll_merger(table)
+    batch = ev.where(F.col("event_id") % 3 == 0)
+    fn(batch, 0)
+    est1 = {
+        r["event_type"]: r["e"]
+        for r in read_versioned(spark, table)
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("sketch").cast("bigint").alias("e"),
+        )
+        .collect()
+    }
+    fn(batch, 0)  # redelivered
+    est2 = {
+        r["event_type"]: r["e"]
+        for r in read_versioned(spark, table)
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("sketch").cast("bigint").alias("e"),
+        )
+        .collect()
+    }
+    assert est1 == est2
