@@ -47,8 +47,11 @@ _DRIVER_ORDER = [
     # new this round — oracle-backed, never driver-recorded)
     # (vector_centroid rotated to the tail: green rows r2-r5;
     # knn_label_eval = new labeled-kNN eval harness, rotated in)
-    "knn_topk", "dedup_embedding",
+    "knn_topk",
     "knn_auto", "knn_label_eval",
+    # Spark 4 VARIANT surface (oracle-backed, new — rotated in; out
+    # goes dedup_embedding, green r2-r5)
+    "variant_funcs",
     # semantic duplicate clusters (oracle-backed, new — rotated in;
     # out goes knn_per_query, green r1-r5)
     "dedup_semantic_clusters",
@@ -142,7 +145,8 @@ _DRIVER_ORDER = [
     # skew mitigation + composed RAG rotated to the tail this
     # continuation (green driver rows r2/r4/r5) to make room above
     "agg_grouped", "join_star", "join_asof", "dedup_exact",
-    "knn_per_query", "similarity_join", "corpus_clean",
+    "knn_per_query", "similarity_join", "dedup_embedding",
+    "corpus_clean",
     "text_stats_by_lang", "grouped_map_partitionwise",
     "join_skew_salted", "agg_skew_distinct", "rag_answer_pipeline",
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",
@@ -170,7 +174,7 @@ _DRIVER_ORDER = [
     "source_mixture_weights",
     "sort_limit_topk", "union_all", "set_ops",
     "window_tumbling", "window_sliding", "window_session",
-    "ingest_scan_text",
+    "ingest_scan_text", "ingest_datasource_scan",
     "index_build_overwrite", "index_time_travel",
     "multimodal_meta", "multimodal_features", "multimodal_frames",
     "multimodal_resize", "multimodal_audio",

@@ -364,3 +364,29 @@ def index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="version int, n_rows bigint, is_latest boolean"
     )
+
+
+@register("ingest_datasource_scan", tags=("ingest", "rows-only"))
+def ingest_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-format loader as a registered Spark DATA SOURCE
+    (sources/datasource.py, Spark 4 Python DataSource API):
+    ``spark.read.format("docscan").load(dir)`` — the idiomatic way a
+    Spark user consumes the reference's R1/R2 directory ingest.
+    Partitions are planned from the driver-side file listing
+    (round-robin splits; unknown extensions dropped before any bytes
+    are read) and each partition parses only its own files with the
+    SAME kernels as the mapInPandas path.
+    tests/test_ingest.py::test_datasource_scan_equals_mapinpandas pins
+    row-for-row (and doc_id-for-doc_id) parity between the two."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    corpus_dir = os.path.join(_SCRATCH, f"corpus_{tag}")
+    stage_text_corpus(spark, sf_dir, corpus_dir, n_docs=50)
+    from conversadocs_spark.sources.datasource import scan_documents_ds
+
+    docs = scan_documents_ds(spark, corpus_dir)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.regexp_extract("source", r"(\.[a-z]+)$", 1).alias("ext"),
+        "page",
+    )

@@ -378,3 +378,39 @@ def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "positive_bal"
         ),
     )
+
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER)  AS k,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(json_extract_string(props, '$.k') AS INTEGER)
+       END                                                 AS k_tolerant
+FROM events
+"""
+
+
+@register("variant_funcs", oracle=_VARIANT_ORACLE, tags=("relational",))
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: semi-structured JSON parsed ONCE into
+    the binary VARIANT encoding (`parse_json`) with typed path
+    extraction (`variant_get`) — the engine-native successor to
+    stringly get_json_object re-parsing (at 100 TB, parsing each JSON
+    blob once into variant and pushing typed extractions beats
+    per-expression string re-parsing by construction). The
+    `try_parse_json` branch proves the dirty-data posture: a
+    deterministically corrupted copy (every 7th event) yields NULL
+    instead of failing the job — quarantine semantics at expression
+    level, mirroring `scan_json_corrupt_tolerant` at source level."""
+    ev = io.table(spark, sf_dir, "events").select("event_id", "props")
+    corrupted = F.when(
+        F.col("event_id") % 7 == 0,
+        F.concat(F.lit("{oops"), F.col("props")),
+    ).otherwise(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+        F.variant_get(
+            F.try_parse_json(corrupted), "$.k", "int"
+        ).alias("k_tolerant"),
+    )

@@ -279,3 +279,28 @@ def test_versioned_writes_time_travel(spark, tmp_path):
     assert before == after == [0, 1, 2, 3, 4]
     latest = read_versioned(spark, path)
     assert latest.count() == 9
+
+
+def test_datasource_scan_equals_mapinpandas(spark, tmp_path):
+    """The docscan DataSource must yield row-for-row (incl. doc_id)
+    exactly what the binaryFile+mapInPandas path yields on the same
+    directory, and must plan multiple partitions for multiple files
+    (partition-parallel parsing, not a single-task reader)."""
+    from conversadocs_spark.sources.datasource import (
+        DocScanReader,
+        scan_documents_ds,
+    )
+    from conversadocs_spark.sources.ingest import (
+        scan_documents,
+        stage_text_corpus,
+    )
+    from tests.conftest import SF_ORACLE
+
+    corpus = str(tmp_path / "corpus")
+    stage_text_corpus(spark, SF_ORACLE, corpus, n_docs=30)
+    a = {tuple(r) for r in scan_documents(spark, corpus).collect()}
+    b = {tuple(r) for r in scan_documents_ds(spark, corpus).collect()}
+    assert a == b and len(a) == 30
+    parts = DocScanReader({"path": corpus, "numPartitions": "8"}).partitions()
+    assert len(parts) == 8
+    assert sum(len(p.files) for p in parts) == 30
