@@ -181,7 +181,7 @@ _DRIVER_ORDER = [
     "streaming_tumbling_replay", "streaming_dedup_replay",
     "streaming_session_chat", "streaming_foreachbatch_sink",
     "streaming_ivf_append", "streaming_interval_join_replay",
-    "streaming_hll_replay",
+    "streaming_hll_replay", "streaming_session_timeout",
     "embed_corpus", "embed_doc_pool",
     # r6 continuation: iterative graph centrality + MG sketch (both
     # rows-only by design; NumPy-reference and MG-bound tests pin

@@ -270,3 +270,33 @@ def streaming_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sk.join(exact, on="event_type")
+
+
+@register("streaming_session_timeout", tags=("streaming", "rows-only"))
+def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-TIMEOUT sessionization (streaming/state.py
+    timeout_sessions, applyInPandasWithState + EventTimeTimeout): the
+    only streaming mechanism that closes a session when the user goes
+    quiet — no later event exists to trigger the emit, the watermark
+    passing last+gap does. Replay over the 3-batch events stage plus
+    two far-future sentinel batches (see stage_events_with_sentinels:
+    the watermark only advances on rows reaching the watermark node,
+    and fired timeouts need one more trigger to run — both pinned
+    behaviors, both found the hard way). Output = one row per closed
+    session for user_id < 20; tests/test_streaming.py asserts EXACT
+    equality with the batch gaps-and-islands `sessionize` sessions."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark.streaming.source import (
+        stage_events_with_sentinels,
+    )
+    from conversadocs_spark.streaming.state import timeout_sessions
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(_STAGE_ROOT, f"sess_to_{tag}")
+    stage_events_with_sentinels(spark, sf_dir, stage, n_files=3)
+    # keep the sentinel (user -1) flowing through the watermark node;
+    # drop its own session rows from the output
+    ev = read_events_stream(spark, stage).where(F.col("user_id") < 20)
+    out = _replay(timeout_sessions(ev), "append")
+    return out.where(F.col("user_id") >= 0)

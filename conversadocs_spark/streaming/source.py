@@ -100,3 +100,37 @@ def read_events_stream(
         .parquet(path)
     )
     return raw.withColumn("ts", F.expr("timestamp_micros(ts)"))
+
+
+def stage_events_with_sentinels(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_files: int = 3,
+) -> str:
+    """``stage_events_files`` plus two far-future sentinel events
+    (user_id = -1) as trailing micro-batches. Event-time timeouts only
+    FIRE when the watermark passes them, and the watermark only
+    advances on rows that REACH the watermark node — so (a) the
+    sentinel must survive any upstream user filter (keep ``user_id <
+    N`` forms, not ``between(0, N)``), and (b) a second sentinel batch
+    is needed because timeouts armed in the batch that advanced the
+    watermark fire one trigger LATER. Sessions for user -1 are the
+    caller's to drop."""
+    from conversadocs_spark import io
+
+    stage_events_files(spark, sf_dir, out_dir, n_files=n_files)
+    mx = (
+        io.table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .first()[0]
+    )
+    for i, off in ((n_files + 1, 10**12), (n_files + 2, 2 * 10**12)):
+        spark.createDataFrame(
+            [(10**9 + i, mx + off, -1, "sentinel", 0.0, "{}")],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/slice={i:03d}"
+        )
+    return out_dir

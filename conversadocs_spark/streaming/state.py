@@ -119,3 +119,89 @@ def session_chat(
 
 
 pickle_module_by_value(__name__)
+
+
+def timeout_sessions(
+    events: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Inactivity-timeout sessionization via ``applyInPandasWithState``
+    + ``EventTimeTimeout`` — the ONLY mechanism that can emit a session
+    when the user goes quiet (no further event ever arrives to trigger
+    the close; the watermark passing ``last_event + gap`` does). Emits
+    one row per CLOSED session: (user_id, session_start, session_end,
+    n_events), epoch seconds.
+
+    Semantics contract: identical session boundaries to the batch
+    gaps-and-islands `sessionize` (a > gap_s inactivity gap splits),
+    pinned by tests/test_streaming.py replay-equals-batch. Within a
+    micro-batch the kernel splits greedily on the sorted timestamps;
+    across batches the open session rides in state; the timeout
+    timestamp is re-armed to ``last + gap`` on every update.
+
+    Scale: state per user is three longs; eviction is driven by the
+    watermark, so abandoned users cost nothing after their timeout
+    fires — the property session_window (which buffers windows, not
+    three-scalar summaries) does not give a custom aggregate."""
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        uid = key[0]
+
+        def row(start: int, last: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                [
+                    {
+                        "user_id": uid,
+                        "session_start": start,
+                        "session_end": last,
+                        "n_events": n,
+                    }
+                ]
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield row(start, last, n)
+            return
+        ev = pd.concat(list(pdfs))
+        secs = sorted(
+            ev["ts"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        )
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed: list[tuple[int, int, int]] = []
+        for s in secs:
+            s = int(s)
+            if last is not None and s - last > gap_s:
+                closed.append((start, last, n))
+                start, n = None, 0
+            if start is None:
+                start = s
+            n += 1
+            last = s
+        state.update((start, last, n))
+        state.setTimeoutTimestamp((last + gap_s) * 1000)
+        for c in closed:
+            yield row(*c)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, session_start long, session_end long, "
+                "n_events int"
+            ),
+            stateStructType="start long, last long, n int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -492,3 +492,38 @@ def test_streaming_hll_equals_batch_and_redelivery_is_noop(
         .collect()
     }
     assert est1 == est2
+
+
+def test_timeout_sessions_equal_batch_sessionize(spark, sf_oracle_dir):
+    """EventTimeTimeout sessionization must emit EXACTLY the batch
+    gaps-and-islands sessions (same >1800s split rule): every session
+    closed either by a later event (in-kernel split) or by the
+    watermark passing last+gap (timeout path) — including the final
+    open session of the users with the latest events, which only fire
+    because the sentinel rows keep the watermark advancing."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark.plans import QUERIES
+
+    got = {
+        tuple(r)
+        for r in QUERIES["streaming_session_timeout"](
+            spark, sf_oracle_dir
+        ).collect()
+    }
+    batch = (
+        QUERIES["sessionize"](spark, sf_oracle_dir)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.col("ts").cast("timestamp").cast("long")).alias(
+                "session_start"
+            ),
+            F.max(F.col("ts").cast("timestamp").cast("long")).alias(
+                "session_end"
+            ),
+            F.count("*").cast("int").alias("n_events"),
+        )
+        .drop("session_seq")
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 1000
