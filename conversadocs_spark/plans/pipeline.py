@@ -1104,3 +1104,54 @@ def pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         h.alias("shuffle_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# in-flight pipeline metrics: df.observe (CollectMetrics)
+# --------------------------------------------------------------------------
+
+
+@register("observed_clean", tags=("pipeline", "rows-only"))
+def observed_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``df.observe`` (CollectMetrics): the
+    quality-filter pass reports its input-side metrics — row count,
+    short-doc count, approx language cardinality — AS A BY-PRODUCT of
+    the main job, no second scan. At 100 TB this is the difference
+    between monitored and blind pipelines: a separate metrics query
+    doubles the IO bill, and sampled metrics miss exactly the rare
+    rows you alert on. (``observe`` forbids shuffle-dependent
+    aggregates — count_distinct raises; the sketch form
+    approx_count_distinct is the scale-correct choice anyway.)
+
+    Output: one row with the observed input metrics and the surviving
+    row count; tests/test_pipeline.py re-derives every metric
+    independently."""
+    from pyspark.sql import Observation
+
+    obs = Observation("clean_metrics")
+    d = io.table(spark, sf_dir, "documents")
+    observed = d.observe(
+        obs,
+        F.count("*").alias("rows_in"),
+        F.sum((F.length("text") < 50).cast("long")).alias("too_short"),
+        F.approx_count_distinct("lang").alias("langs_approx"),
+    )
+    survivors = observed.where(
+        (F.length("text") >= 50) & (F.col("lang") == "en")
+    )
+    n_out = survivors.count()  # the action that flushes the metrics
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["rows_in"]),
+                int(m["too_short"]),
+                int(m["langs_approx"]),
+                int(n_out),
+            )
+        ],
+        schema=(
+            "rows_in bigint, too_short bigint, langs_approx bigint, "
+            "rows_out bigint"
+        ),
+    )

@@ -598,3 +598,24 @@ def test_pretrain_corpus_composes_its_stages(spark, sf_oracle_dir):
     }
     for k, r in out.items():
         assert r["split"] == splits[k] and r["fold"] == folds[k]
+
+
+def test_observed_clean_metrics_match_recompute(spark, sf_oracle_dir):
+    """Every observed metric must equal an independent recompute, and
+    rows_out must equal the survivor filter's own count — the
+    one-pass metrics are real measurements, not estimates (except the
+    explicitly-approx language cardinality, checked exact here
+    because 5 distinct langs is far below HLL error range)."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    row = QUERIES["observed_clean"](spark, sf_oracle_dir).collect()[0]
+    d = io.table(spark, sf_oracle_dir, "documents")
+    assert row["rows_in"] == d.count()
+    assert row["too_short"] == d.where(F.length("text") < 50).count()
+    assert row["langs_approx"] == d.select("lang").distinct().count()
+    assert row["rows_out"] == d.where(
+        (F.length("text") >= 50) & (F.col("lang") == "en")
+    ).count()
