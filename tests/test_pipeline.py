@@ -619,3 +619,50 @@ def test_observed_clean_metrics_match_recompute(spark, sf_oracle_dir):
     assert row["rows_out"] == d.where(
         (F.length("text") >= 50) & (F.col("lang") == "en")
     ).count()
+
+
+def test_training_order_write_realizes_global_order(
+    spark, sf_oracle_dir
+):
+    """The written training set must hold the global shuffle order
+    WITHOUT a global sort: per-file key ranges are pairwise disjoint
+    (so file order = global order), every file is internally sorted,
+    and the union of files is exactly the train split."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark.plans import QUERIES
+    from conversadocs_spark.plans.pipeline import corpus_split_shuffle
+
+    stats = QUERIES["training_order_write"](spark, sf_oracle_dir).collect()
+    assert len(stats) == 8
+    ranges = sorted((r["key_lo"], r["key_hi"]) for r in stats)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 < lo2
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "conversadocs_spark",
+    )
+    base = os.path.join(
+        os.path.dirname(out), ".ingest_stage",
+        f"train_order_{os.path.basename(sf_oracle_dir.rstrip('/'))}",
+    )
+    written = spark.read.parquet(base)
+    # per-file sortedness
+    per_file = written.select(
+        F.input_file_name().alias("f"), "shuffle_key"
+    ).collect()
+    by_file: dict = {}
+    for r in per_file:
+        by_file.setdefault(r["f"], []).append(r["shuffle_key"])
+    assert all(keys == sorted(keys) for keys in by_file.values())
+    # exhaustiveness vs the split definition
+    want = {
+        r["doc_id"]
+        for r in corpus_split_shuffle(spark, sf_oracle_dir)
+        .where("split = 'train'")
+        .collect()
+    }
+    got = {r["doc_id"] for r in written.collect()}
+    assert got == want
