@@ -99,7 +99,7 @@ _DRIVER_ORDER = [
     # training-data pipeline (all oracle-checked; span_dedup new in r6
     # — never driver-recorded, so it takes agg_rollup's slot per the
     # COVERAGE.md rotation policy)
-    "contamination_ngram", "span_dedup",
+    "span_dedup",
     "sample_group_topk", "length_histogram", "quality_filter_stack",
     # k-fold CV assignment + scalable row ids (oracle-backed, new —
     # rotated in; out go agg_grouped and join_star, green r1-r5)
@@ -111,7 +111,7 @@ _DRIVER_ORDER = [
     # r1-r5; udtf_chunk_fixed too — green r5/r6-judge, chunk family
     # covered by the sweep; in comes the applyInArrow grouped map,
     # oracle-backed and never driver-recorded)
-    "grouped_map_order_seq", "arrow_grouped_seq",
+    "arrow_grouped_seq",
     # ranking windows rotated wholly to the tail (window_rank green
     # r1-r5; window_analytic/window_frame green r2/r4/r5)
     # aggregates (agg_percentile / agg_pivot rotated in per r5 verdict:
@@ -141,12 +141,16 @@ _DRIVER_ORDER = [
     # join_interval_attrib = new stream-stream batch twin, rotated in)
     "join_interval_attrib",
     "join_fuzzy", "resample_gapfill",
+    # null-safe join + correlated-subquery de-correlation (oracle-
+    # backed, new — rotated in; out go contamination_ngram and
+    # grouped_map_order_seq, green r5)
+    "join_null_safe", "sql_correlated_subqueries",
     # --- 50 ---
     # skew mitigation + composed RAG rotated to the tail this
     # continuation (green driver rows r2/r4/r5) to make room above
     "agg_grouped", "join_star", "join_asof", "dedup_exact",
     "knn_per_query", "similarity_join", "dedup_embedding",
-    "corpus_clean",
+    "corpus_clean", "contamination_ngram", "grouped_map_order_seq",
     "text_stats_by_lang", "grouped_map_partitionwise",
     "join_skew_salted", "agg_skew_distinct", "rag_answer_pipeline",
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",

@@ -441,3 +441,108 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return fuzzy_pairs_dist1(names)
+
+
+# --------------------------------------------------------------------------
+# null-safe equi-join (IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+
+_NULL_SAFE_ORACLE = """
+WITH a AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE o_orderkey % 7 END AS k,
+           o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+),
+b AS (
+    SELECT CASE WHEN n_nationkey >= 20 THEN NULL
+                ELSE n_nationkey % 7 END AS k,
+           n_name
+    FROM nation
+)
+SELECT a.o_orderkey, a.k, b.n_name,
+       round(a.o_totalprice, 2) AS price
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@register("join_null_safe", oracle=_NULL_SAFE_ORACLE, tags=("join",))
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics
+    entity-resolution and CDC keys with optional components need
+    (plain ``=`` makes every NULL-keyed row vanish from an inner
+    join, the classic silent-loss bug). Both sides get NULLs injected
+    deterministically so the NULL-NULL match rows are part of the
+    hash check.
+
+    Scale shape: eqNullSafe stays a HASH join key (Spark hashes the
+    null bucket like any value) — same single exchange as a plain
+    equi-join, NOT a cartesian fallback; the plan keeps
+    BroadcastHashJoin on the nation side."""
+    o = io.table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 3 == 0
+    )
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderkey") % 7)
+        .alias("k"),
+        "o_totalprice",
+    )
+    n = io.table(spark, sf_dir, "nation")
+    b = n.select(
+        F.when(F.col("n_nationkey") >= 20, None)
+        .otherwise(F.col("n_nationkey") % 7)
+        .alias("k"),
+        "n_name",
+    )
+    return (
+        a.join(F.broadcast(b), a["k"].eqNullSafe(b["k"]))
+        .select(
+            "o_orderkey",
+            a["k"].alias("k"),
+            "n_name",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# correlated subqueries (EXISTS + scalar) — the SQL-surface forms
+# --------------------------------------------------------------------------
+
+_SUBQUERY_SQL = """
+SELECT c.c_custkey, c.c_acctbal,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey = c.c_custkey)               AS n_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 100000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F'
+                    AND o.o_totalprice < 1000)
+"""
+
+
+@register(
+    "sql_correlated_subqueries", oracle=_SUBQUERY_SQL, tags=("join",)
+)
+def sql_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS / scalar subqueries — the SQL
+    forms users actually write, executed VERBATIM on both engines
+    (the oracle string IS the Spark SQL string): Catalyst de-correlates
+    them into left-semi, left-anti, and aggregate-then-left-join plans
+    — i.e., exactly the `join_semi`/`join_anti`/grouped-agg operators
+    this engine already pins, reached through the SQL front door. The
+    point of the query is that the REWRITE is correct and stays
+    join-shaped: no per-row re-execution of the subquery exists
+    anywhere in the plan (subqueries that survive to execution as
+    loops are the classic correctness-preserving, scale-destroying
+    fallback)."""
+    for t in ("customer", "orders"):
+        io.table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SUBQUERY_SQL)

@@ -40,10 +40,14 @@ def test_driver_order_covers_registry_exactly():
     # corpus_clean's slot passed to pretrain_corpus and
     # text_stats_by_lang's to rerank_topk (both displaced with
     # multi-round greens in the session-close rotation)
+    # (grouped_map_order_seq and contamination_ngram rotated to the
+    # tail with green r5 rows for the null-safe/subquery additions;
+    # arrow_grouped_seq carries the python-kernel family row)
     for must in ("knn_topk", "dedup_minhash", "pretrain_corpus",
-                 "grouped_map_order_seq", "arrow_grouped_seq",
+                 "arrow_grouped_seq",
                  "window_range_time", "lm_bigram_score",
-                 "rerank_topk"):
+                 "rerank_topk", "join_null_safe",
+                 "sql_correlated_subqueries"):
         assert must in head
 
 

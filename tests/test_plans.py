@@ -411,3 +411,19 @@ def test_dynamic_partition_pruning_on_partitioned_fact(
         .collect()
     }
     assert got == want and set(got) == set(days)
+
+
+def test_correlated_subqueries_decorrelate_to_joins(
+    spark, sf_oracle_dir
+):
+    """EXISTS / NOT EXISTS / scalar subqueries must reach execution as
+    LeftSemi / LeftAnti / aggregate-join plans — never as per-row
+    subquery re-execution (no InSubquery/ScalarSubquery nodes survive
+    in the executed plan)."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["sql_correlated_subqueries"](spark, sf_oracle_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:1500]
+    assert "ScalarSubquery" not in plan and "InSubquery" not in plan
