@@ -186,7 +186,9 @@ _DRIVER_ORDER = [
     "streaming_session_chat", "streaming_foreachbatch_sink",
     "streaming_ivf_append", "streaming_interval_join_replay",
     "streaming_hll_replay", "streaming_session_timeout",
+    "streaming_static_enrich",
     "observed_clean", "training_order_write",
+    "udtf_dynamic_schema",
     "embed_corpus", "embed_doc_pool",
     # r6 continuation: iterative graph centrality + MG sketch (both
     # rows-only by design; NumPy-reference and MG-bound tests pin

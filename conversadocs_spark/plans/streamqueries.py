@@ -300,3 +300,37 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, stage).where(F.col("user_id") < 20)
     out = _replay(timeout_sessions(ev), "append")
     return out.where(F.col("user_id") >= 0)
+
+
+@register("streaming_static_enrich", tags=("streaming", "rows-only"))
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the stateless join class (the
+    other two being stream-stream `streaming_interval_join_replay`
+    and the stateful aggregations): every micro-batch joins against a
+    static dimension with NO state store involvement, the everyday
+    enrichment every streaming pipeline starts with. The dim is
+    broadcast, so each micro-batch pays a map-side hash join — at
+    100 TB/day of events this is the difference between enrichment
+    that scales with the stream and one that reshuffles it.
+
+    Dim derived deterministically from event_type (category + a
+    priority rank), so replay == the identical batch join
+    (tests/test_streaming.py, exact row-set equality)."""
+    from pyspark.sql import functions as F
+
+    path = _stage(spark, sf_dir, duplicate_rows=False)
+    dim = spark.createDataFrame(
+        [
+            ("view", "engagement", 1),
+            ("click", "engagement", 2),
+            ("purchase", "revenue", 3),
+            ("signup", "identity", 4),
+            ("error", "ops", 5),
+        ],
+        "event_type string, category string, priority int",
+    )
+    ev = read_events_stream(spark, path)
+    enriched = ev.join(F.broadcast(dim), "event_type").select(
+        "event_id", "user_id", "event_type", "category", "priority"
+    )
+    return _replay(enriched, "append")

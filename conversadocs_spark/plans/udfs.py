@@ -507,3 +507,61 @@ def arrow_grouped_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_value double"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# polymorphic Python UDTF: analyze() derives the schema from arguments
+# --------------------------------------------------------------------------
+
+_UDTF_DYNAMIC_ORACLE = """
+SELECT doc_id,
+       string_split(text, ' ')[1] AS tok0,
+       string_split(text, ' ')[2] AS tok1,
+       string_split(text, ' ')[3] AS tok2,
+       string_split(text, ' ')[4] AS tok3
+FROM documents
+"""
+
+
+@register(
+    "udtf_dynamic_schema", oracle=_UDTF_DYNAMIC_ORACLE, tags=("udf",)
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    schema is computed at PLAN TIME from the call's literal argument —
+    ``first_tokens(text, 4)`` plans 4 string columns, ``..., 8`` would
+    plan 8 — the table-function form a fixed returnType cannot
+    express (wide feature extraction where the width is a parameter).
+    Completes the UDTF surface next to the fixed-schema
+    `udtf_chunk_fixed`. The kernel itself stays an Arrow-batched
+    narrow map; analyze() runs once on the driver during resolution,
+    so the polymorphism costs nothing per row."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FirstTokens:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            st = StructType()
+            for i in range(int(n.value)):
+                st = st.add(f"tok{i}", "string")
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple((toks + [None] * n)[:n])
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    io.table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_dyn_src"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok0, t.tok1, t.tok2, t.tok3
+        FROM udtf_dyn_src d, LATERAL first_tokens(d.text, 4) t
+        """
+    )

@@ -527,3 +527,38 @@ def test_timeout_sessions_equal_batch_sessionize(spark, sf_oracle_dir):
     )
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) > 1000
+
+
+def test_stream_static_enrich_equals_batch_join(spark, sf_oracle_dir):
+    """The stream-static enrichment replay must equal the identical
+    batch join row-for-row (stateless join: no watermark, no state —
+    micro-batching cannot change a deterministic enrichment)."""
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    got = {
+        tuple(r)
+        for r in QUERIES["streaming_static_enrich"](
+            spark, sf_oracle_dir
+        ).collect()
+    }
+    dim = spark.createDataFrame(
+        [
+            ("view", "engagement", 1),
+            ("click", "engagement", 2),
+            ("purchase", "revenue", 3),
+            ("signup", "identity", 4),
+            ("error", "ops", 5),
+        ],
+        "event_type string, category string, priority int",
+    )
+    want = {
+        tuple(r)
+        for r in io.table(spark, sf_oracle_dir, "events")
+        .join(dim, "event_type")
+        .select(
+            "event_id", "user_id", "event_type", "category", "priority"
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 10000
