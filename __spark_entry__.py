@@ -186,7 +186,7 @@ _DRIVER_ORDER = [
     "streaming_session_chat", "streaming_foreachbatch_sink",
     "streaming_ivf_append", "streaming_interval_join_replay",
     "streaming_hll_replay", "streaming_session_timeout",
-    "streaming_static_enrich",
+    "streaming_static_enrich", "streaming_update_mode_replay",
     "observed_clean", "training_order_write",
     "udtf_dynamic_schema",
     "embed_corpus", "embed_doc_pool",

@@ -334,3 +334,67 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "category", "priority"
     )
     return _replay(enriched, "append")
+
+
+@register("streaming_update_mode_replay", tags=("streaming", "rows-only"))
+def streaming_update_mode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the changelog semantics between complete
+    (re-emit everything) and append (emit once, final): each trigger
+    emits ONLY the aggregate rows that changed. Captured via
+    foreachBatch into (batch_id)-stamped parquet, the changelog's
+    latest row per (window, event_type) must equal the batch
+    aggregate — i.e. compacting the update stream with
+    `latest_per_key` semantics reconstructs the table, which is
+    exactly how an upsert sink (Kafka compacted topic, key-value
+    store) consumes update mode in production.
+
+    Completes the output-mode matrix: complete
+    (`streaming_tumbling_replay`), append (every other replay), and
+    update (this). tests/test_streaming.py pins changelog-compaction
+    == batch, and that update mode really emitted incrementally
+    (more than one batch wrote rows, no batch re-emitted an
+    unchanged window)."""
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark.streaming.ops import stream_tumbling_agg
+
+    path = _stage(spark, sf_dir, duplicate_rows=False)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(
+        _STAGE_ROOT, f"upd_{tag}_{os.getpid()}_{next(_COUNTER)}"
+    )
+    ckpt = out + "_ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    ev = read_events_stream(spark, path)
+    agg = stream_tumbling_agg(ev)
+
+    def sink(batch_df, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    log = spark.read.parquet(out)
+    w = Window.partitionBy("win_start", "event_type").orderBy(
+        F.desc("batch_id")
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "win_start", "win_end", "event_type", "n_events",
+            "total_value", "batch_id",
+        )
+    )

@@ -562,3 +562,50 @@ def test_stream_static_enrich_equals_batch_join(spark, sf_oracle_dir):
         .collect()
     }
     assert got == want and len(got) == 10000
+
+
+def test_update_mode_changelog_compacts_to_batch(spark, sf_oracle_dir):
+    """Compacting the update-mode changelog (latest row per window
+    key) must reconstruct the batch aggregate exactly, and the
+    changelog must be genuinely incremental: updates span multiple
+    batch_ids."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["streaming_update_mode_replay"](
+        spark, sf_oracle_dir
+    ).collect()
+    got = {
+        (r["win_start"], r["event_type"]): (
+            r["n_events"],
+            round(float(r["total_value"]), 6),
+        )
+        for r in rows
+    }
+    ev = io.table(spark, sf_oracle_dir, "events")
+    batch = (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "6 hours"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("tv"),
+        )
+        .select(
+            F.col("window.start").alias("ws"), "event_type", "n", "tv"
+        )
+    )
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], round(float(r["tv"]), 6))
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len({r["batch_id"] for r in rows}) > 1
