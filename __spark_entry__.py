@@ -187,6 +187,7 @@ _DRIVER_ORDER = [
     "streaming_ivf_append", "streaming_interval_join_replay",
     "streaming_hll_replay", "streaming_session_timeout",
     "streaming_static_enrich", "streaming_update_mode_replay",
+    "streaming_cdc_apply",
     "observed_clean", "training_order_write",
     "udtf_dynamic_schema",
     "embed_corpus", "embed_doc_pool",

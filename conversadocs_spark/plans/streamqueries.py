@@ -398,3 +398,82 @@ def streaming_update_mode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value", "batch_id",
         )
     )
+
+
+@register("streaming_cdc_apply", tags=("streaming", "lake", "rows-only"))
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (streaming/cdc.py): a 3-batch change
+    stream — updates (custkey%7), deletes (custkey%13), inserts
+    (re-keyed %17) — MERGEs into a versioned customer snapshot via
+    foreachBatch; returns the final snapshot. The batch twin of the
+    lowering is the oracle-checked `merge_upsert`;
+    tests/test_streaming.py pins (a) the streamed result equals
+    applying the same batches sequentially in batch mode and (b)
+    redelivering a batch is a no-op (idempotent merge + versioned
+    commits = exactly-once without a transaction log)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.sources.sink import (
+        read_versioned,
+        write_versioned,
+    )
+    from conversadocs_spark.streaming.cdc import (
+        CHANGES_SCHEMA,
+        foreach_batch_cdc_applier,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        _STAGE_ROOT, f"cdc_{tag}_{os.getpid()}_{next(_COUNTER)}"
+    )
+    changes_dir, table, ckpt = (
+        base + "_chg", base + "_tbl", base + "_ckpt"
+    )
+    for p in (changes_dir, table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    c = io.table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    write_versioned(c, table)  # v1 = the base snapshot
+    batches = [
+        c.where(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey", F.lit("U").alias("op"), "c_name",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") + 100.5, 2).alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+        ),
+        c.where(F.col("c_custkey") % 13 == 0).select(
+            "c_custkey", F.lit("D").alias("op"), "c_name",
+            "c_nationkey", "c_acctbal", "c_mktsegment",
+        ),
+        c.where(F.col("c_custkey") % 17 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit("I").alias("op"),
+            F.concat(F.lit("Customer#NEW"),
+                     F.col("c_custkey").cast("string")).alias("c_name"),
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEWSEG").alias("c_mktsegment"),
+        ),
+    ]
+    for i, b in enumerate(batches, 1):
+        b.coalesce(1).write.mode("overwrite").parquet(
+            f"{changes_dir}/batch={i:03d}"
+        )
+    stream = (
+        spark.readStream.schema(CHANGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(changes_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_cdc_applier(table))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_versioned(spark, table)

@@ -609,3 +609,59 @@ def test_update_mode_changelog_compacts_to_batch(spark, sf_oracle_dir):
     }
     assert got == want
     assert len({r["batch_id"] for r in rows}) > 1
+
+
+def test_streaming_cdc_apply_equals_sequential_and_is_idempotent(
+    spark, sf_oracle_dir, tmp_path
+):
+    """The streamed CDC result must equal applying the same three
+    batches sequentially in batch mode, and re-applying any batch to
+    the final snapshot must change nothing (idempotent merge:
+    absolute updates, keyed deletes, when-not-matched inserts)."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+    from conversadocs_spark.streaming.cdc import apply_cdc_batch
+
+    got = {
+        tuple(r)
+        for r in QUERIES["streaming_cdc_apply"](
+            spark, sf_oracle_dir
+        ).collect()
+    }
+    c = io.table(spark, sf_oracle_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    batches = [
+        c.where(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey", F.lit("U").alias("op"), "c_name",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") + 100.5, 2).alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+        ),
+        c.where(F.col("c_custkey") % 13 == 0).select(
+            "c_custkey", F.lit("D").alias("op"), "c_name",
+            "c_nationkey", "c_acctbal", "c_mktsegment",
+        ),
+        c.where(F.col("c_custkey") % 17 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit("I").alias("op"),
+            F.concat(F.lit("Customer#NEW"),
+                     F.col("c_custkey").cast("string")).alias("c_name"),
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEWSEG").alias("c_mktsegment"),
+        ),
+    ]
+    snap = c
+    for b in batches:
+        snap = apply_cdc_batch(snap, b).localCheckpoint()
+    want = {tuple(r) for r in snap.collect()}
+    assert got == want and len(got) > 1000
+    # redelivery no-op: every batch re-applied to the final snapshot
+    # updates are absolute, deletes already gone, inserts already
+    # matched — every re-application is a fixed point
+    for b in batches:
+        again = {tuple(r) for r in apply_cdc_batch(snap, b).collect()}
+        assert again == want
