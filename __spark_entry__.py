@@ -61,7 +61,7 @@ _DRIVER_ORDER = [
     # dedup family (dedup_clusters = transitive survivor resolution;
     # dedup_incremental = the daily-increment index lifecycle;
     # dedup_ngram_jaccard rotated to the tail: green rows r2-r5)
-    "dedup_minhash", "dedup_clusters",
+    "dedup_minhash",
     "dedup_incremental",
     # composed end-to-end pretraining build (oracle-backed, new —
     # rotated in; out goes corpus_clean, green r2-r5, still covered
@@ -133,6 +133,10 @@ _DRIVER_ORDER = [
     # out go join_skew_salted / agg_skew_distinct /
     # rag_answer_pipeline, each green r2/r4/r5)
     "text_normalize", "arrow_text_stats",
+    # ANSI try_* safety family (oracle-backed, new — rotated in; out
+    # goes dedup_clusters: green r5 driver row, oracle-swept every
+    # gate run, and bench-tracked per round regardless)
+    "ansi_try_funcs",
     # joins (join_left/right/full rotated to the tail: green driver rows
     # in r1/r2/r4/r5; join_inner rotated to the tail too — green
     # r1-r5; join_fuzzy = new edit-distance-blocked join;
@@ -150,7 +154,8 @@ _DRIVER_ORDER = [
     # continuation (green driver rows r2/r4/r5) to make room above
     "agg_grouped", "join_star", "join_asof", "dedup_exact",
     "knn_per_query", "similarity_join", "dedup_embedding",
-    "corpus_clean", "contamination_ngram", "grouped_map_order_seq",
+    "corpus_clean", "dedup_clusters", "contamination_ngram",
+    "grouped_map_order_seq",
     "text_stats_by_lang", "grouped_map_partitionwise",
     "join_skew_salted", "agg_skew_distinct", "rag_answer_pipeline",
     "summarize_mapreduce", "dedup_ngram_jaccard", "join_inner",

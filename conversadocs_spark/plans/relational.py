@@ -414,3 +414,59 @@ def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_parse_json(corrupted), "$.k", "int"
         ).alias("k_tolerant"),
     )
+
+
+_TRY_FUNCS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       TRY_CAST(CASE WHEN l_orderkey % 3 = 0
+                     THEN 'x' || CAST(l_quantity AS VARCHAR)
+                     ELSE CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)
+                END AS INTEGER)                          AS qty_parsed,
+       CASE WHEN l_quantity = 10.0 THEN NULL
+            ELSE round(l_extendedprice / (l_quantity - 10.0), 6)
+       END                                              AS safe_ratio,
+       CASE WHEN l_partkey = 0 THEN 9223372036854775807
+            ELSE NULL END                               AS safe_sum
+FROM lineitem
+WHERE l_orderkey % 11 = 0
+"""
+
+
+@register("ansi_try_funcs", oracle=_TRY_FUNCS_ORACLE, tags=("relational",))
+def ansi_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety surface: Spark 4 runs ANSI ON by default, so a
+    single malformed cast, /0, or bigint overflow KILLS the job unless
+    the pipeline opts into the ``try_*`` family — NULL-on-failure
+    semantics per expression, the row-level quarantine discipline
+    (scan_json_corrupt_tolerant at source level, try_parse_json at
+    VARIANT level, this at arithmetic level). All three failure modes
+    are injected deterministically, so which rows survive is itself
+    hash-checked: try_to_number on corrupted digit strings (the
+    format-checked cousin of Column.try_cast), try_divide
+    hitting an exact zero denominator, try_add at the bigint ceiling.
+    The oracle encodes the same semantics as explicit CASE guards —
+    proving try_* equals guard-then-compute, the rewrite it exists to
+    replace."""
+    li = io.table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 11 == 0
+    )
+    qty_str = F.when(
+        F.col("l_orderkey") % 3 == 0,
+        F.concat(F.lit("x"), F.col("l_quantity").cast("string")),
+    ).otherwise(F.col("l_quantity").cast("int").cast("string"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_to_number(qty_str, F.lit("999999")).cast("int").alias(
+            "qty_parsed"
+        ),
+        F.round(
+            F.try_divide(
+                F.col("l_extendedprice"), F.col("l_quantity") - 10.0
+            ),
+            6,
+        ).alias("safe_ratio"),
+        F.try_add(
+            F.lit(9223372036854775807), F.col("l_partkey")
+        ).alias("safe_sum"),
+    )
