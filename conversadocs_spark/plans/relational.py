@@ -423,8 +423,10 @@ SELECT l_orderkey, l_linenumber,
                      ELSE CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)
                 END AS INTEGER)                          AS qty_parsed,
        CASE WHEN l_quantity = 10.0 THEN NULL
-            ELSE round(l_extendedprice / (l_quantity - 10.0), 6)
-       END                                              AS safe_ratio,
+            ELSE CAST(floor(
+                 (CAST(round(l_extendedprice * 100) AS BIGINT) * 100000)
+                 / (CAST(l_quantity AS BIGINT) - 10)) AS BIGINT)
+       END                                              AS safe_ratio_e7,
        CASE WHEN l_partkey = 0 THEN 9223372036854775807
             ELSE NULL END                               AS safe_sum
 FROM lineitem
@@ -446,7 +448,17 @@ def ansi_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hitting an exact zero denominator, try_add at the bigint ceiling.
     The oracle encodes the same semantics as explicit CASE guards —
     proving try_* equals guard-then-compute, the rewrite it exists to
-    replace."""
+    replace.
+
+    The ratio is emitted as an exact integer (floor of cents*1e5 /
+    integer denominator) instead of round(double, 6): cent-exact
+    prices divided by power-of-two denominators land EXACTLY on
+    6-decimal rounding midpoints, where Spark's HALF_UP BigDecimal
+    and DuckDB's double rounding disagree — the same boundary class
+    the sf1 gate caught in window_ntile (SCALEGATE_r06 run 3), caught
+    here by the sf1 spot-check before it shipped. floor is safe: the
+    double quotient of exact <2^53 integers errs well under the 1/40
+    minimum fractional step."""
     li = io.table(spark, sf_dir, "lineitem").where(
         F.col("l_orderkey") % 11 == 0
     )
@@ -460,12 +472,15 @@ def ansi_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_number(qty_str, F.lit("999999")).cast("int").alias(
             "qty_parsed"
         ),
-        F.round(
+        F.floor(
             F.try_divide(
-                F.col("l_extendedprice"), F.col("l_quantity") - 10.0
-            ),
-            6,
-        ).alias("safe_ratio"),
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * 100000,
+                F.col("l_quantity").cast("long") - 10,
+            )
+        )
+        .cast("long")
+        .alias("safe_ratio_e7"),
         F.try_add(
             F.lit(9223372036854775807), F.col("l_partkey")
         ).alias("safe_sum"),
