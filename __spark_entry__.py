@@ -200,9 +200,10 @@ _DRIVER_ORDER = [
     # rows-only by design; NumPy-reference and MG-bound tests pin
     # values locally)
     "graph_pagerank", "heavy_hitters_terms",
-    # distributed BPE merge training (iterative driver loop, rows-only;
-    # merge sequence pinned against the pure-Python Sennrich reference)
-    "bpe_train",
+    # distributed BPE merge training + application (iterative driver
+    # loop / broadcast-model tokenization, rows-only; both pinned
+    # against the pure-Python Sennrich reference)
+    "bpe_train", "bpe_apply",
     # distributed PCA (rows-only; numpy-parity + invariant tests)
     "embed_pca",
 ]

@@ -30,8 +30,11 @@ is a pure function of the corpus — partition- and retry-invariant.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from conversadocs_spark.serde import pickle_module_by_value
 
 END_OF_WORD = "</w>"
 
@@ -146,3 +149,70 @@ def bpe_train(
         ).localCheckpoint()
     vocab.unpersist()
     return merges
+
+
+def apply_merges_to_word(word: str, merges: list) -> list[str]:
+    """Classic BPE application: greedy non-overlapping left-to-right
+    replacement of each merge rule IN TRAINING ORDER — the inference
+    twin of the fold in ``_apply_merge`` (same semantics, Python-side,
+    because inference runs per word against a broadcast rule list
+    rather than as a per-rule corpus pass)."""
+    syms = list(word) + [END_OF_WORD]
+    for left, right in merges:
+        out, i = [], 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a trained merge list: one Arrow-batched
+    narrow map (no shuffle); the model is the (tiny) merge list
+    captured in the closure — the standard broadcast-the-model shape.
+    Per-batch word memoization makes the cost O(distinct words per
+    batch), not O(tokens): the same Heaps'-law asymmetry training
+    exploits."""
+    import re
+
+    rules = [(l, r) for _step, l, r, _cnt in merges]
+
+    @F.pandas_udf("n_words long, n_subwords long, subword_sample string")
+    def tokenize(texts: pd.Series) -> pd.DataFrame:
+        cache: dict[str, list[str]] = {}
+
+        def enc(t: str):
+            words = re.findall(r"[a-z]+", (t or "").lower())
+            subs: list[str] = []
+            for w in words:
+                if w not in cache:
+                    cache[w] = apply_merges_to_word(w, rules)
+                subs.extend(cache[w])
+            return len(words), len(subs), " ".join(subs[:5])
+
+        rows = [enc(t) for t in texts]
+        return pd.DataFrame(
+            rows, columns=["n_words", "n_subwords", "subword_sample"]
+        )
+
+    return docs.select(
+        "doc_id", tokenize(F.col(text_col)).alias("tok")
+    ).select(
+        "doc_id",
+        F.col("tok.n_words").alias("n_words"),
+        F.col("tok.n_subwords").alias("n_subwords"),
+        F.col("tok.subword_sample").alias("subword_sample"),
+    )
+
+
+pickle_module_by_value(__name__)

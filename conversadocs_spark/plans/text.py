@@ -905,3 +905,20 @@ def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, schema="step int, left string, right string, pair_count bigint"
     )
+
+
+@register("bpe_apply", tags=("text", "rows-only"))
+def bpe_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges back to the corpus — the inference
+    half of the tokenizer lifecycle (`bpe_train` learns the rules;
+    this tokenizes with them): per-doc word/subword counts plus a
+    sample, via one Arrow-batched narrow map with the merge list as
+    the broadcast model and per-batch word memoization (cost scales
+    with distinct words, not tokens). Rows-only (the model is
+    iterative-trained); tests/test_text.py pins the subword output
+    against the pure-Python Sennrich application word-for-word."""
+    from conversadocs_spark.operators.bpe import bpe_apply, bpe_train
+
+    d = io.table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=40, min_pair_count=2)
+    return bpe_apply(d, merges)

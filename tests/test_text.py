@@ -330,3 +330,35 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
                     i += 1
             vocab[w] = out
     assert got == want
+
+
+def test_bpe_apply_matches_python_application(spark, sf_dir):
+    """Tokenizing with the trained merges must equal the pure-Python
+    application word-for-word: subword counts per doc and the sampled
+    subwords; and the encoding must be non-trivial (fewer subwords
+    than characters, more than words)."""
+    import re
+
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.bpe import (
+        apply_merges_to_word,
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = io.table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=25, min_pair_count=2)
+    rules = [(l, r) for _s, l, r, _c in merges]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"], r["subword_sample"])
+        for r in bpe_apply(docs, merges).collect()
+    }
+    for row in docs.collect():
+        words = re.findall(r"[a-z]+", row["text"].lower())
+        subs = []
+        for w in words:
+            subs.extend(apply_merges_to_word(w, rules))
+        want = (len(words), len(subs), " ".join(subs[:5]))
+        assert got[row["doc_id"]] == want
+        n_chars = sum(len(w) + 1 for w in words)
+        assert len(words) <= len(subs) <= n_chars
