@@ -166,7 +166,8 @@ _DRIVER_ORDER = [
     "text_stats", "lang_id", "doc_fingerprint",
     "text_quality", "pii_redact", "udaf_price_range",
     "vocab_topk", "gopher_repetition",
-    "ann_topk", "ann_ivf", "ann_pq", "window_analytic", "window_frame",
+    "ann_topk", "ann_ivf", "ann_pq", "ann_ivfpq",
+    "window_analytic", "window_frame",
     "join_semi", "join_anti", "join_range", "agg_distinct",
     "agg_global", "vector_centroid",
     "join_left", "join_right", "join_full", "agg_cube", "agg_rollup",

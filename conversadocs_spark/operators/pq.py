@@ -330,3 +330,161 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_lists: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    pool: int = 48,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN pairing (FAISS's
+    default index family): IVF's coarse quantizer prunes WHICH vectors
+    are scored (nprobe/n_lists of the corpus), PQ's fine quantizer
+    shrinks WHAT is scored (m bytes instead of dim floats), and the
+    two multiply — at nprobe/n_lists = 1/2 and 32x code compression
+    the scored bytes drop ~64x versus a brute scan before the exact
+    refine touches a single raw vector.
+
+    Composition, not new machinery: ivf_build assigns cells
+    (operators/ivf.py), pq_train/pq_encode compress members (this
+    module), the probe semi-joins candidate cells exactly like
+    ivf_search, the ADC scan + top-``pool`` window run on the pruned
+    members only, and exact cosine re-ranks the pool. At 100 TB the
+    persisted index is (list_id-partitioned codes) — probes read
+    nprobe partitions of m-byte rows.
+    """
+    from pyspark.sql import Window
+
+    from conversadocs_spark.operators.ivf import ivf_build
+
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    dsub = dim // m
+    assigned, centroids = ivf_build(
+        vectors, n_lists=n_lists, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codebook = pq_train(
+        vectors, m=m, ksub=ksub, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    normed = assigned.select(
+        id_col, "list_id", l2_normalize(F.col(vec_col)).alias(vec_col)
+    )
+    encoded = pq_encode(
+        normed, codebook, m, dsub, id_col, vec_col
+    ).join(assigned.select(id_col, "list_id"), on=id_col)
+
+    # probe: top-nprobe cells per query (identical to ivf_search)
+    qn = queries.select(
+        query_id_col,
+        query_vec_col,
+        l2_normalize(F.col(query_vec_col)).alias("qv"),
+    )
+    qsim = cosine_similarity(F.col("qv"), F.col("centroid"))
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qsim"), F.asc("list_id")
+    )
+    probed = (
+        qn.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col, "qv", query_vec_col, "list_id",
+            F.round(qsim, 9).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(query_id_col, "qv", query_vec_col, "list_id")
+    )
+
+    # ADC tables per (query, probed cell set) — same expression as
+    # pq_topk, built once per query row
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    tab = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda c: F.coalesce(
+                F.get(
+                    F.transform(
+                        F.filter(
+                            F.col("cb"),
+                            lambda e: (e["sub"] == j) & (e["code"] == c),
+                        ),
+                        lambda e: F.round(
+                            _dot(
+                                F.slice(
+                                    F.col("qv"), j * dsub + 1, F.lit(dsub)
+                                ),
+                                e["centroid"],
+                            ),
+                            9,
+                        ),
+                    ),
+                    0,
+                ),
+                F.lit(-1e9),
+            ),
+        ),
+    )
+    qtab = probed.crossJoin(F.broadcast(_pack(codebook))).select(
+        query_id_col, query_vec_col, "list_id", tab.alias("tab")
+    )
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("tab"),
+            lambda c, t: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        encoded.join(F.broadcast(qtab), on="list_id")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, F.round(adc, 9).alias("adc"))
+    )
+    wpool = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc"), F.asc(id_col)
+    )
+    pooled = (
+        cand.withColumn("rn", F.row_number().over(wpool))
+        .where(F.col("rn") <= pool)
+        .select(query_id_col, id_col)
+    )
+    refined = pooled.join(
+        vectors.select(id_col, vec_col), on=id_col
+    ).join(
+        F.broadcast(queries.select(query_id_col, query_vec_col)),
+        on=query_id_col,
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    return (
+        refined.select(
+            query_id_col, id_col, F.round(sim, 6).alias("sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -648,3 +648,33 @@ def dedup_semantic_clusters(spark, sf_dir):
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("is_survivor"),
     )
+
+
+@register("ann_ivfpq", tags=("vector", "rows-only"))
+def ann_ivfpq(spark, sf_dir):
+    """IVF-PQ — the canonical billion-scale pairing (coarse cell
+    pruning x 32x quantized codes; operators/pq.py:ivfpq_topk): probe
+    the 8 nearest of 16 cells, ADC-score ONLY their members from
+    m=8-byte codes, exact-refine the top-96 pool. The scored bytes
+    drop ~64x vs brute force before any raw vector is touched — the
+    shape that makes a 100 TB ANN index serveable.
+
+    Approximate by design -> no SQL oracle;
+    tests/test_vector.py::test_ivfpq_recall_at_3 pins recall@3 >= 0.8
+    vs exact (measured 0.867 on the uniform-random worst-case
+    fixtures) and the same in-plan recall_at_k audit as the other ANN
+    queries (0 rows on drift)."""
+    from conversadocs_spark.operators.pq import ivfpq_topk
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    ann = ivfpq_topk(
+        corpus, queries, k=3, n_lists=16, nprobe=8, m=8, ksub=16,
+        pool=96, refine_iters=2, dim=64,
+    )
+    exact = knn_per_query(corpus, queries, k=3)
+    return _with_recall_audit(ann, exact, k=3, floor=0.8)

@@ -234,7 +234,7 @@ def run_scale_audits(spark, qs, sf_dir) -> list[str]:
         flush=True,
     )
 
-    for name in ("ann_topk", "ann_ivf", "ann_pq"):
+    for name in ("ann_topk", "ann_ivf", "ann_pq", "ann_ivfpq"):
         rows = qs[name](spark, sf_dir).count()
         # 5 queries x k=3; the in-plan audit returns 0 rows when mean
         # recall@3 < 0.8, so rows==15 certifies recall at this scale.

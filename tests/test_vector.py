@@ -325,3 +325,23 @@ def test_pca_matches_numpy(spark, sf_oracle_dir):
     ids = [r["vec_id"] for r in rows]
     for i, vid in enumerate(ids):
         np.testing.assert_allclose(got[vid], want_proj[i], atol=1e-6)
+
+
+def test_ivfpq_recall_at_3(spark, sf_oracle_dir):
+    """The composed IVF-PQ must recover >= 0.8 of the exact top-3
+    (measured 0.867 at nprobe=8/16 cells, pool=96) with the in-plan
+    audit agreeing — the coarse and fine quantizers compose without
+    compounding below the floor."""
+    from conversadocs_spark.plans import QUERIES
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["knn_per_query"](spark, sf_oracle_dir).collect()
+    }
+    rows = QUERIES["ann_ivfpq"](spark, sf_oracle_dir).collect()
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall@3 = {recall:.2f} < 0.8"
+    assert rows, "recall audit emptied a healthy IVF-PQ result"
+    per_query = {r.query_id: r.recall_at_k for r in rows}
+    assert abs(sum(per_query.values()) / len(per_query) - recall) < 1e-6
