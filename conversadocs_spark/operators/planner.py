@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 
 from conversadocs_spark.operators.ivf import ivf_topk
 from conversadocs_spark.operators.knn import knn_per_query
+from conversadocs_spark.operators.pq import ivfpq_topk
 
 #: Default exact-vs-index crossover (rows). Chosen so every test/bench
 #: fixture (<= 200k vectors) stays on the exact path — on a single
@@ -59,16 +60,22 @@ def choose_knn_strategy(
     k: int = 3,
     n_queries: int = AMORTIZE_MIN_QUERIES,
     brute_threshold: int = BRUTE_THRESHOLD,
+    dim: int = 64,
+    memory_budget_bytes: Optional[int] = None,
 ) -> str:
-    """Pick the physical retrieval strategy from corpus cardinality
-    and query-batch size.
+    """Pick the physical retrieval strategy from corpus cardinality,
+    query-batch size, and (optionally) an index memory budget.
 
     Returns ``"brute"`` (exact) when ``n_corpus <= brute_threshold``
     OR the batch is too small to amortize an inline index build
-    (``n_queries < AMORTIZE_MIN_QUERIES``), else ``"ivf"``. ``k``
+    (``n_queries < AMORTIZE_MIN_QUERIES``); otherwise ``"ivf"`` —
+    unless the raw-vector index (n * dim * 4 float32 bytes) exceeds
+    ``memory_budget_bytes``, in which case ``"ivfpq"``: the quantized
+    codes (n * m bytes, 32x smaller at the defaults) are what still
+    fits, the third axis of the cost model (brute trades compute,
+    IVF trades recall-per-probe, PQ trades recall-per-byte). ``k``
     only matters degenerately: a top-k that wants most of the corpus
-    back (k >= n/nprobe) cannot be pruned, so it forces the exact
-    path regardless of size.
+    back cannot be pruned, so it forces the exact path.
     """
     if n_corpus <= brute_threshold:
         return "brute"
@@ -76,6 +83,11 @@ def choose_knn_strategy(
         return "brute"  # inline build never pays for a tiny batch
     if k * 16 >= n_corpus:  # top-k ~ corpus size: pruning is pointless
         return "brute"
+    if (
+        memory_budget_bytes is not None
+        and n_corpus * dim * 4 > memory_budget_bytes
+    ):
+        return "ivfpq"
     return "ivf"
 
 
@@ -89,6 +101,8 @@ def knn_auto(
     force: Optional[str] = None,
     n_lists: int = 16,
     nprobe: int = 8,
+    dim: int = 64,
+    memory_budget_bytes: Optional[int] = None,
 ) -> tuple[DataFrame, str]:
     """Plan and run batch top-k retrieval, returning
     ``(result, strategy)``.
@@ -108,6 +122,8 @@ def knn_auto(
             k=k,
             n_queries=qstat,
             brute_threshold=brute_threshold,
+            dim=dim,
+            memory_budget_bytes=memory_budget_bytes,
         )
     if strategy == "brute":
         return knn_per_query(corpus, queries, k=k), "brute"
@@ -115,5 +131,13 @@ def knn_auto(
         return (
             ivf_topk(corpus, queries, k=k, n_lists=n_lists, nprobe=nprobe),
             "ivf",
+        )
+    if strategy == "ivfpq":
+        return (
+            ivfpq_topk(
+                corpus, queries, k=k, n_lists=n_lists, nprobe=nprobe,
+                dim=dim,
+            ),
+            "ivfpq",
         )
     raise ValueError(f"unknown retrieval strategy {strategy!r}")

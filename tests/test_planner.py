@@ -88,3 +88,55 @@ def test_tiny_batch_never_pays_for_inline_build():
         choose_knn_strategy(10**7, n_queries=AMORTIZE_MIN_QUERIES)
         == "ivf"
     )
+
+
+def test_planner_memory_budget_picks_ivfpq():
+    """Above the brute crossover, a memory budget smaller than the
+    raw float32 index must flip the plan to the quantized index —
+    and a budget that fits raw vectors must keep plain IVF."""
+    from conversadocs_spark.operators.planner import choose_knn_strategy
+
+    n, dim = 10_000_000, 1024
+    raw_bytes = n * dim * 4  # ~40 GB
+    assert (
+        choose_knn_strategy(
+            n, dim=dim, memory_budget_bytes=raw_bytes // 10
+        )
+        == "ivfpq"
+    )
+    assert (
+        choose_knn_strategy(
+            n, dim=dim, memory_budget_bytes=raw_bytes * 2
+        )
+        == "ivf"
+    )
+    # budget never overrides the exact-path guards
+    assert (
+        choose_knn_strategy(
+            50, dim=dim, memory_budget_bytes=1
+        )
+        == "brute"
+    )
+
+
+def test_planner_forced_ivfpq_runs_with_stable_contract(spark):
+    """force='ivfpq' must execute the composed index and return the
+    same (query_id, vec_id, sim, rank) contract as every strategy."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.planner import knn_auto
+
+    emb = io.table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 3)
+    df, strategy = knn_auto(
+        corpus, queries, k=3, force="ivfpq", dim=64
+    )
+    assert strategy == "ivfpq"
+    rows = df.collect()
+    assert sorted(df.columns) == ["query_id", "rank", "sim", "vec_id"]
+    assert len(rows) == 9 and all(1 <= r["rank"] <= 3 for r in rows)
