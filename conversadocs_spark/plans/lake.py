@@ -305,5 +305,12 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             F.col("change").isin("added", "removed")
             | (F.col("old_totalprice") != F.col("new_totalprice"))
+            # null-safe status inequality: the oracle's OR-branch on
+            # o_orderstatus must exist plan-side too (today's derived
+            # v2 never alters status, but the predicates must encode
+            # the SAME diff so a fixture change can't diverge them)
+            | ~F.col("a.o_orderstatus").eqNullSafe(
+                F.col("b.o_orderstatus")
+            )
         )
     )

@@ -14,6 +14,16 @@ Exactly-once WITHOUT a transaction log, from two composable pieces:
   fixed point. tests/test_streaming.py pins both (sequential-batch
   equivalence and redelivery no-op).
 
+Multiple ops for ONE key in ONE micro-batch are routine in real CDC
+(and ``availableNow`` can coalesce several files into a single
+batch), so the merge first collapses each key's op sequence to its
+NET effect with an exact two-state fold (see ``_net_effects``) —
+``I→U`` nets to an insert of the updated payload, ``U→D`` nets to a
+delete, ``D→I`` to a replacement, etc. Op order comes from a ``seq``
+column when the changelog carries one (an LSN / Kafka offset in real
+pipelines); otherwise batch row order is used as a documented
+fallback.
+
 Scale shape: the snapshot is scanned once per batch with the (small)
 change batch broadcast — the rewrite cost a table format would bound
 to affected partitions; version dirs make old snapshots time-travel
@@ -24,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 CHANGES_SCHEMA = (
     "c_custkey long, op string, c_name string, c_nationkey long, "
@@ -33,31 +44,116 @@ CHANGES_SCHEMA = (
 _PAYLOAD = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 
 
-def apply_cdc_batch(target: DataFrame, batch: DataFrame) -> DataFrame:
-    """One MERGE: (U)pdates overwrite payload columns, (D)eletes drop
-    the key, (I)nserts add rows whose key is NOT already present
-    (idempotent under redelivery). Target scanned once; batch
-    broadcast."""
-    ud = batch.where(F.col("op") != "I").select(
-        "c_custkey", "op", *[F.col(c).alias(f"new_{c}") for c in _PAYLOAD]
+def _net_effects(batch: DataFrame, seq_col: str) -> DataFrame:
+    """Collapse each key's op sequence to its net effect.
+
+    Folds the seq-ordered ops per key through TWO simulations at once
+    — one assuming the key is present in the target, one assuming it
+    is absent — because the batch alone can't know. Each simulation
+    tracks ``(alive, payload)`` where a null payload means "the
+    target's original row" (only possible while no U/I has fired):
+
+    - ``D``  -> alive := false
+    - ``U``  -> payload := op payload   (only while alive)
+    - ``I``  -> alive := true, payload := op payload (only while dead)
+
+    Pure Catalyst (sort_array + aggregate over a collect_list of
+    structs): one shuffle on the key, no Python. Returns one row per
+    key: ``(key, p_alive, p_pay, a_alive, a_pay)`` consumed by
+    :func:`apply_cdc_batch` — present keys use the ``p_*`` outcome,
+    absent keys the ``a_*`` outcome.
+    """
+    pay_t = T.StructType(
+        [batch.schema[c] for c in _PAYLOAD]
     )
-    is_upd = F.col("op") == "U"
+    ops = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(seq_col).alias("seq"),
+                F.col("op").alias("op"),
+                F.struct(*_PAYLOAD).alias("pay"),
+            )
+        )
+    )
+
+    def branch(x, alive, pay):
+        is_d, is_u, is_i = (x["op"] == v for v in ("D", "U", "I"))
+        new_alive = (
+            F.when(is_d, F.lit(False))
+            .when(is_i & ~alive, F.lit(True))
+            .otherwise(alive)
+        )
+        new_pay = (
+            F.when(is_d, F.lit(None).cast(pay_t))
+            .when(is_u & alive, x["pay"])
+            .when(is_i & ~alive, x["pay"])
+            .otherwise(pay)
+        )
+        return new_alive, new_pay
+
+    def step(acc, x):
+        pa, pp = branch(x, acc["pa"], acc["pp"])
+        aa, ap = branch(x, acc["aa"], acc["ap"])
+        return F.struct(
+            pa.alias("pa"), pp.alias("pp"),
+            aa.alias("aa"), ap.alias("ap"),
+        )
+
+    zero = F.struct(
+        F.lit(True).alias("pa"),
+        F.lit(None).cast(pay_t).alias("pp"),
+        F.lit(False).alias("aa"),
+        F.lit(None).cast(pay_t).alias("ap"),
+    )
+    return batch.groupBy("c_custkey").agg(
+        F.aggregate(ops, zero, step).alias("net")
+    ).select(
+        "c_custkey",
+        F.col("net.pa").alias("p_alive"),
+        F.col("net.pp").alias("p_pay"),
+        F.col("net.aa").alias("a_alive"),
+        F.col("net.ap").alias("a_pay"),
+    )
+
+
+def apply_cdc_batch(
+    target: DataFrame, batch: DataFrame, seq_col: str = "seq"
+) -> DataFrame:
+    """One MERGE of a micro-batch's NET effect per key: (U)pdates
+    overwrite payload columns, (D)eletes drop the key, (I)nserts add
+    rows whose key is NOT already present (idempotent under
+    redelivery). Multi-op keys are first collapsed by
+    :func:`_net_effects` in ``seq_col`` order — if the batch has no
+    such column, arrival row order within the batch is used (real
+    changelogs should carry an explicit LSN/offset). Target scanned
+    once; batch broadcast."""
+    if seq_col not in batch.columns:
+        # Fallback ordering: monotonically_increasing_id follows row
+        # order within a partition and partition (= file) order across
+        # them — correct for the one-file-per-trigger staging and for
+        # availableNow coalescing whole files in listing order.
+        batch = batch.withColumn(seq_col, F.monotonically_increasing_id())
+    net = _net_effects(batch, seq_col)
     merged = (
-        target.join(F.broadcast(ud), "c_custkey", "left")
-        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        target.join(F.broadcast(net), "c_custkey", "left")
+        # keys untouched by the batch, or whose present-state fold
+        # survives (covers D→I replacement: p_alive with concrete pay)
+        .where(F.col("p_alive").isNull() | F.col("p_alive"))
         .select(
             "c_custkey",
+            # null p_pay = "keep the original row" (no U/I fired)
             *[
-                F.when(is_upd, F.col(f"new_{c}"))
-                .otherwise(F.col(c))
-                .alias(c)
+                F.coalesce(F.col(f"p_pay.{c}"), F.col(c)).alias(c)
                 for c in _PAYLOAD
             ],
         )
     )
     inserts = (
-        batch.where(F.col("op") == "I")
-        .select("c_custkey", *_PAYLOAD)
+        net.where(F.col("a_alive"))
+        .select(
+            "c_custkey",
+            *[F.col(f"a_pay.{c}").alias(c) for c in _PAYLOAD],
+        )
         .join(target.select("c_custkey"), "c_custkey", "left_anti")
     )
     return merged.unionByName(inserts)

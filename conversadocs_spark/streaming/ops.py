@@ -190,11 +190,22 @@ def foreach_batch_hll_merger(table_path: str):
     )
 
     def fn(batch_df, batch_id: int) -> None:
+        import os
+
+        from conversadocs_spark.sources.sink import _LATEST_MARKER
+
         spark = batch_df.sparkSession
         bsk = batch_df.groupBy("event_type").agg(
             F.hll_sketch_agg("user_id", 12).alias("sketch")
         )
-        try:
+        # First-batch detection must be EXPLICIT (marker existence),
+        # not a bare except: a transient read failure (FS error,
+        # corrupt file, schema mismatch) swallowed as "first batch"
+        # would silently replace the accumulated sketch table with
+        # just the current batch. Real read errors now propagate so
+        # the micro-batch fails and retries instead of committing a
+        # truncated table.
+        if os.path.exists(os.path.join(table_path, _LATEST_MARKER)):
             prev = read_versioned(spark, table_path)
             merged = (
                 prev.unionByName(bsk)
@@ -205,7 +216,7 @@ def foreach_batch_hll_merger(table_path: str):
                     )
                 )
             )
-        except Exception:  # first batch: no committed version yet
+        else:  # first batch: no committed version yet
             merged = bsk
         # K-row table (one per event type): localCheckpoint detaches
         # the new version from the previous version's files before the

@@ -665,3 +665,67 @@ def test_streaming_cdc_apply_equals_sequential_and_is_idempotent(
     for b in batches:
         again = {tuple(r) for r in apply_cdc_batch(snap, b).collect()}
         assert again == want
+
+
+def test_cdc_multi_op_per_key_batch_collapses_to_sequential(
+    spark, sf_oracle_dir
+):
+    """A micro-batch carrying SEVERAL ops for one key (routine in real
+    CDC; availableNow can coalesce files into one batch) must apply as
+    the exact seq-ordered fold — equal to applying each op as its own
+    single-op batch — and re-applying the combined batch must be a
+    fixed point. Covers I->U (insert with updated payload), U->D
+    (delete wins), D->I (replacement), U->U (last update wins), I->D
+    (net no-op), and U on an absent key (no-op)."""
+    from conversadocs_spark.streaming.cdc import _PAYLOAD, apply_cdc_batch
+
+    target = (
+        io.table(spark, sf_oracle_dir, "customer")
+        .select("c_custkey", *_PAYLOAD)
+        .where(F.col("c_custkey") <= 100)
+        .localCheckpoint()
+    )
+    present = [r.c_custkey for r in
+               target.select("c_custkey").orderBy("c_custkey").collect()]
+    k_ud, k_di, k_uu = present[0], present[1], present[2]
+    k_iu, k_id, k_abs_u = 9000001, 9000002, 9000003
+
+    def row(seq, key, op, name):
+        return (key, op, name, 7, float(seq), "SEG", seq)
+
+    ops = [
+        row(1, k_iu, "I", "iu-inserted"), row(2, k_iu, "U", "iu-updated"),
+        row(3, k_ud, "U", "ud-updated"), row(4, k_ud, "D", "ud-gone"),
+        row(5, k_di, "D", "di-gone"), row(6, k_di, "I", "di-replaced"),
+        row(7, k_uu, "U", "uu-first"), row(8, k_uu, "U", "uu-last"),
+        row(9, k_id, "I", "id-inserted"), row(10, k_id, "D", "id-gone"),
+        row(11, k_abs_u, "U", "absent-update-noop"),
+    ]
+    cols = ["c_custkey", "op", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment", "seq"]
+    combined = spark.createDataFrame(ops, cols)
+    got = {tuple(r) for r in apply_cdc_batch(target, combined).collect()}
+
+    snap = target
+    for op_row in ops:  # one op per batch = the trivially-correct path
+        b = spark.createDataFrame([op_row], cols)
+        snap = apply_cdc_batch(snap, b).localCheckpoint()
+    want = {tuple(r) for r in snap.collect()}
+    assert got == want
+
+    by_key = {r[0]: r for r in got}
+    assert by_key[k_iu][1] == "iu-updated"      # I->U keeps the update
+    assert k_ud not in by_key                    # U->D deletes
+    assert by_key[k_di][1] == "di-replaced"      # D->I replaces
+    assert by_key[k_uu][1] == "uu-last"          # last U wins
+    assert k_id not in by_key                    # I->D net no-op
+    assert k_abs_u not in by_key                 # U on absent = no-op
+
+    # redelivering the whole combined batch is still a fixed point
+    redone = {
+        tuple(r)
+        for r in apply_cdc_batch(
+            spark.createDataFrame(sorted(got), target.columns), combined
+        ).collect()
+    }
+    assert redone == got
