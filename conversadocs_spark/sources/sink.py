@@ -144,7 +144,12 @@ def compact_table(
 _LATEST_MARKER = "_LATEST"
 
 
-def write_versioned(df: DataFrame, table_path: str) -> int:
+def write_versioned(
+    df: DataFrame,
+    table_path: str,
+    manifest: dict | None = None,
+    partition_by: str | list[str] | None = None,
+) -> int:
     """Write ``df`` as a NEW immutable version under
     ``table_path/v=<n>`` and flip the ``_LATEST`` marker to it last —
     the minimal snapshot-isolation discipline a real table format
@@ -153,24 +158,72 @@ def write_versioned(df: DataFrame, table_path: str) -> int:
     an old version keep a consistent view, and the marker flip is the
     single commit point (a reader never sees a half-written version
     because the version dir is complete before the marker names it).
-    Returns the new version number."""
+
+    Version ALLOCATION is made atomic with an exclusive ``os.mkdir``
+    (retried on ``FileExistsError``), so two concurrent writers can
+    never pick the same version number and overwrite each other's
+    ``v=`` dir. The marker flip itself still assumes one LOGICAL
+    writer stream (last flip wins — the same last-committer-wins
+    semantics Delta gives concurrent blind appends); coordinate
+    externally if two pipelines must not interleave commits to the
+    same table.
+
+    ``manifest`` (optional): a small JSON-serializable dict written
+    as ``_manifest.json`` INSIDE the version dir before the marker
+    flip — build-time statistics (row count, dims, index parameters)
+    that serving-time planners read via :func:`read_manifest` instead
+    of running count() jobs, the same move a table format makes with
+    stats in its transaction log. ``partition_by`` partitions the
+    version's data files (e.g. list_id for a pruned-probe IVF
+    index). Returns the new version number."""
     import os
 
     os.makedirs(table_path, exist_ok=True)
-    versions = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(table_path)
-        if d.startswith("v=")
-    ]
-    new_v = max(versions, default=0) + 1
-    df.write.mode("overwrite").parquet(
-        os.path.join(table_path, f"v={new_v}")
-    )
+    # Exclusive-create claims the version number atomically on any
+    # local/NFS/FUSE filesystem with POSIX mkdir semantics; on a real
+    # object store this is where a transaction-log conditional-put
+    # (Delta's N.json create-if-absent) would go.
+    while True:
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(table_path)
+            if d.startswith("v=")
+        ]
+        new_v = max(versions, default=0) + 1
+        try:
+            os.mkdir(os.path.join(table_path, f"v={new_v}"))
+            break
+        except FileExistsError:  # concurrent writer claimed it first
+            continue
+    vdir = os.path.join(table_path, f"v={new_v}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        cols = (
+            [partition_by]
+            if isinstance(partition_by, str)
+            else list(partition_by)
+        )
+        writer = writer.partitionBy(*cols)
+    writer.parquet(vdir)
+    if manifest is not None:
+        import json
+
+        with open(os.path.join(vdir, "_manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
     marker_tmp = os.path.join(table_path, _LATEST_MARKER + ".tmp")
     with open(marker_tmp, "w") as fh:
         fh.write(str(new_v))
     os.replace(marker_tmp, os.path.join(table_path, _LATEST_MARKER))
     return new_v
+
+
+def _resolve_version(table_path: str, version: int | None) -> int:
+    import os
+
+    if version is None:
+        with open(os.path.join(table_path, _LATEST_MARKER)) as fh:
+            version = int(fh.read().strip())
+    return version
 
 
 def read_versioned(
@@ -180,7 +233,24 @@ def read_versioned(
     one (the marker, atomically swapped by write_versioned)."""
     import os
 
-    if version is None:
-        with open(os.path.join(table_path, _LATEST_MARKER)) as fh:
-            version = int(fh.read().strip())
+    version = _resolve_version(table_path, version)
     return spark.read.parquet(os.path.join(table_path, f"v={version}"))
+
+
+def read_manifest(
+    table_path: str, version: int | None = None
+) -> dict | None:
+    """Build-time statistics stamped by ``write_versioned(...,
+    manifest=...)`` — a pure driver-side file read (NO Spark job), so
+    a serving-time planner can make its brute-vs-index decision from
+    the stamped n/dim/n_lists instead of count()ing the corpus per
+    call. Returns None when the version carries no manifest."""
+    import json
+    import os
+
+    version = _resolve_version(table_path, version)
+    p = os.path.join(table_path, f"v={version}", "_manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
