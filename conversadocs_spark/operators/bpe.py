@@ -5,18 +5,23 @@ ACL 2016), downstream of `vocab_topk`'s word counting.
 
 Why this shape scales: BPE statistics live on the DISTINCT-WORD table
 (Heaps' law: ~10^6-10^8 words for a 100 TB corpus), not the corpus.
-The corpus is read exactly once to build (word, freq); every merge
-iteration after that is
+The corpus is read exactly once to build (word, freq); every training
+JOB after that is
 
     explode adjacent symbol pairs (weighted by word freq)
     -> one partial-aggregated groupBy(pair) over vocab-sized data
-    -> a 1-ROW driver collect of the argmax pair (the merge rule)
-    -> a narrow-map fold over the vocab applying the merge
+    -> a (merges_per_job+1)-ROW driver collect of the ranked pairs
+    -> accept the longest EXACTNESS-PRESERVING prefix (see
+       bpe_train) and apply ALL accepted merges in one narrow-map
+       fold over the vocab
     -> localCheckpoint (truncates the per-iteration expression
-       lineage, same discipline as operators/components.py)
+       lineage, same discipline as operators/components.py), then
+       free the PREVIOUS checkpoint's storage blocks
 
-so the driver never holds data, and per-iteration cost is independent
-of corpus size. The merge application is a left fold
+so the driver never holds data, per-job cost is independent of corpus
+size, and — the fastBPE/SentencePiece batching trick — a vocab-size
+merge budget costs far fewer than vocab-size Spark jobs (the r6
+verdict's one scale flag). The merge application is a left fold
 (``F.aggregate``) implementing the standard greedy non-overlapping
 left-to-right replacement; pair counting counts overlapping adjacent
 occurrences — both exactly the reference algorithm's semantics
@@ -104,11 +109,82 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of RDDs currently holding storage (localCheckpoint blocks
+    show up here; DataFrame.unpersist() does NOT release them)."""
+    return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+
+
+def _free_rdd_ids(sc, ids: set[int]) -> None:
+    """Release the storage blocks behind specific RDD ids — the only
+    handle Spark exposes for freeing a localCheckpoint (the java-side
+    persistentRdds registry; the Python DataFrame wrapper cannot reach
+    the checkpointed RDD). MUST only be called once no live DataFrame
+    still reads those blocks: a LocalCheckpointRDD cannot recompute,
+    so unpersisting a block still in use fails later jobs outright."""
+    registry = sc._jsc.sc().persistentRdds()
+    for rid in ids:
+        opt = registry.get(rid)
+        if not opt.isEmpty():
+            opt.get().unpersist(False)
+
+
+def _accept_merge_prefix(
+    ranked: list, budget: int, min_pair_count: int
+) -> list[tuple[str, str, int]]:
+    """Longest prefix of the ranked pair list that can be merged in ONE
+    vocab pass while producing EXACTLY the sequential-BPE merge
+    sequence. Three rules, each load-bearing:
+
+    1. **Consecutive ranks, mutually disjoint symbols** — accept
+       ranked[i] only if {left, right, left+right} shares nothing with
+       any previously accepted pair's symbol set; STOP at the first
+       conflict (no skipping). Merging symbol-disjoint pairs cannot
+       create, destroy, or recount each other's adjacencies, so the
+       accepted pairs' counts are exactly what sequential BPE would
+       recompute at each turn.
+    2. **Strict count separation from the boundary** — truncate the
+       prefix so its last accepted count is STRICTLY greater than the
+       first non-accepted candidate's count. Merging pair i can create
+       brand-new pairs (x, left+right) whose count is bounded by some
+       old pair sharing a symbol with pair i — every such pair ranks
+       at or below the boundary — so strict separation guarantees no
+       new pair can outrank (or tie-break against) a later accepted
+       pair. A single-pair prefix is always exact (it IS the argmax).
+    3. ``min_pair_count`` / ``budget`` truncation (same early-stop
+       semantics as the sequential loop).
+    """
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for cand in ranked[:budget]:
+        left, right, cnt = (
+            cand["left"], cand["right"], cand["pair_count"]
+        )
+        if cnt < min_pair_count:
+            break
+        syms = {left, right, left + right}
+        if syms & used:
+            break
+        accepted.append((left, right, cnt))
+        used |= syms
+    # boundary = first candidate NOT accepted (conflict, budget, or
+    # min-count stop); absent only when the pair table is exhausted,
+    # in which case every symbol-sharing pair has count 0 and no
+    # truncation is needed.
+    if len(accepted) > 1 and len(ranked) > len(accepted):
+        boundary = ranked[len(accepted)]["pair_count"]
+        while len(accepted) > 1 and accepted[-1][2] <= boundary:
+            accepted.pop()
+    return accepted
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 40,
     min_pair_count: int = 2,
     text_col: str = "text",
+    merges_per_job: int = 16,
+    stats: dict | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn up to ``n_merges`` merge rules; returns
     [(step, left, right, pair_count), ...] in training order.
@@ -117,37 +193,61 @@ def bpe_train(
     ``min_pair_count`` (merging singletons learns noise). The returned
     list IS the tokenizer model — applying rules in order re-tokenizes
     any text.
+
+    ``merges_per_job`` batches several merges into one Spark job via
+    :func:`_accept_merge_prefix` (the fastBPE/SentencePiece trick), so
+    a 32k-merge tokenizer run is hundreds of jobs, not 32k — while the
+    merge sequence stays bit-identical to ``merges_per_job=1`` (pinned
+    against the pure-Python Sennrich reference in tests/test_text.py).
+    Pass ``stats={}`` to receive ``{"jobs": J, "merges": M}`` back for
+    asserting the batching actually engaged.
     """
     spark = docs.sparkSession
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
     vocab = (
         word_counts(docs, text_col=text_col)
         .select("word", "freq", _init_syms(F.col("word")).alias("syms"))
         .localCheckpoint()
     )
+    prev_ckpt_ids = _persistent_rdd_ids(sc) - before
     merges: list[tuple[int, str, str, int]] = []
-    for step_i in range(n_merges):
-        best = (
+    jobs = 0
+    while len(merges) < n_merges:
+        budget = min(merges_per_job, n_merges - len(merges))
+        ranked = (
             vocab.select("freq", F.explode(_pairs(F.col("syms"))).alias("p"))
             .groupBy("p.left", "p.right")
             .agg(F.sum("freq").cast("bigint").alias("pair_count"))
             .orderBy(
                 F.desc("pair_count"), F.asc("left"), F.asc("right")
             )
-            .limit(1)
+            .limit(budget + 1)
             .collect()
         )
-        if not best or best[0]["pair_count"] < min_pair_count:
+        jobs += 1
+        accepted = _accept_merge_prefix(ranked, budget, min_pair_count)
+        if not accepted:
             break
-        left, right, cnt = (
-            best[0]["left"], best[0]["right"], best[0]["pair_count"]
-        )
-        merges.append((step_i, left, right, cnt))
-        vocab = vocab.select(
-            "word",
-            "freq",
-            _apply_merge(F.col("syms"), left, right).alias("syms"),
-        ).localCheckpoint()
-    vocab.unpersist()
+        for left, right, cnt in accepted:
+            merges.append((len(merges), left, right, cnt))
+        syms = F.col("syms")
+        for left, right, _cnt in accepted:
+            syms = _apply_merge(syms, left, right)
+        before = _persistent_rdd_ids(sc)
+        vocab = vocab.select("word", "freq", syms.alias("syms")
+                             ).localCheckpoint()
+        new_ids = _persistent_rdd_ids(sc) - before
+        # the new checkpoint is materialized (eager) — the previous
+        # iteration's blocks are now unreachable by any plan; free
+        # them so executor storage holds ONE vocab copy, not one per
+        # iteration (material at the 10^6-10^8-word scale).
+        _free_rdd_ids(sc, prev_ckpt_ids)
+        prev_ckpt_ids = new_ids
+    _free_rdd_ids(sc, prev_ckpt_ids)
+    if stats is not None:
+        stats["jobs"] = jobs
+        stats["merges"] = len(merges)
     return merges
 
 

@@ -891,10 +891,14 @@ def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 40 BPE merge rules from the corpus
     (operators/bpe.py, Sennrich et al. ACL 2016): the tokenizer-
     training step downstream of `vocab_topk`. Iterative driver loop
-    (1-row argmax collect per merge) -> rows-only by design;
+    (a few-row ranked collect per JOB, with non-interacting merges
+    batched so jobs ≪ merges — see _accept_merge_prefix) -> rows-only
+    by design;
     tests/test_text.py::test_bpe_train_matches_python_reference pins
     the merge sequence value-for-value against a pure-Python Sennrich
-    implementation on the same word counts.
+    implementation on the same word counts, and
+    test_bpe_train_batched_merges_equal_sequential pins batched ==
+    one-merge-per-job with measurably fewer jobs.
 
     Scale: every iteration runs over the DISTINCT-WORD table, not the
     corpus (see operators/bpe.py docstring) — corpus is read once."""
