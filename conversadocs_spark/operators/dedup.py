@@ -180,39 +180,9 @@ def minhash_banded(
     )
 
 
-def bucket_pairs(
-    bucketed: DataFrame, key_cols: list[str], payload: F.Column
-) -> DataFrame:
-    """(id-sorted) candidate pairs per bucket WITHOUT a self-join:
-    groupBy the bucket key, collect the members, explode the (i < j)
-    combinations in-bucket. One pass over the input and ONE shuffle
-    (the groupBy) versus the self-join's two upstream recomputations +
-    two exchanges — measured 1.5x on dedup_minhash at sf0.1, and the
-    same shape survives 100 TB (bucket members were always going to
-    pair up; the join materialized the identical pair set).
-
-    ``payload`` is a struct column whose FIRST field must be the id —
-    array_sort orders structs field-by-field, so sorting gives id
-    order and the (i < j) expansion yields id1 < id2.
-
-    ONLY for selective buckets. collect_set holds one bucket's members
-    in a single row and the combination flatten materializes
-    O(members^2) structs in that row: correct and fast when a bucket
-    is a near-dup group (minhash band hashes: 64-bit, collide only on
-    real similarity), fatal when bucket population scales with corpus
-    size (simhash's 64/bands-bit band values: n/2^width members per
-    bucket — use the streaming self-join there, which produces the
-    identical pair set row-at-a-time with spill; it survived the 10x
-    gate where this form OOM'd the session).
-
-    Returns one row per in-bucket pair with columns p1/p2 (the payload
-    structs); callers dedupe across buckets on the pair ids."""
-    members = F.array_sort(F.collect_set(payload))
-    buckets = (
-        bucketed.groupBy(*key_cols)
-        .agg(members.alias("ms"))
-        .where(F.size("ms") >= 2)
-    )
+def _expand_member_pairs(buckets: DataFrame) -> DataFrame:
+    """Explode a (ms = sorted member array) relation into its (i < j)
+    in-bucket combinations — one row per pair, p1/p2 payload structs."""
     ms = F.col("ms")
     combos = F.flatten(
         F.transform(
@@ -228,6 +198,83 @@ def bucket_pairs(
     return buckets.select(F.explode(combos).alias("pair")).select(
         F.col("pair.p1").alias("p1"), F.col("pair.p2").alias("p2")
     )
+
+
+def bucket_pairs(
+    bucketed: DataFrame,
+    key_cols: list[str],
+    payload: F.Column,
+    hot_cap: int | None = 4096,
+) -> DataFrame:
+    """(id-sorted) candidate pairs per bucket WITHOUT a self-join:
+    groupBy the bucket key, collect the members, explode the (i < j)
+    combinations in-bucket. One pass over the input and ONE shuffle
+    (the groupBy) versus the self-join's two upstream recomputations +
+    two exchanges — measured 1.5x on dedup_minhash at sf0.1, and the
+    same shape survives 100 TB (bucket members were always going to
+    pair up; the join materialized the identical pair set).
+
+    ``payload`` is a struct column whose FIRST field must be the id —
+    array_sort orders structs field-by-field, so sorting gives id
+    order and the (i < j) expansion yields id1 < id2.
+
+    **Hot-bucket cap** (``hot_cap``): a bucket whose population scales
+    with corpus size (ubiquitous boilerplate pushing thousands of
+    DISTINCT docs into one band bucket — identical-content collapse
+    upstream can't help, the docs differ) would make the in-bucket
+    expansion quadratic in both candidate count and single-row memory.
+    Buckets with more than ``hot_cap`` members are therefore SALTED:
+    members split into ceil(n/hot_cap) deterministic sub-buckets
+    (xxhash64 of the payload) and pairs form only within a sub-bucket,
+    bounding that bucket's candidates at ~n*hot_cap/2 — linear in n
+    for fixed cap — and its per-row memory at ~hot_cap^2 structs.
+    Recall: losing cross-sub-bucket pairs only weakens HOT bands, and
+    banding already tolerates per-band misses by design (a true pair
+    collides in ~bands*J^r independent bands, and a thousands-member
+    bucket is boilerplate collision, not discriminative similarity —
+    the standard LSH posture). The planted-boilerplate test in
+    tests/test_dedup.py pins both the candidate bound and the recall
+    invariant; the exact-equals-brute-force oracle fixture has no hot
+    buckets, so its pair set is untouched. Pass ``hot_cap=None`` to
+    disable (the uncapped pre-r7 behavior).
+
+    Mechanically ONE branch for both cases: a window count over the
+    bucket key sizes every bucket, the salt is
+    pmod(hash, ceil(size/hot_cap)) — which is CONSTANT 0 for every
+    cold bucket (ceil(n/cap) = 1), so cold buckets aggregate exactly
+    as before — and a single groupBy on (key, salt) collects members.
+    No union, no recomputed subtree; the only extra work over the
+    uncapped form is the window count plus a slim reshuffle onto the
+    salted key.
+
+    Returns one row per in-bucket pair with columns p1/p2 (the payload
+    structs); callers dedupe across buckets on the pair ids."""
+    members = F.array_sort(F.collect_set("pv"))
+    rows = bucketed.select(
+        *[F.col(k) for k in key_cols], payload.alias("pv")
+    )
+    if hot_cap is None:
+        buckets = (
+            rows.groupBy(*key_cols)
+            .agg(members.alias("ms"))
+            .where(F.size("ms") >= 2)
+        )
+        return _expand_member_pairs(buckets)
+    salted = rows.withColumn(
+        "_bn", F.count("*").over(Window.partitionBy(*key_cols))
+    ).withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64("pv"),
+            F.ceil(F.col("_bn") / F.lit(hot_cap)).cast("bigint"),
+        ),
+    )
+    buckets = (
+        salted.groupBy(*key_cols, "_salt")
+        .agg(members.alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
+    return _expand_member_pairs(buckets)
 
 
 def dedup_ngram_pairs(
@@ -264,6 +311,7 @@ def minhash_rep_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache_holder: list | None = None,
+    hot_cap: int | None = 4096,
 ) -> tuple[DataFrame, DataFrame]:
     """Representative-level MinHash LSH: returns
     ``(rep_pairs, membership)`` where rep_pairs is
@@ -386,6 +434,7 @@ def minhash_rep_near_dups(
             banded,
             ["band", "band_hash"],
             F.struct(F.col("id")),
+            hot_cap=hot_cap,
         )
         .select(
             F.col("p1.id").alias("id1"), F.col("p2.id").alias("id2")
@@ -446,6 +495,7 @@ def minhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache_holder: list | None = None,
+    hot_cap: int | None = 4096,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified by exact
     Jaccard — the standard shingle->minhash->band->bucket-join pipeline
@@ -476,6 +526,7 @@ def minhash_near_dups(
         text_col=text_col,
         id_col=id_col,
         cache_holder=cache_holder,
+        hot_cap=hot_cap,
     )
     cross = (
         rep_pairs.join(

@@ -114,9 +114,14 @@ def test_dedup_minhash_is_bucketed_not_all_pairs(spark):
     assert "collect_set" in plan  # bucket_pairs expansion, not self-join
     assert "hashpartitioning(band" in plan  # bucket join on band keys
     assert "hashpartitioning(ck" in plan  # content-collapse groupBy
-    # candidates come from exactly ONE bucket groupBy — an all-pairs
-    # or per-band self-join would print band-keyed exchanges per side
+    # candidates come from exactly ONE bucket shuffle — an all-pairs
+    # or per-band self-join would print band-keyed exchanges per join
+    # side. The r7 hot-bucket cap adds a bucket-sizing window on
+    # (band, band_hash) whose exchange ALSO satisfies the salted
+    # groupBy on (band, band_hash, _salt) (prefix-key clustering), so
+    # the capped form still shuffles the banded rows exactly once.
     assert plan.count("hashpartitioning(band") == 1
+    assert plan.count("windowspecdefinition(band") == 1
 
 
 def test_span_dedup_first_pick_is_aggregate_not_window(spark):
@@ -427,3 +432,36 @@ def test_correlated_subqueries_decorrelate_to_joins(
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:1500]
     assert "ScalarSubquery" not in plan and "InSubquery" not in plan
+
+
+def test_no_unsanctioned_collect_in_operator_or_plan_code():
+    """Driver-side materialization is the classic scale-killer, so
+    `.collect(` may appear in package code ONLY at the sanctioned
+    sites: bpe_train's few-row ranked-pair fetch (the merge rules ARE
+    driver state, batched so jobs ≪ merges) and two bounded
+    test-staging helpers that write fixture files a scan/stream then
+    reads. Anything else is a regression."""
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "conversadocs_spark")
+    sanctioned = {
+        ("operators/bpe.py",),      # ranked merge-rule fetch (model)
+        ("sources/ingest.py",),     # fixture staging (docstring-guarded)
+        ("streaming/ivf_maintain.py",),  # arrival staging (guarded)
+    }
+    allowed = {t[0] for t in sanctioned}
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, pkg).replace(os.sep, "/")
+            with open(full) as fh:
+                for i, line in enumerate(fh, 1):
+                    if ".collect(" in line and rel not in allowed:
+                        offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, (
+        "unsanctioned .collect( in package code:\n" + "\n".join(offenders)
+    )
