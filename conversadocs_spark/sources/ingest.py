@@ -172,6 +172,10 @@ def stage_text_corpus(
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    # TEST STAGING ONLY — never call from an operator: this collect
+    # is bounded by n_docs and exists solely to write fixture files
+    # the scan under test then reads (tests/lint pin: the only
+    # sanctioned .collect() sites are staging helpers like this).
     rows = (
         io.table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < n_docs)

@@ -60,6 +60,9 @@ def stage_vector_files(
         .where(F.col("vec_id") >= min_id)
         .select("vec_id", "embedding", "label")
     )
+    # TEST STAGING ONLY — never call from an operator: bounded by the
+    # fixture's vector count, this collect just splits ids into the
+    # n_files arrival batches the stream under test replays.
     ids = sorted(r["vec_id"] for r in vec.select("vec_id").collect())
     os.makedirs(out_dir, exist_ok=True)
     per = max(1, (len(ids) + n_files - 1) // n_files)

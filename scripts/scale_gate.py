@@ -246,7 +246,150 @@ def run_scale_audits(spark, qs, sf_dir) -> list[str]:
             f"(recall>=0.8 {'OK' if ok else 'FAIL'})",
             flush=True,
         )
+    failures += audit_aqe_skew_join(spark, sf_dir)
+    failures += audit_bpe_batched_jobs(spark, sf_dir)
+    failures += audit_hot_bucket_cap(spark)
     return failures
+
+
+def audit_aqe_skew_join(spark, sf_dir) -> list[str]:
+    """r7 (VERDICT r6 #5): Catalyst's OWN skew mitigation must be
+    exercised, not just enabled — a planted-skew join (90% of lineitem
+    rows forced onto one key) run under tightened skew thresholds must
+    show split skewed partitions in the EXECUTED adaptive plan
+    (`SortMergeJoin(skew=true)` / `AQEShuffleRead ... skewed`). This
+    is the AQE complement to the deterministic salted join
+    (operators/skew.py join_skew_salted): salting for known-hot keys,
+    AQE for the skew you only discover at runtime."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+
+    tightened = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tightened}
+    try:
+        for k, v in tightened.items():
+            spark.conf.set(k, v)
+        li = io.table(spark, sf_dir, "lineitem").select(
+            F.when(F.col("l_orderkey") % 10 != 0, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_quantity",
+            "l_comment",  # payload width so the hot partition's bytes
+        )                 # actually cross the skew threshold
+        o = io.table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"), "o_totalprice"
+        )
+        j = li.join(o, "k")
+        # Execute THIS DataFrame's own query execution to its final
+        # adaptive plan (a .count() would plan a separate execution
+        # whose skew decision we couldn't inspect). The JVM-side
+        # RDD count never moves rows to Python.
+        n = j._jdf.queryExecution().executedPlan().execute().count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        ok = "skew=true" in plan and "isFinalPlan=true" in plan
+        print(
+            f"audit aqe_skew_join: rows={n} "
+            f"SortMergeJoin(skew=true) {'OK' if ok else 'FAIL'}",
+            flush=True,
+        )
+        return [] if ok else ["aqe_skew_join"]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def audit_bpe_batched_jobs(spark, sf_dir) -> list[str]:
+    """r7 (VERDICT r6 #2): BPE training must batch non-interacting
+    merges so a vocab-size merge budget is NOT a vocab-size sequence
+    of Spark jobs. Records merges/jobs at this scale; fails if the
+    batching stops engaging (jobs >= merges)."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.bpe import bpe_train
+
+    docs = io.table(spark, sf_dir, "documents")
+    stats: dict = {}
+    merges = bpe_train(docs, n_merges=40, min_pair_count=2, stats=stats)
+    ok = (
+        len(merges) > 0
+        and stats["jobs"] < stats["merges"]
+    )
+    ratio = stats["merges"] / max(1, stats["jobs"])
+    print(
+        f"audit bpe_batched_jobs: merges={stats['merges']} "
+        f"jobs={stats['jobs']} merges/job={ratio:.1f} "
+        f"{'OK' if ok else 'FAIL'}",
+        flush=True,
+    )
+    return [] if ok else ["bpe_batched_jobs"]
+
+
+def audit_hot_bucket_cap(spark) -> list[str]:
+    """r7 (VERDICT r6 #3): a planted 10k-copy boilerplate corpus —
+    every doc shares a large shingle core, so thousands of DISTINCT
+    docs collide into one band bucket that identical-content collapse
+    cannot touch — must keep candidate generation within the salted
+    linear bound (~bands * n * hot_cap) instead of going quadratic,
+    while the 50 planted TRUE near-dup pairs stay >= the 0.8 recall
+    gate."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark.operators.dedup import (
+        bucket_pairs,
+        hashed_shingles,
+        minhash_banded,
+        minhash_rep_near_dups,
+        minhash_signatures,
+    )
+
+    boiler = " ".join(f"boiler{k:03d}" for k in range(120))
+    rows = []
+    for i in range(10_000):
+        tail = " ".join(f"uniq{i:05d}x{j}" for j in range(12))
+        rows.append((i, f"{boiler} {tail}"))
+    true_pairs = []
+    for p in range(50):
+        a, b = 100000 + 2 * p, 100001 + 2 * p
+        tail = [f"pair{p:03d}x{j}" for j in range(12)]
+        rows.append((a, boiler + " " + " ".join(tail)))
+        t2 = list(tail)
+        t2[-1] = f"pair{p:03d}variant"
+        rows.append((b, boiler + " " + " ".join(t2)))
+        true_pairs.append((a, b))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(32)
+    n_docs = len(rows)
+    bands, cap = 16, 128
+
+    banded = minhash_banded(
+        minhash_signatures(hashed_shingles(docs), 64), bands, 4
+    ).localCheckpoint()
+    capped = bucket_pairs(
+        banded, ["band", "band_hash"], F.struct(F.col("id")), hot_cap=cap
+    ).count()
+    bound = bands * n_docs * cap
+    found = {
+        (r["rid1"], r["rid2"])
+        for r in minhash_rep_near_dups(
+            docs, threshold=0.85, hot_cap=cap
+        )[0].collect()
+    }
+    recall = sum(1 for p in true_pairs if p in found) / len(true_pairs)
+    leaked = [p for p in found if not (p[0] >= 100000 and p[1] >= 100000)]
+    ok = capped <= bound and recall >= 0.8 and not leaked
+    print(
+        f"audit hot_bucket_cap: n={n_docs} candidates={capped} "
+        f"linear-bound={bound} recall={recall:.2f} "
+        f"leaked_below_threshold={len(leaked)} "
+        f"{'OK' if ok else 'FAIL'}",
+        flush=True,
+    )
+    return [] if ok else ["hot_bucket_cap"]
 
 
 if __name__ == "__main__":
