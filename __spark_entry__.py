@@ -43,12 +43,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # streaming replays) plus locally-pinned rows-only variants into the
 # tail.
 _DRIVER_ORDER = [
-    # vector / ANN (flagship family; knn_auto = cost-based planner,
-    # new this round — oracle-backed, never driver-recorded)
-    # (vector_centroid rotated to the tail: green rows r2-r5;
-    # knn_label_eval = new labeled-kNN eval harness, rotated in)
-    "knn_topk",
+    # vector / ANN (knn_topk rotated to the tail in r7: green rows
+    # r1/r4/r5/r6 AND it is entry()'s flagship so the driver smoke
+    # still runs it every round; knn_auto/knn_label_eval keep the
+    # family's driver rows)
     "knn_auto", "knn_label_eval",
+    # r7 addition: persisted-index serving with manifest-driven
+    # planning (oracle-backed, new -> top-50 for its first driver row;
+    # out goes scan_orc_roundtrip, green r6, scan family keeps the
+    # corrupt-tolerant + schema-evolution head rows)
+    "knn_auto_indexed",
     # Spark 4 VARIANT surface (oracle-backed, new — rotated in; out
     # goes dedup_embedding, green r2-r5)
     "variant_funcs",
@@ -58,10 +62,9 @@ _DRIVER_ORDER = [
     # retrieval (r6 continuation: BM25 lexical ranking + RRF hybrid
     # fusion — oracle-backed, never driver-recorded, rotated in)
     "bm25_topk", "hybrid_rrf", "rerank_topk",
-    # dedup family (dedup_clusters = transitive survivor resolution;
-    # dedup_incremental = the daily-increment index lifecycle;
-    # dedup_ngram_jaccard rotated to the tail: green rows r2-r5)
-    "dedup_minhash",
+    # dedup family (dedup_minhash rotated to the tail in r7: green
+    # rows r4/r5/r6 + bench-tracked every round; dedup_incremental /
+    # dedup_semantic_clusters / span_dedup keep the family's rows)
     "dedup_incremental",
     # composed end-to-end pretraining build (oracle-backed, new —
     # rotated in; out goes corpus_clean, green r2-r5, still covered
@@ -76,9 +79,21 @@ _DRIVER_ORDER = [
     # (text_stats_by_lang rotated to the tail for rerank_topk's first
     # recording: green r2/r4/r5, the r5 HUGEINT fix pinned by test)
     "lm_bigram_score",
-    # lake / table maintenance (r6 continuation: CDC MERGE, SCD2
-    # history, seeded weighted sampling — all new, rotated in)
-    "merge_upsert", "scd2_history", "weighted_sample",
+    # r7 rotation (VERDICT r6 #1): the 7 oracle-backed queries that
+    # had never had a driver-recorded row — each green in the judge's
+    # full sweep, now getting its first driver ledger row. Displaced:
+    # knn_topk + dedup_minhash (multi-green) and merge_upsert /
+    # weighted_sample / agg_pivot / scan_csv_roundtrip /
+    # scan_json_roundtrip (single r6 green; families keep head-50
+    # representatives: scd2_history+table_diff, kfold_split+
+    # mixture_realize, agg_percentile+agg_unpivot, corrupt-tolerant +
+    # schema-evolution scans).
+    "agg_grouping_sets", "gopher_repetition", "set_ops_all",
+    "source_mixture_weights", "udtf_dynamic_schema", "vocab_topk",
+    "window_ntile",
+    # lake / table maintenance (merge_upsert rotated to the tail in
+    # r7 with its green r6 row; scd2_history/table_diff keep rows)
+    "scd2_history",
     # event analytics (r6 continuation: ordered funnel + cohort
     # retention — new, rotated in; displacing corpus_split_shuffle
     # and stratified_sample, green driver rows in r5)
@@ -119,11 +134,11 @@ _DRIVER_ORDER = [
     # (agg_distinct, agg_global rotated to the tail: green rows
     # r1/r2/r4/r5)
     # (agg_collect_stuff rotated to the tail: green rows r2-r5)
-    "agg_percentile", "agg_pivot",
-    # structured sources (rotated in per r5 verdict, same reason;
-    # corrupt-tolerant scan new in r6 continuation)
-    "scan_csv_roundtrip", "scan_json_roundtrip",
-    "scan_json_corrupt_tolerant", "scan_orc_roundtrip",
+    "agg_percentile",
+    # structured sources (csv/json/orc round-trips rotated to the
+    # tail in r7 with green r6 rows; the corrupt-tolerant + evolution
+    # scans keep the family's head-50 rows)
+    "scan_json_corrupt_tolerant",
     # schema-evolution read + snapshot diff (oracle-backed, new —
     # rotated in; out go join_asof and dedup_exact, green r1/r2-r5,
     # both families keep other driver rows)
@@ -150,6 +165,10 @@ _DRIVER_ORDER = [
     # grouped_map_order_seq, green r5)
     "join_null_safe", "sql_correlated_subqueries",
     # --- 50 ---
+    # r7 tail rotations (all with green driver rows; see head notes)
+    "knn_topk", "dedup_minhash", "merge_upsert", "weighted_sample",
+    "agg_pivot", "scan_csv_roundtrip", "scan_json_roundtrip",
+    "scan_orc_roundtrip",
     # skew mitigation + composed RAG rotated to the tail this
     # continuation (green driver rows r2/r4/r5) to make room above
     "agg_grouped", "join_star", "join_asof", "dedup_exact",
@@ -165,7 +184,6 @@ _DRIVER_ORDER = [
     "corpus_split_shuffle", "stratified_sample",
     "text_stats", "lang_id", "doc_fingerprint",
     "text_quality", "pii_redact", "udaf_price_range",
-    "vocab_topk", "gopher_repetition",
     "ann_topk", "ann_ivf", "ann_pq", "ann_ivfpq",
     "window_analytic", "window_frame",
     "join_semi", "join_anti", "join_range", "agg_distinct",
@@ -178,10 +196,6 @@ _DRIVER_ORDER = [
     "scan_project", "filter_pred", "string_funcs", "date_funcs",
     "math_funcs", "array_funcs", "json_funcs", "map_funcs",
     "conditional_funcs",
-    # r6-continuation SQL-surface widenings (oracle-backed, tail this
-    # round — rotate into the top-50 next round per COVERAGE.md)
-    "agg_grouping_sets", "set_ops_all", "window_ntile",
-    "source_mixture_weights",
     "sort_limit_topk", "union_all", "set_ops",
     "window_tumbling", "window_sliding", "window_session",
     "ingest_scan_text", "ingest_datasource_scan",
@@ -195,7 +209,6 @@ _DRIVER_ORDER = [
     "streaming_static_enrich", "streaming_update_mode_replay",
     "streaming_cdc_apply",
     "observed_clean", "training_order_write",
-    "udtf_dynamic_schema",
     "embed_corpus", "embed_doc_pool",
     # r6 continuation: iterative graph centrality + MG sketch (both
     # rows-only by design; NumPy-reference and MG-bound tests pin

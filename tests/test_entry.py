@@ -43,11 +43,17 @@ def test_driver_order_covers_registry_exactly():
     # (grouped_map_order_seq and contamination_ngram rotated to the
     # tail with green r5 rows for the null-safe/subquery additions;
     # arrow_grouped_seq carries the python-kernel family row)
-    for must in ("knn_topk", "dedup_minhash", "pretrain_corpus",
+    # r7: knn_topk and dedup_minhash rotated to the tail (multi-round
+    # greens; knn_topk still runs via entry()) so the 7 never-driver-
+    # recorded oracle queries get their first ledger rows — pin them.
+    for must in ("knn_auto", "dedup_incremental", "pretrain_corpus",
                  "arrow_grouped_seq",
                  "window_range_time", "lm_bigram_score",
                  "rerank_topk", "join_null_safe",
-                 "sql_correlated_subqueries"):
+                 "sql_correlated_subqueries",
+                 "agg_grouping_sets", "gopher_repetition",
+                 "set_ops_all", "source_mixture_weights",
+                 "udtf_dynamic_schema", "vocab_topk", "window_ntile"):
         assert must in head
 
 
