@@ -104,3 +104,51 @@ def knn_per_query(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def knn_filtered(
+    vectors: DataFrame,
+    allowed_ids: DataFrame,
+    query_id: int,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-FILTERED top-k: neighbours of ``query_id`` restricted
+    to ids present in ``allowed_ids`` (single column named ``id_col``).
+
+    This is the "filtered vector search" production shape (the
+    reference's retriever has no filter arg — bones.py:74 retrieves
+    over the whole store — but any multi-tenant / language-scoped
+    deployment of it needs one). Two classic strategies:
+
+    - PRE-filter (this implementation): semi-join the corpus against
+      the allowed-id set BEFORE computing similarities, then run the
+      same scan + TakeOrderedAndProject as the unfiltered path.
+      Correct for any selectivity — top-k is exact over the filtered
+      corpus, never under-filled.
+    - POST-filter (ANN then discard): only sound when the index
+      over-fetches enough to survive the discard; with a selective
+      predicate it silently returns < k rows. We deliberately do NOT
+      ship that shape as the default.
+
+    Scale: the allowed-id side is broadcast when small (a LEFT SEMI
+    BroadcastHashJoin — the corpus never shuffles); when the predicate
+    set is itself huge, Catalyst falls back to a shuffled semi-join,
+    which is still corpus-linear. The query row is looked up from the
+    UNfiltered table so a query outside its own filter still works.
+    """
+    q = vectors.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    kept = vectors.join(
+        F.broadcast(allowed_ids.select(id_col)), id_col, "left_semi"
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col("_qvec"))
+    return (
+        kept.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(sim, 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -721,3 +721,70 @@ def ann_ivfpq(spark, sf_dir):
     )
     exact = knn_per_query(corpus, queries, k=3)
     return _with_recall_audit(ann, exact, k=3, floor=0.8)
+
+
+# --------------------------------------------------------------------------
+# metadata-filtered retrieval (pre-filter strategy)
+# --------------------------------------------------------------------------
+
+_KNN_FILTERED_ORACLE = """
+WITH allowed AS (
+    SELECT doc_id FROM documents
+    WHERE lang = 'en' AND source <> 'src0'
+),
+sims AS (
+    SELECT e.vec_id,
+           ROUND(
+               SUM(CAST(e.x AS DOUBLE) * CAST(q.y AS DOUBLE))
+               / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(q.y AS DOUBLE) * CAST(q.y AS DOUBLE)))),
+               6) AS sim
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings
+          WHERE vec_id IN (SELECT doc_id FROM allowed)) e
+    JOIN (SELECT unnest(embedding) AS y,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id = 0) q USING (i)
+    WHERE e.vec_id <> 0
+    GROUP BY e.vec_id
+)
+SELECT s.vec_id, s.sim, d.lang, d.source
+FROM (SELECT vec_id, sim FROM sims
+      ORDER BY sim DESC, vec_id ASC LIMIT 5) s
+LEFT JOIN documents d ON d.doc_id = s.vec_id
+"""
+
+
+@register("knn_filtered", oracle=_KNN_FILTERED_ORACLE, tags=("vector",))
+def knn_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered retrieval: top-5 neighbours of vec 0 among
+    documents with lang='en' AND source<>'src0' — the multi-tenant /
+    language-scoped variant of the reference's retriever (bones.py:74
+    retrieves unfiltered; any scoped deployment needs this).
+
+    PRE-filter strategy (operators/knn.py:knn_filtered): the predicate
+    runs on the documents scan (PushedFilters on lang/source), the
+    surviving doc-id set semi-joins into the embeddings scan as a
+    broadcast LEFT SEMI join, and the same
+    scan -> codegen cosine -> TakeOrderedAndProject(5) pipeline as
+    knn_topk runs over the filtered corpus. Exact over the filter at
+    any selectivity — a post-filtered ANN would under-fill k whenever
+    the predicate is selective. The corpus never shuffles; at 100 TB
+    the only new cost over knn_topk is the broadcast of the allowed-id
+    set (or a shuffled semi-join if the tenant set is itself huge).
+    """
+    from conversadocs_spark.operators.knn import knn_filtered
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    docs = io.table(spark, sf_dir, "documents")
+    allowed = docs.where(
+        (F.col("lang") == "en") & (F.col("source") != "src0")
+    ).select(F.col("doc_id").alias("vec_id"))
+    top = knn_filtered(emb, allowed, query_id=0, k=5)
+    prov = docs.select(
+        F.col("doc_id").alias("vec_id"), "lang", "source"
+    )
+    return top.join(F.broadcast(prov), "vec_id", "left").select(
+        "vec_id", "sim", "lang", "source"
+    )

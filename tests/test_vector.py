@@ -345,3 +345,58 @@ def test_ivfpq_recall_at_3(spark, sf_oracle_dir):
     assert rows, "recall audit emptied a healthy IVF-PQ result"
     per_query = {r.query_id: r.recall_at_k for r in rows}
     assert abs(sum(per_query.values()) / len(per_query) - recall) < 1e-6
+
+
+def test_knn_filtered_matches_oracle(spark, sf_oracle_dir):
+    assert_query_matches_oracle(spark, "knn_filtered", sf_oracle_dir)
+
+
+def test_knn_filtered_respects_filter_and_fills_k(spark, sf_oracle_dir):
+    """Pre-filter exactness: every returned id satisfies the
+    predicate, and k fills whenever the filtered corpus has >= k rows
+    — the property a post-filtered ANN silently violates."""
+    from conversadocs_spark.plans import QUERIES
+    from conversadocs_spark import io
+
+    rows = QUERIES["knn_filtered"](spark, sf_oracle_dir).collect()
+    assert len(rows) == 5
+    assert all(r.lang == "en" and r.source != "src0" for r in rows)
+
+
+def test_knn_filtered_selective_predicate_stays_exact(spark, sf_oracle_dir):
+    """With a predicate keeping only 3 candidate ids, the operator
+    returns exactly those 3 ranked by sim (never under-filled relative
+    to the filtered corpus, never leaking out-of-filter ids)."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.knn import knn_filtered, knn_self
+
+    emb = io.table(spark, sf_oracle_dir, "embeddings")
+    keep = [7, 11, 13]
+    allowed = spark.createDataFrame(
+        [(i,) for i in keep], "vec_id long"
+    )
+    got = knn_filtered(emb, allowed, query_id=0, k=5).collect()
+    assert [set([r.vec_id for r in got]), len(got)] == [set(keep), 3]
+    # sims agree with the unfiltered exact scorer restricted to keep
+    full = {
+        r.vec_id: r.sim
+        for r in knn_self(emb, query_id=0, k=10**6).collect()
+    }
+    for r in got:
+        assert r.sim == full[r.vec_id]
+    assert [r.sim for r in got] == sorted(
+        (r.sim for r in got), reverse=True
+    )
+
+
+def test_knn_filtered_plan_is_semi_join_no_shuffle(spark, sf_oracle_dir):
+    """Plan pin: the allowed-id set enters as a broadcast LEFT SEMI
+    hash join (corpus never shuffles) and the top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["knn_filtered"](spark, sf_oracle_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
