@@ -788,3 +788,37 @@ def knn_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(F.broadcast(prov), "vec_id", "left").select(
         "vec_id", "sim", "lang", "source"
     )
+
+
+@register("mmr_rerank", tags=("vector", "rows-only"))
+def mmr_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (the retriever's "mmr" search mode —
+    the mode switch next to the "similarity" the reference uses at
+    bones.py:74): per query, retrieve wide (exact top-12), then
+    greedily re-rank to 5 results trading relevance against redundancy
+    (lambda=0.7, operators/mmr.py).
+
+    Greedy-iterative -> no SQL oracle; the selection is pinned
+    value-for-value against a pure-python/numpy reference in
+    tests/test_vector.py, plus invariants (first pick = argmax rel,
+    output ids subset of candidate ids, rank is a permutation).
+
+    Scale shape: the corpus-scale stage is knn_per_query (broadcast
+    queries, no corpus shuffle); MMR touches only Q x 12 candidate
+    rows, grouped by query — parallel across queries, bounded per
+    group."""
+    from conversadocs_spark.operators.mmr import mmr_rerank
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    wide = knn_per_query(corpus, queries, k=12).drop("rank")
+    cands = wide.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    return mmr_rerank(cands, k=5, lam=0.7).orderBy(
+        "query_id", "mmr_rank"
+    )

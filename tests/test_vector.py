@@ -400,3 +400,102 @@ def test_knn_filtered_plan_is_semi_join_no_shuffle(spark, sf_oracle_dir):
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def _mmr_reference(ids, rels, vecs, k, lam):
+    """Independent numpy re-derivation of greedy MMR (Carbonell &
+    Goldstein 1998): pick argmax of lam*rel - (1-lam)*max-sim-to-
+    selected, ties on ascending id, scores rounded to 9 decimals —
+    the contract operators/mmr.py promises."""
+    import numpy as np
+
+    v = np.asarray(vecs, dtype="float64")
+    v = v / np.where(
+        np.linalg.norm(v, axis=1) == 0, 1.0, np.linalg.norm(v, axis=1)
+    )[:, None]
+    sim = v @ v.T
+    rel = np.asarray(rels, dtype="float64")
+    chosen, left, out = [], list(range(len(ids))), []
+    while left and len(out) < k:
+        scored = sorted(
+            (
+                -round(
+                    lam * rel[i]
+                    - (1 - lam)
+                    * max((sim[i, j] for j in chosen), default=0.0),
+                    9,
+                ),
+                ids[i],
+                i,
+            )
+            for i in left
+        )
+        _, _, i = scored[0]
+        chosen.append(i)
+        left.remove(i)
+        out.append((ids[i], float(rel[i]), len(out)))
+    return out
+
+
+def test_mmr_rerank_matches_python_reference(spark, sf_oracle_dir):
+    """The Spark grouped-map MMR must reproduce an independent numpy
+    greedy-MMR re-derivation exactly, per query."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.knn import knn_per_query
+    from conversadocs_spark.plans import QUERIES
+
+    got = QUERIES["mmr_rerank"](spark, sf_oracle_dir).collect()
+    # rebuild the candidate lists the plan fed into MMR
+    emb = io.table(spark, sf_oracle_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    wide = (
+        knn_per_query(corpus, queries, k=12)
+        .drop("rank")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .collect()
+    )
+    by_q: dict[int, list] = {}
+    for r in wide:
+        by_q.setdefault(r.query_id, []).append(r)
+    expect = []
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.vec_id)
+        picks = _mmr_reference(
+            [r.vec_id for r in rows],
+            [r.sim for r in rows],
+            [r.embedding for r in rows],
+            k=5,
+            lam=0.7,
+        )
+        for vid, rel, rk in picks:
+            expect.append((qid, vid, round(rel, 6), rk))
+    got_t = sorted((r.query_id, r.vec_id, round(r.sim, 6), r.mmr_rank)
+                   for r in got)
+    assert got_t == sorted(expect)
+
+
+def test_mmr_invariants(spark, sf_oracle_dir):
+    """First pick per query is the relevance argmax; 5 rows per query;
+    mmr_rank is 0..4; diversification actually reorders at least one
+    query vs pure relevance order on the fixtures."""
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["mmr_rerank"](spark, sf_oracle_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5
+    reordered = 0
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.mmr_rank)
+        assert [r.mmr_rank for r in rs] == list(range(5))
+        assert rs[0].sim == max(r.sim for r in rs)
+        if [r.sim for r in rs] != sorted(
+            (r.sim for r in rs), reverse=True
+        ):
+            reordered += 1
+    assert reordered >= 1, "MMR never diverged from relevance order"
