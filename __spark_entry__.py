@@ -45,9 +45,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_ORDER = [
     # vector / ANN (knn_topk rotated to the tail in r7: green rows
     # r1/r4/r5/r6 AND it is entry()'s flagship so the driver smoke
-    # still runs it every round; knn_auto/knn_label_eval keep the
-    # family's driver rows)
-    "knn_auto", "knn_label_eval",
+    # still runs it every round; knn_label_eval rotated to the tail
+    # mid-r7 with its green r6 row so the new metadata-filtered kNN
+    # gets its first ledger row — knn_auto / knn_auto_indexed /
+    # knn_filtered carry the family)
+    "knn_auto", "knn_filtered",
     # r7 addition: persisted-index serving with manifest-driven
     # planning (oracle-backed, new -> top-50 for its first driver row;
     # out goes scan_orc_roundtrip, green r6, scan family keeps the
@@ -166,6 +168,7 @@ _DRIVER_ORDER = [
     "join_null_safe", "sql_correlated_subqueries",
     # --- 50 ---
     # r7 tail rotations (all with green driver rows; see head notes)
+    "knn_label_eval",
     "knn_topk", "dedup_minhash", "merge_upsert", "weighted_sample",
     "agg_pivot", "scan_csv_roundtrip", "scan_json_roundtrip",
     "scan_orc_roundtrip",
@@ -220,6 +223,9 @@ _DRIVER_ORDER = [
     "bpe_train", "bpe_apply",
     # distributed PCA (rows-only; numpy-parity + invariant tests)
     "embed_pca",
+    # MMR diversified re-ranking (greedy-iterative, rows-only by
+    # design; independent numpy re-derivation pins the selection)
+    "mmr_rerank",
 ]
 
 

@@ -46,7 +46,10 @@ def test_driver_order_covers_registry_exactly():
     # r7: knn_topk and dedup_minhash rotated to the tail (multi-round
     # greens; knn_topk still runs via entry()) so the 7 never-driver-
     # recorded oracle queries get their first ledger rows — pin them.
-    for must in ("knn_auto", "dedup_incremental", "pretrain_corpus",
+    # mid-r7: knn_label_eval (green r6) rotated to the tail so the new
+    # oracle-backed knn_filtered gets its first driver row.
+    for must in ("knn_auto", "knn_filtered",
+                 "dedup_incremental", "pretrain_corpus",
                  "arrow_grouped_seq",
                  "window_range_time", "lm_bigram_score",
                  "rerank_topk", "join_null_safe",
