@@ -39,6 +39,9 @@ HEADLINE = (
     # totals compare on the stable 9-query subtotal):
     "contamination_ngram",  # eval-decontamination broadcast asymmetry
     "dedup_clusters",   # pair gen + iterative connected components
+    # added r7 (BASELINE.md records the set change; round-over-round
+    # totals compare on the stable prior-set subtotals):
+    "knn_filtered",     # metadata-filtered retrieval, semi-join pre-filter
 )
 
 
