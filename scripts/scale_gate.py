@@ -270,7 +270,18 @@ def audit_aqe_skew_join(spark, sf_dir) -> list[str]:
     (`SortMergeJoin(skew=true)` / `AQEShuffleRead ... skewed`). This
     is the AQE complement to the deterministic salted join
     (operators/skew.py join_skew_salted): salting for known-hot keys,
-    AQE for the skew you only discover at runtime."""
+    AQE for the skew you only discover at runtime.
+
+    The planted side is explicitly repartition(32)-ed before the join:
+    the skew split works at shuffle-MAP-block granularity, and a
+    local-mode parquet scan of the small fixture yields so few map
+    tasks that the rule declines to split (measured: 3-11 scan maps ->
+    no split; 32 shuffle maps -> SortMergeJoin(skew=true)). On a real
+    cluster the map count is in the thousands, so the split engages
+    without help — the extra shuffle here is test scaffolding, not a
+    pattern for operators. The incompressible sha2 payload matters for
+    the same reason: AQE reads lz4'd shuffle-block sizes, and a
+    constant pad compresses below the skew threshold."""
     from pyspark.sql import functions as F
 
     from conversadocs_spark import io
@@ -291,11 +302,15 @@ def audit_aqe_skew_join(spark, sf_dir) -> list[str]:
             .otherwise(F.col("l_orderkey"))
             .alias("k"),
             "l_quantity",
-            # synthesized payload width (the fixture lineitem carries
-            # no comment column) so the hot partition's bytes actually
-            # cross the skew threshold
-            F.rpad(F.col("l_returnflag"), 64, "x").alias("pad"),
-        )
+            # synthesized INCOMPRESSIBLE payload (the fixture lineitem
+            # carries no comment column, and a constant pad compresses
+            # below the skew threshold in the lz4'd shuffle-block
+            # stats AQE reads) so the hot partition's bytes actually
+            # cross it
+            F.sha2(
+                F.concat_ws("|", "l_orderkey", "l_linenumber"), 256
+            ).alias("pad"),
+        ).repartition(32)
         o = io.table(spark, sf_dir, "orders").select(
             F.col("o_orderkey").alias("k"), "o_totalprice"
         )
