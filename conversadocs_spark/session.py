@@ -64,6 +64,15 @@ def get_spark(
         builder
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # verification harnesses (scale_gate) collect FULL query
+        # outputs to hash-compare against DuckDB — at 100x some
+        # results exceed Spark's 1g default. Operators themselves
+        # never collect (lint-pinned), so raising this only affects
+        # the compare path.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "1g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
