@@ -47,9 +47,10 @@ _DRIVER_ORDER = [
     # r1/r4/r5/r6 AND it is entry()'s flagship so the driver smoke
     # still runs it every round; knn_label_eval rotated to the tail
     # mid-r7 with its green r6 row so the new metadata-filtered kNN
-    # gets its first ledger row — knn_auto / knn_auto_indexed /
-    # knn_filtered carry the family)
-    "knn_auto", "knn_filtered",
+    # gets its first ledger row; knn_auto (green r6) rotated to the
+    # tail late-r7 for the new SQ8 query — knn_filtered / knn_int8 /
+    # knn_auto_indexed carry the family)
+    "knn_int8", "knn_filtered",
     # r7 addition: persisted-index serving with manifest-driven
     # planning (oracle-backed, new -> top-50 for its first driver row;
     # out goes scan_orc_roundtrip, green r6, scan family keeps the
@@ -168,7 +169,7 @@ _DRIVER_ORDER = [
     "join_null_safe", "sql_correlated_subqueries",
     # --- 50 ---
     # r7 tail rotations (all with green driver rows; see head notes)
-    "knn_label_eval",
+    "knn_label_eval", "knn_auto",
     "knn_topk", "dedup_minhash", "merge_upsert", "weighted_sample",
     "agg_pivot", "scan_csv_roundtrip", "scan_json_roundtrip",
     "scan_orc_roundtrip",

@@ -822,3 +822,83 @@ def mmr_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cands, k=5, lam=0.7).orderBy(
         "query_id", "mmr_rank"
     )
+
+
+# --------------------------------------------------------------------------
+# int8 scalar-quantized storage + retrieval (SQ8)
+# --------------------------------------------------------------------------
+
+_KNN_INT8_ORACLE = """
+WITH deq AS (
+    SELECT e.vec_id,
+           e.i,
+           b.qmin + (floor((CAST(e.x AS DOUBLE) - b.qmin)
+                           / b.qscale + 0.5) - 128 + 128.0)
+                    * b.qscale AS xh
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) e
+    JOIN (SELECT vec_id,
+                 CAST(list_min(embedding) AS DOUBLE) AS qmin,
+                 (CAST(list_max(embedding) AS DOUBLE)
+                  - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+                     AS qscale
+          FROM embeddings) b USING (vec_id)
+),
+sims AS (
+    SELECT d.vec_id,
+           ROUND(
+               SUM(d.xh * q.yh)
+               / (SQRT(SUM(d.xh * d.xh)) * SQRT(SUM(q.yh * q.yh))),
+               6) AS sim_q
+    FROM deq d
+    JOIN (SELECT i, xh AS yh FROM deq WHERE vec_id = 0) q USING (i)
+    WHERE d.vec_id <> 0
+    GROUP BY d.vec_id
+)
+SELECT vec_id, sim_q FROM sims
+ORDER BY sim_q DESC, vec_id ASC LIMIT 5
+"""
+
+
+@register("knn_int8", oracle=_KNN_INT8_ORACLE, tags=("vector",))
+def knn_int8_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-quantized retrieval: top-5 neighbours of vec 0 scored over
+    int8-dequantized vectors (operators/quant.py) — the 4x-smaller
+    storage tier below float32 and above PQ's 32x. The reference
+    serves float32 RAM-resident (bones.py:74); SQ8 is the first lever
+    when the vector column stops fitting.
+
+    Unlike the trained ANN families (rows-only by design), SQ8 is a
+    pure row-local affine expression — floor-based, engine-portable —
+    so this query is fully ORACLE-BACKED: DuckDB replicates
+    quantize -> dequantize -> cosine bit-for-bit.
+
+    Plan shape: one scan computing codes inside codegen (no shuffle,
+    no Python), broadcast 1-row dequantized query,
+    TakeOrderedAndProject(5) — identical scaling to knn_topk with a
+    quarter of the bytes read in a real quantized-storage deployment.
+    """
+    from conversadocs_spark.operators.quant import (
+        dequantized,
+        quantize_int8,
+    )
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    quant = quantize_int8(emb).select(
+        "vec_id", "qmin", "qscale", "q"
+    )
+    deq = quant.select(
+        "vec_id", dequantized().alias("xh")
+    )
+    qv = deq.where(F.col("vec_id") == 0).select(
+        F.col("xh").alias("_qvec")
+    )
+    sim = cosine_similarity(F.col("xh"), F.col("_qvec"))
+    return (
+        deq.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", F.round(sim, 6).alias("sim_q"))
+        .orderBy(F.desc("sim_q"), F.asc("vec_id"))
+        .limit(5)
+    )

@@ -46,9 +46,10 @@ def test_driver_order_covers_registry_exactly():
     # r7: knn_topk and dedup_minhash rotated to the tail (multi-round
     # greens; knn_topk still runs via entry()) so the 7 never-driver-
     # recorded oracle queries get their first ledger rows — pin them.
-    # mid-r7: knn_label_eval (green r6) rotated to the tail so the new
-    # oracle-backed knn_filtered gets its first driver row.
-    for must in ("knn_auto", "knn_filtered",
+    # mid-r7: knn_label_eval then knn_auto (green rows) rotated to the
+    # tail so the new oracle-backed knn_filtered and knn_int8 get
+    # their first driver rows.
+    for must in ("knn_int8", "knn_filtered",
                  "dedup_incremental", "pretrain_corpus",
                  "arrow_grouped_seq",
                  "window_range_time", "lm_bigram_score",

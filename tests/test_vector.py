@@ -499,3 +499,59 @@ def test_mmr_invariants(spark, sf_oracle_dir):
         ):
             reordered += 1
     assert reordered >= 1, "MMR never diverged from relevance order"
+
+
+def test_knn_int8_matches_oracle(spark, sf_oracle_dir):
+    assert_query_matches_oracle(spark, "knn_int8", sf_oracle_dir)
+
+
+def test_quantize_int8_storage_and_error_bound(spark, sf_oracle_dir):
+    """Codes are true int8 (array<tinyint>); reconstruction error is
+    within qscale/2 per component; a constant vector round-trips
+    exactly through the qscale=0 path."""
+    from pyspark.sql.types import ArrayType, ByteType
+
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.quant import (
+        dequantized,
+        quantize_int8,
+    )
+
+    emb = io.table(spark, sf_oracle_dir, "embeddings").limit(50)
+    q = quantize_int8(emb)
+    field = dict(zip(q.schema.names, [f.dataType for f in q.schema]))
+    assert field["q"] == ArrayType(ByteType())
+    rows = q.select(
+        "embedding", "qscale", dequantized().alias("xh")
+    ).collect()
+    assert rows
+    for r in rows:
+        half = r.qscale / 2 + 1e-12
+        for x, xh in zip(r.embedding, r.xh):
+            assert abs(x - xh) <= half
+    const = spark.createDataFrame(
+        [(1, [0.25] * 8)], "vec_id long, embedding array<float>"
+    )
+    got = (
+        quantize_int8(const)
+        .select(dequantized().alias("xh"), "qscale")
+        .collect()[0]
+    )
+    assert got.qscale == 0.0
+    assert got.xh == [0.25] * 8
+
+
+def test_knn_int8_recall_vs_exact(spark, sf_oracle_dir):
+    """SQ8's ~0.4% component error must not wreck retrieval: the
+    quantized top-5 recovers >= 4 of the exact float top-5."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.knn import knn_self
+    from conversadocs_spark.plans import QUERIES
+
+    emb = io.table(spark, sf_oracle_dir, "embeddings")
+    exact = {r.vec_id for r in knn_self(emb, query_id=0, k=5).collect()}
+    quant = {
+        r.vec_id
+        for r in QUERIES["knn_int8"](spark, sf_oracle_dir).collect()
+    }
+    assert len(exact & quant) >= 4, (exact, quant)
