@@ -555,3 +555,36 @@ def test_knn_int8_recall_vs_exact(spark, sf_oracle_dir):
         for r in QUERIES["knn_int8"](spark, sf_oracle_dir).collect()
     }
     assert len(exact & quant) >= 4, (exact, quant)
+
+
+def test_knn_int8_plan_no_shuffle(spark, sf_oracle_dir):
+    """SQ8 retrieval keeps knn_topk's scaling contract: codes computed
+    inside the scan projection, global top-k via
+    TakeOrderedAndProject, zero hash exchanges."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["knn_int8"](spark, sf_oracle_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_mmr_small_group_edges(spark):
+    """k past the candidate count returns every candidate exactly
+    once; a single-candidate group gets rank 0."""
+    from conversadocs_spark.operators.mmr import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [
+            (1, 10, 0.9, [1.0, 0.0]),
+            (1, 11, 0.8, [0.0, 1.0]),
+            (2, 20, 0.5, [1.0, 1.0]),
+        ],
+        "query_id long, vec_id long, sim double, embedding array<double>",
+    )
+    rows = mmr_rerank(cands, k=5, lam=0.7).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.mmr_rank))
+    assert sorted(by_q[1]) == [(10, 0), (11, 1)]
+    assert by_q[2] == [(20, 0)]
