@@ -95,8 +95,10 @@ _DRIVER_ORDER = [
     "source_mixture_weights", "udtf_dynamic_schema", "vocab_topk",
     "window_ntile",
     # lake / table maintenance (merge_upsert rotated to the tail in
-    # r7 with its green r6 row; scd2_history/table_diff keep rows)
-    "scd2_history",
+    # r7 with its green r6 row; scd2_history followed late-r7 — green
+    # r6 — so the new OPTIMIZE-ZORDER lifecycle gets its first row;
+    # table_diff + lake_zorder_scan carry the family)
+    "lake_zorder_scan",
     # event analytics (r6 continuation: ordered funnel + cohort
     # retention — new, rotated in; displacing corpus_split_shuffle
     # and stratified_sample, green driver rows in r5)
@@ -169,7 +171,7 @@ _DRIVER_ORDER = [
     "join_null_safe", "sql_correlated_subqueries",
     # --- 50 ---
     # r7 tail rotations (all with green driver rows; see head notes)
-    "knn_label_eval", "knn_auto",
+    "knn_label_eval", "knn_auto", "scd2_history",
     "knn_topk", "dedup_minhash", "merge_upsert", "weighted_sample",
     "agg_pivot", "scan_csv_roundtrip", "scan_json_roundtrip",
     "scan_orc_roundtrip",

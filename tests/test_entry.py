@@ -49,7 +49,7 @@ def test_driver_order_covers_registry_exactly():
     # mid-r7: knn_label_eval then knn_auto (green rows) rotated to the
     # tail so the new oracle-backed knn_filtered and knn_int8 get
     # their first driver rows.
-    for must in ("knn_int8", "knn_filtered",
+    for must in ("knn_int8", "knn_filtered", "lake_zorder_scan",
                  "dedup_incremental", "pretrain_corpus",
                  "arrow_grouped_seq",
                  "window_range_time", "lm_bigram_score",

@@ -91,3 +91,9 @@ def test_table_diff_detects_exactly_the_injected_changes(
             abs(r["new_totalprice"] - r["old_totalprice"] - 10.0) < 1e-6
         )
     assert all(len(v) > 0 for v in by_change.values())
+
+
+def test_lake_zorder_scan_matches_oracle(spark, sf_oracle_dir):
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, "lake_zorder_scan", sf_oracle_dir)
