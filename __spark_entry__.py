@@ -105,7 +105,9 @@ _DRIVER_ORDER = [
     "funnel_conversion", "cohort_retention",
     # r6 continuation wave 2: RANGE-frame rolling window, Markov
     # transition matrix, and the Deequ-style rule sweep — all new
-    "window_range_time", "event_transitions", "dq_audit",
+    # (dq_audit rotated to the tail late-r7 with its green r6 row so
+    # the compaction half of OPTIMIZE gets its first ledger row)
+    "window_range_time", "event_transitions", "lake_compact_files",
     # IGNORE-NULLS window analytics (oracle-backed, new — rotated in;
     # out goes similarity_join, green r2-r5)
     "window_ignore_nulls",
@@ -171,7 +173,7 @@ _DRIVER_ORDER = [
     "join_null_safe", "sql_correlated_subqueries",
     # --- 50 ---
     # r7 tail rotations (all with green driver rows; see head notes)
-    "knn_label_eval", "knn_auto", "scd2_history",
+    "knn_label_eval", "knn_auto", "scd2_history", "dq_audit",
     "knn_topk", "dedup_minhash", "merge_upsert", "weighted_sample",
     "agg_pivot", "scan_csv_roundtrip", "scan_json_roundtrip",
     "scan_orc_roundtrip",

@@ -366,3 +366,62 @@ def lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# --------------------------------------------------------------------------
+# OPTIMIZE (bin-packing): small-file compaction
+# --------------------------------------------------------------------------
+
+_COMPACT_ORACLE = """
+SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+       l_extendedprice
+FROM lineitem
+WHERE l_orderkey % 13 = 0
+"""
+
+
+@register("lake_compact_files", oracle=_COMPACT_ORACLE, tags=("lake",))
+def lake_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE bin-packing lifecycle (the compaction half of table
+    maintenance; `lake_zorder_scan` is the clustering half): a
+    streaming ingest / micro-batch CDC target accretes thousands of
+    small files whose per-file open/footer cost comes to dominate
+    scans. Stage a deliberately fragmented table (64 shards of a
+    lineitem slice), compact it to size-targeted files — ONE
+    repartition by a stable key + maxRecordsPerFile so no file
+    exceeds the target and writers can't recreate the fragmentation —
+    and serve from the compacted layout. The hash-check against the
+    never-fragmented source proves compaction is content-preserving.
+
+    Scale shape: at 100 TB compaction is a per-partition rewrite job —
+    cost bounded by the fragmented partitions being rewritten (here
+    the whole staged table), one shuffle, output file count =
+    ceil(rows / maxRecordsPerFile) per task. The file-count collapse
+    (64 -> handful) is asserted in tests/test_lake.py, not here, so
+    the driver row stays a pure content check."""
+    import os as _os
+
+    from conversadocs_spark.plans.ingestion import _SCRATCH
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    frag = _os.path.join(_SCRATCH, f"frag_{tag}")
+    compacted = _os.path.join(_SCRATCH, f"compact_{tag}")
+    cols = [
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+        "l_extendedprice",
+    ]
+    src = (
+        io.table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 13 == 0)
+        .select(*cols)
+    )
+    # stage the pathological layout: 64 round-robin shards
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    (
+        spark.read.parquet(frag)
+        .repartition(4, "l_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 500_000)
+        .parquet(compacted)
+    )
+    return spark.read.parquet(compacted)

@@ -97,3 +97,40 @@ def test_lake_zorder_scan_matches_oracle(spark, sf_oracle_dir):
     from tests.oracle import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, "lake_zorder_scan", sf_oracle_dir)
+
+
+def test_lake_compact_files_matches_oracle(spark, sf_oracle_dir):
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, "lake_compact_files", sf_oracle_dir)
+
+
+def test_lake_compact_collapses_file_count(spark, sf_oracle_dir):
+    """The staged fragmentation (64 shards) must collapse to the
+    4-partition target; every surviving file respects
+    maxRecordsPerFile; row totals are unchanged."""
+    import os
+
+    from conversadocs_spark.plans import QUERIES
+    from conversadocs_spark.plans.ingestion import _SCRATCH
+
+    df = QUERIES["lake_compact_files"](spark, sf_oracle_dir)
+    n = df.count()
+    tag = os.path.basename(sf_oracle_dir.rstrip("/"))
+    frag = os.path.join(_SCRATCH, f"frag_{tag}")
+    compacted = os.path.join(_SCRATCH, f"compact_{tag}")
+
+    def parquet_files(p):
+        return [f for f in os.listdir(p) if f.endswith(".parquet")]
+
+    assert len(parquet_files(frag)) == 64
+    out = parquet_files(compacted)
+    assert len(out) <= 4
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in out:
+        md = pq.ParquetFile(os.path.join(compacted, f)).metadata
+        assert md.num_rows <= 500_000
+        total += md.num_rows
+    assert total == n
