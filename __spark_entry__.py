@@ -108,9 +108,10 @@ _DRIVER_ORDER = [
     # (dq_audit rotated to the tail late-r7 with its green r6 row so
     # the compaction half of OPTIMIZE gets its first ledger row)
     "window_range_time", "event_transitions", "lake_compact_files",
-    # IGNORE-NULLS window analytics (oracle-backed, new — rotated in;
-    # out goes similarity_join, green r2-r5)
-    "window_ignore_nulls",
+    # (window_ignore_nulls rotated to the tail late-r7 with its green
+    # r6 row so the CMS sketch — oracle-backed, unusually for a
+    # sketch — gets its first ledger row)
+    "cms_term_freq",
     # wave 3: gaps-and-islands sessionization, melt, and the max_by
     # log-compaction snapshot (displacing text_quality / pii_redact /
     # udaf_price_range — green driver rows r5 or earlier)
@@ -174,6 +175,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     # r7 tail rotations (all with green driver rows; see head notes)
     "knn_label_eval", "knn_auto", "scd2_history", "dq_audit",
+    "window_ignore_nulls",
     "knn_topk", "dedup_minhash", "merge_upsert", "weighted_sample",
     "agg_pivot", "scan_csv_roundtrip", "scan_json_roundtrip",
     "scan_orc_roundtrip",

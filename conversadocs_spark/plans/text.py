@@ -926,3 +926,121 @@ def bpe_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = io.table(spark, sf_dir, "documents")
     merges = bpe_train(d, n_merges=40, min_pair_count=2)
     return bpe_apply(d, merges)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch term frequencies (bounded-state, mergeable)
+# --------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 2048
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+toks2 AS (SELECT term FROM toks WHERE term <> ''),
+hashed AS (
+    SELECT t.term, r.r,
+           CAST(('0x' || substr(
+               md5(CAST(r.r AS VARCHAR) || ':' || t.term), 1, 8))
+               AS BIGINT) % {_CMS_W} AS c
+    FROM toks2 t
+    CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r) r
+),
+sketch AS (
+    SELECT r, c, count(*) AS n FROM hashed GROUP BY r, c
+),
+truth AS (
+    SELECT term, count(*) AS true_n FROM toks2 GROUP BY term
+),
+probes AS (
+    SELECT DISTINCT t.term, h.r, h.c
+    FROM truth t
+    JOIN hashed h ON h.term = t.term
+),
+est AS (
+    SELECT p.term, min(s.n) AS est_n
+    FROM probes p JOIN sketch s ON s.r = p.r AND s.c = p.c
+    GROUP BY p.term
+)
+SELECT t.term, t.true_n, e.est_n
+FROM truth t JOIN est e ON e.term = t.term
+ORDER BY t.true_n DESC, t.term ASC
+LIMIT 20
+"""
+
+
+def _cms_bucket(term, r: int):
+    """Shared-arithmetic CMS hash: first 8 hex chars of
+    md5('<r>:<term>') as an int, mod the sketch width — byte-for-byte
+    reproducible in DuckDB (md5 + hex cast), which is what makes the
+    sketch itself oracle-checkable."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{r}:"), term).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+@register("cms_term_freq", oracle=_CMS_ORACLE, tags=("text", "sketch"))
+def cms_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over corpus
+    term frequencies — the third sketch in the family (HLL =
+    distincts, Misra-Gries = heavy hitters, CMS = point frequency
+    estimates under a FIXED d x w memory budget, mergeable by
+    element-wise sum). Returns the top-20 true terms with their true
+    and estimated counts; the CMS guarantee est >= true always holds
+    and the overshoot is bounded by colliding mass.
+
+    Scale shape: the sketch is ONE hash aggregate whose key space is
+    capped at d*w = 8192 rows regardless of corpus size — partial
+    aggregation reduces map-side, the shuffle carries at most d*w rows
+    per input partition, and sketches from different corpora/days
+    merge by summing counters (same mergeability contract as
+    `agg_hll_mergeable`). Estimation joins probe terms against the
+    8192-row sketch — broadcast-sized at any corpus scale. Unusually
+    for a sketch, the whole thing is oracle-backed: the hash is
+    md5-prefix arithmetic both engines evaluate identically."""
+    d = io.table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    hashed = toks.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(F.col("term"), r).alias("c"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("term", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    sketch = hashed.groupBy("r", "c").agg(F.count("*").alias("n"))
+    truth = toks.groupBy("term").agg(F.count("*").alias("true_n"))
+    probes = hashed.select("term", "r", "c").distinct()
+    est = (
+        probes.join(sketch, ["r", "c"])
+        .groupBy("term")
+        .agg(F.min("n").alias("est_n"))
+    )
+    return (
+        truth.join(est, "term")
+        .orderBy(F.desc("true_n"), F.asc("term"))
+        .limit(20)
+        .select("term", "true_n", "est_n")
+    )

@@ -50,7 +50,7 @@ def test_driver_order_covers_registry_exactly():
     # tail so the new oracle-backed knn_filtered and knn_int8 get
     # their first driver rows.
     for must in ("knn_int8", "knn_filtered", "lake_zorder_scan",
-                 "lake_compact_files",
+                 "lake_compact_files", "cms_term_freq",
                  "dedup_incremental", "pretrain_corpus",
                  "arrow_grouped_seq",
                  "window_range_time", "lm_bigram_score",

@@ -385,3 +385,33 @@ def test_bpe_apply_matches_python_application(spark, sf_dir):
         assert got[row["doc_id"]] == want
         n_chars = sum(len(w) + 1 for w in words)
         assert len(words) <= len(subs) <= n_chars
+
+
+def test_cms_term_freq_matches_oracle(spark, sf_oracle_dir):
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, "cms_term_freq", sf_oracle_dir)
+
+
+def test_cms_guarantee_and_bound(spark, sf_oracle_dir):
+    """CMS one-sided guarantee: est >= true for EVERY probed term
+    (never undercounts), and overshoot stays within the eps*N
+    analytical envelope (eps = e/w) on the fixture stream."""
+    import math
+
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+    from conversadocs_spark.plans.text import _CMS_W
+
+    rows = QUERIES["cms_term_freq"](spark, sf_oracle_dir).collect()
+    assert len(rows) == 20
+    n_stream = (
+        io.table(spark, sf_oracle_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .count()
+    )
+    envelope = math.e / _CMS_W * n_stream
+    for r in rows:
+        assert r.est_n >= r.true_n, (r.term, r.true_n, r.est_n)
+        assert r.est_n - r.true_n <= envelope, (r.term, r.est_n - r.true_n)
