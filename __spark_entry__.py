@@ -36,8 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # is confirmed behavior, not a one-off), so enumerate highest-signal
 # queries first: vector/ANN flagship, dedup, text, training-pipeline,
 # chunking, UDF/UDAF/UDTF, ranking windows, aggregates, joins, skew,
-# RAG — exactly 50, now all-oracle-checked except the 2 by-design
-# rows-only ANN ops (ann_topk/ann_ivf) — and push
+# RAG — exactly 50, ALL oracle-checked since the r7 rotation — and push
 # the families that already have green r01/r02 driver rows (relational
 # functions, set ops, event-time windows, ingestion, multimodal,
 # streaming replays) plus locally-pinned rows-only variants into the
