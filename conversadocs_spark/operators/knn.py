@@ -132,17 +132,21 @@ def knn_filtered(
       predicate it silently returns < k rows. We deliberately do NOT
       ship that shape as the default.
 
-    Scale: the allowed-id side is broadcast when small (a LEFT SEMI
-    BroadcastHashJoin — the corpus never shuffles); when the predicate
-    set is itself huge, Catalyst falls back to a shuffled semi-join,
-    which is still corpus-linear. The query row is looked up from the
-    UNfiltered table so a query outside its own filter still works.
+    Scale: the semi-join carries NO broadcast hint — Catalyst picks a
+    LEFT SEMI BroadcastHashJoin when the allowed-id side's estimated
+    size clears autoBroadcastJoinThreshold (the common case: a pushed
+    filter over a dimension scan), and falls back to a shuffled
+    semi-join when the predicate set is itself huge. An unconditional
+    hint would force a >8 GB broadcast / driver OOM on a large tenant
+    set instead of degrading to the corpus-linear shuffle. The query
+    row is looked up from the UNfiltered table so a query outside its
+    own filter still works.
     """
     q = vectors.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec")
     )
     kept = vectors.join(
-        F.broadcast(allowed_ids.select(id_col)), id_col, "left_semi"
+        allowed_ids.select(id_col), id_col, "left_semi"
     )
     sim = cosine_similarity(F.col(vec_col), F.col("_qvec"))
     return (

@@ -766,13 +766,16 @@ def knn_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRE-filter strategy (operators/knn.py:knn_filtered): the predicate
     runs on the documents scan (PushedFilters on lang/source), the
     surviving doc-id set semi-joins into the embeddings scan as a
-    broadcast LEFT SEMI join, and the same
+    LEFT SEMI join — unhinted, so Catalyst broadcasts it from size
+    statistics when small (the plan test pins BroadcastHashJoin here)
+    and degrades to a shuffled semi-join when the tenant set is
+    itself huge (its own test pins that fallback). Then the same
     scan -> codegen cosine -> TakeOrderedAndProject(5) pipeline as
     knn_topk runs over the filtered corpus. Exact over the filter at
     any selectivity — a post-filtered ANN would under-fill k whenever
-    the predicate is selective. The corpus never shuffles; at 100 TB
-    the only new cost over knn_topk is the broadcast of the allowed-id
-    set (or a shuffled semi-join if the tenant set is itself huge).
+    the predicate is selective. The corpus never shuffles; the k-row
+    result (not the unbounded documents side) is the broadcast side
+    of the provenance annotation join.
     """
     from conversadocs_spark.operators.knn import knn_filtered
 
@@ -785,7 +788,11 @@ def knn_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prov = docs.select(
         F.col("doc_id").alias("vec_id"), "lang", "source"
     )
-    return top.join(F.broadcast(prov), "vec_id", "left").select(
+    # provenance annotation: the k-row result is the broadcast side
+    # (documents is the unbounded one at scale). Inner join is exact
+    # here — every surviving id came from the documents scan itself,
+    # so the lookup can never drop a row.
+    return F.broadcast(top).join(prov, "vec_id").select(
         "vec_id", "sim", "lang", "source"
     )
 
@@ -832,9 +839,13 @@ _KNN_INT8_ORACLE = """
 WITH deq AS (
     SELECT e.vec_id,
            e.i,
-           b.qmin + (floor((CAST(e.x AS DOUBLE) - b.qmin)
-                           / b.qscale + 0.5) - 128 + 128.0)
-                    * b.qscale AS xh
+           -- constant-vector guard mirrors quantize_int8: qscale=0
+           -- stores code -128, which dequantizes to exactly qmin
+           CASE WHEN b.qscale = 0 THEN b.qmin
+                ELSE b.qmin + (floor((CAST(e.x AS DOUBLE) - b.qmin)
+                                     / b.qscale + 0.5) - 128 + 128.0)
+                              * b.qscale
+           END AS xh
     FROM (SELECT vec_id, unnest(embedding) AS x,
                  generate_subscripts(embedding, 1) AS i
           FROM embeddings) e

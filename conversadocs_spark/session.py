@@ -64,11 +64,12 @@ def get_spark(
         builder
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # verification harnesses (scale_gate) collect FULL query
-        # outputs to hash-compare against DuckDB — at 100x some
-        # results exceed Spark's 1g default. Operators themselves
-        # never collect (lint-pinned), so raising this only affects
-        # the compare path.
+        # env-var override HOOK only: the default below IS Spark's
+        # own 1g default, so plain get_spark() callers see no change.
+        # Verification harnesses that collect FULL query outputs to
+        # hash-compare against DuckDB (scale_gate sets 8g) export
+        # SPARK_GRAFT_MAX_RESULT_SIZE before building the session.
+        # Operators themselves never collect (lint-pinned).
         .config(
             "spark.driver.maxResultSize",
             os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "1g"),

@@ -41,6 +41,71 @@ TABLES = (
 ).split()
 
 
+def value_signals(con, sdf, oracle_sql):
+    """Engine-side column checksums for outputs too big to collect:
+    per column, an aggregate both engines compute over the FULL
+    result without any driver materialization — sum(col) for
+    integrals, sum(round(col,3)) for floats (compared with tolerance:
+    summation order differs between engines), sum(length(col)) for
+    strings, sum(cast bigint) for booleans. Returns (spark_sig,
+    oracle_sig, ok) over every signal-able column; non-scalar columns
+    (arrays, structs) are skipped. Module-level so the lint/unit
+    tests can exercise the agree and diverge paths directly."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    s_aggs, d_exprs, kinds = [], [], []
+    for f in sdf.schema.fields:
+        c = f.name
+        if isinstance(
+            f.dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            s_aggs.append(F.sum(F.col(c)).alias(c))
+            d_exprs.append(f'sum("{c}") AS "{c}"')
+            kinds.append("int")
+        elif isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            s_aggs.append(
+                F.sum(F.round(F.col(c).cast("double"), 3)).alias(c)
+            )
+            d_exprs.append(
+                f'sum(round(CAST("{c}" AS DOUBLE), 3)) AS "{c}"'
+            )
+            kinds.append("float")
+        elif isinstance(f.dataType, T.StringType):
+            s_aggs.append(
+                F.sum(F.length(F.col(c)).cast("long")).alias(c)
+            )
+            d_exprs.append(f'sum(length("{c}")) AS "{c}"')
+            kinds.append("int")
+        elif isinstance(f.dataType, T.BooleanType):
+            s_aggs.append(F.sum(F.col(c).cast("long")).alias(c))
+            d_exprs.append(f'sum(CAST("{c}" AS BIGINT)) AS "{c}"')
+            kinds.append("int")
+    if not s_aggs:
+        return None, None, True
+    srow = sdf.agg(*s_aggs).collect()[0]
+    orow = con.execute(
+        "SELECT " + ", ".join(d_exprs) + f" FROM ({oracle_sql}) _big"
+    ).fetchone()
+    ok = True
+    for i, kind in enumerate(kinds):
+        sv, ov = srow[i], orow[i]
+        if sv is None and ov is None:
+            continue
+        if sv is None or ov is None:
+            ok = False
+        elif kind == "float":
+            ok = ok and math.isclose(
+                float(sv), float(ov), rel_tol=1e-9, abs_tol=1e-3
+            )
+        else:
+            ok = ok and int(sv) == int(ov)
+    return tuple(srow), tuple(orow), ok
+
+
 def main() -> None:
     import duckdb
 
@@ -75,8 +140,8 @@ def main() -> None:
     #: is no longer feasible driver-side (137M-row join_range at sf10
     #: serializes past any sane maxResultSize and the python
     #: normalization sort would dominate the sweep); degrade to a
-    #: count-parity check — value hashing for the same query is
-    #: already proven at the smaller scales.
+    #: count check PLUS an engine-side per-column value signal
+    #: (below) — counts alone could match while values diverge.
     big_output_cap = 20_000_000
 
     bad = []
@@ -99,14 +164,29 @@ def main() -> None:
             if n_oracle > big_output_cap:
                 n_spark = sdf.count()
                 ok = n_spark == n_oracle
+                sig_note = ""
+                if ok:
+                    ssig, osig, sig_ok = value_signals(
+                        con, sdf, oracles[name]
+                    )
+                    if ssig is None:
+                        sig_note = "; no signal-able columns"
+                    else:
+                        ok = sig_ok
+                        sig_note = (
+                            "; column checksums "
+                            + ("agree" if sig_ok else
+                               f"DIVERGE spark={ssig} oracle={osig}")
+                        )
                 if not ok:
                     bad.append(name)
                 checked += 1
                 print(
                     f"{name}: {'OK' if ok else 'MISMATCH'} "
-                    f"(count-parity only, rows={n_spark} vs "
+                    f"(count+checksum, rows={n_spark} vs "
                     f"{n_oracle} — output past the "
-                    f"{big_output_cap}-row hash-compare cap; "
+                    f"{big_output_cap}-row hash-compare cap"
+                    f"{sig_note}; "
                     f"{time.time() - t0:.1f}s)",
                     flush=True,
                 )

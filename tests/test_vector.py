@@ -588,3 +588,82 @@ def test_mmr_small_group_edges(spark):
         by_q.setdefault(r.query_id, []).append((r.vec_id, r.mmr_rank))
     assert sorted(by_q[1]) == [(10, 0), (11, 1)]
     assert by_q[2] == [(20, 0)]
+
+
+def test_knn_filtered_no_hint_degrades_to_shuffled_semi_join(
+    spark, sf_oracle_dir
+):
+    """Scale contract pin (ADVICE r7): the allowed-id semi-join
+    carries NO broadcast hint, so when the planner cannot broadcast
+    (threshold disabled here, a >8GB tenant set in production) the
+    plan degrades to a shuffled semi-join instead of forcing a
+    driver-OOM broadcast. The companion plan test proves the same
+    join DOES auto-broadcast from statistics when the side is small.
+    """
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.knn import knn_filtered
+
+    emb = io.table(spark, sf_oracle_dir, "embeddings")
+    allowed = emb.select("vec_id")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = knn_filtered(emb, allowed, query_id=0, k=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" not in plan, (
+        "semi-join still forces a broadcast with auto-broadcast off "
+        "— the unconditional hint is back"
+    )
+
+
+def test_knn_int8_oracle_guards_constant_vectors(spark, tmp_path):
+    """ADVICE r7: a constant embedding has qscale=0; the Spark path
+    special-cases it (code -128 -> dequant == qmin) and the oracle
+    SQL must mirror the guard instead of dividing by zero. Planted
+    fixture: one constant vector among normal ones — Spark result
+    and DuckDB oracle must still hash-match."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from conversadocs_spark.plans import ORACLES, QUERIES
+    from tests.oracle import _normalize
+
+    vecs = [
+        [float((7 * i + 3 * j) % 11) - 5.0 for j in range(8)]
+        for i in range(6)
+    ]
+    vecs[3] = [2.5] * 8  # constant -> qscale 0
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array(
+                vecs, pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * 6, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    sdf = QUERIES["knn_int8"](spark, str(tmp_path))
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet'"
+    )
+    cur = con.execute(ORACLES["knn_int8"])
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+    con.close()
+
+    s_cols_n, s_norm = _normalize(s_cols, s_rows)
+    o_cols_n, o_norm = _normalize(o_cols, o_rows)
+    assert s_cols_n == o_cols_n
+    assert s_norm == o_norm
+    got = {r[0]: r[1] for r in s_rows}
+    assert 3 in got, "constant vector must be scored, not NaN'd out"
