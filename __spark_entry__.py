@@ -50,20 +50,24 @@ _DRIVER_ORDER = [
     # tail late-r7 for the new SQ8 query — knn_filtered / knn_int8 /
     # knn_auto_indexed carry the family)
     "knn_int8", "knn_filtered",
+    # r8 additions, all oracle-backed and never driver-recorded ->
+    # head-50 per the COVERAGE.md rotation policy: binary sign-bit
+    # retrieval (32x storage tier below SQ8), matryoshka prefix-dim
+    # coarse+refine, and ColBERT-style multi-vector MaxSim.
+    # Displaced: variant_funcs / bm25_topk / hybrid_rrf (green r6+r7;
+    # relational keeps ansi_try_funcs, retrieval keeps rerank_topk).
+    "knn_binary", "knn_matryoshka", "multivec_maxsim",
     # r7 addition: persisted-index serving with manifest-driven
     # planning (oracle-backed, new -> top-50 for its first driver row;
     # out goes scan_orc_roundtrip, green r6, scan family keeps the
     # corrupt-tolerant + schema-evolution head rows)
     "knn_auto_indexed",
-    # Spark 4 VARIANT surface (oracle-backed, new — rotated in; out
-    # goes dedup_embedding, green r2-r5)
-    "variant_funcs",
     # semantic duplicate clusters (oracle-backed, new — rotated in;
     # out goes knn_per_query, green r1-r5)
     "dedup_semantic_clusters",
-    # retrieval (r6 continuation: BM25 lexical ranking + RRF hybrid
-    # fusion — oracle-backed, never driver-recorded, rotated in)
-    "bm25_topk", "hybrid_rrf", "rerank_topk",
+    # retrieval family row (bm25_topk / hybrid_rrf rotated to the
+    # tail in r8 with green r6+r7 rows)
+    "rerank_topk",
     # dedup family (dedup_minhash rotated to the tail in r7: green
     # rows r4/r5/r6 + bench-tracked every round; dedup_incremental /
     # dedup_semantic_clusters / span_dedup keep the family's rows)
@@ -101,7 +105,7 @@ _DRIVER_ORDER = [
     # event analytics (r6 continuation: ordered funnel + cohort
     # retention — new, rotated in; displacing corpus_split_shuffle
     # and stratified_sample, green driver rows in r5)
-    "funnel_conversion", "cohort_retention",
+    "cohort_retention",
     # r6 continuation wave 2: RANGE-frame rolling window, Markov
     # transition matrix, and the Deequ-style rule sweep — all new
     # (dq_audit rotated to the tail late-r7 with its green r6 row so
@@ -118,6 +122,10 @@ _DRIVER_ORDER = [
     # wave 4: trailing-baseline anomaly scoring + market-basket lift
     # (displacing vocab_topk / gopher_repetition — green rows r6)
     "anomaly_zscore", "basket_lift",
+    # r8: robust median/MAD outlier flagging (oracle-backed, new —
+    # rotated in; out goes funnel_conversion, green r6+r7;
+    # cohort_retention keeps the event-analytics pair's row)
+    "outlier_mad",
     # training-data pipeline (all oracle-checked; span_dedup new in r6
     # — never driver-recorded, so it takes agg_rollup's slot per the
     # COVERAGE.md rotation policy)
@@ -172,6 +180,8 @@ _DRIVER_ORDER = [
     # grouped_map_order_seq, green r5)
     "join_null_safe", "sql_correlated_subqueries",
     # --- 50 ---
+    # r8 tail rotations (green r6+r7 driver rows; see head notes)
+    "variant_funcs", "bm25_topk", "hybrid_rrf", "funnel_conversion",
     # r7 tail rotations (all with green driver rows; see head notes)
     "knn_label_eval", "knn_auto", "scd2_history", "dq_audit",
     "window_ignore_nulls",

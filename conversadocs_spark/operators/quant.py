@@ -67,3 +67,74 @@ def dequantized(
         lambda c: F.col(qmin_col)
         + (c.cast("double") + F.lit(128.0)) * F.col(qscale_col),
     )
+
+
+# --------------------------------------------------------------------------
+# 1-bit binary (sign) quantization — the tier below PQ
+# --------------------------------------------------------------------------
+#
+# bit_i = 1 iff x_i > 0, packed 32 bits per BIGINT word. Sign
+# binarization (vs a computed threshold like the per-vector mean) is
+# deliberate: the bit is a pure comparison against the constant 0, so
+# there is NO float accumulation anywhere in the code path and the
+# packed words are bit-identical in any engine — which is what lets
+# the binary kNN query be fully ORACLE-BACKED, unlike the trained ANN
+# families. 32 bits per word (not 64) keeps every packed value far
+# from the BIGINT sign bit, so the same packing is expressible in
+# portable SQL without two's-complement edge cases.
+#
+# Storage: dim/32 BIGINTs = dim*8/32 bytes logical — 4 bytes per 32
+# dims vs 128 for float32, the classic 32x shrink; the Hamming scan
+# is integer XOR+POPCNT inside whole-stage codegen.
+
+_WORD_BITS = 32
+
+
+def binarize_sign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "bwords",
+) -> DataFrame:
+    """Add ``out_col`` array<bigint>: sign bits of ``vec_col`` packed
+    little-endian, 32 per word (last word zero-padded). Works for any
+    dimension; no Python, no shuffle — one transform/aggregate
+    expression per row."""
+    v = F.col(vec_col)
+    d = F.size(v)
+    n_words = ((d - F.lit(1)) / F.lit(_WORD_BITS)).cast("int")
+    # word = sum over its 32 bit positions, high-to-low Horner form:
+    # acc*2 + bit  (pure integer arithmetic, no shifts needed)
+    words = F.transform(
+        F.sequence(F.lit(0), n_words),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(_WORD_BITS - 1), F.lit(0), F.lit(-1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc * F.lit(2)
+            + F.when(
+                (w * _WORD_BITS + b < d)
+                & (
+                    F.element_at(
+                        v, (w * _WORD_BITS + b + 1).cast("int")
+                    ).cast("double")
+                    > 0.0
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("bigint"),
+        ),
+    )
+    return df.withColumn(out_col, words)
+
+
+def hamming_matches(a: Column, b: Column, dim: Column) -> Column:
+    """Number of agreeing sign bits between two packed codes =
+    dim - popcount(a XOR b), summed over words (int column). XOR and
+    bit_count run word-at-a-time inside codegen — the binary scan
+    reads 1/32nd of the float bytes and does no float math at all."""
+    diff = F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (dim - diff).cast("int")

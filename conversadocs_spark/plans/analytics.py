@@ -615,3 +615,76 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# robust outlier detection: median / MAD z-score per event type
+# --------------------------------------------------------------------------
+
+_OUTLIER_MAD_ORACLE = """
+WITH med AS (
+    SELECT event_type,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+    FROM events GROUP BY event_type
+),
+mad AS (
+    SELECT e.event_type, m.med,
+           percentile_cont(0.5)
+               WITHIN GROUP (ORDER BY abs(e.value - m.med)) AS mad
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type, m.med
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.med) / (1.4826 * s.mad), 6) AS robust_z
+FROM events e JOIN mad s USING (event_type)
+WHERE s.mad > 0
+  AND abs(e.value - s.med) / (1.4826 * s.mad) > 3.0
+"""
+
+
+@register("outlier_mad", oracle=_OUTLIER_MAD_ORACLE, tags=("analytics",))
+def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: flag events whose value
+    sits more than 3 robust z-units from its type's median, where the
+    unit is 1.4826 * MAD (the consistency constant that makes MAD
+    estimate sigma under normality — Hampel 1974). Complements
+    anomaly_zscore (trailing mean/std over COUNTS): mean/std are
+    themselves dragged by the outliers they're meant to flag; median
+    and MAD have a 50% breakdown point, the standard choice for
+    long-tailed training-data metrics (doc lengths, perplexities,
+    event values).
+
+    Scale: exact medians are a deliberate choice here — one shuffle
+    per percentile on event_type (a LOW-cardinality, well-distributed
+    key; Spark's percentile is a typed imperative aggregate, partial-
+    aggregated map-side). The group-count-sized stats table (5 rows)
+    broadcasts back onto the raw scan, so the events table itself
+    never shuffles in the flagging pass. For 100 TB or high-
+    cardinality keys, swap the exact median for the rank-epsilon
+    approx_percentile (agg_percentile_approx) — same plan shape,
+    bounded memory.
+    """
+    ev = io.table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(
+                F.abs(F.col("value") - F.col("med")), 0.5
+            ).alias("mad")
+        )
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("robust_z"),
+        )
+    )

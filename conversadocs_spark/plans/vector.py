@@ -913,3 +913,296 @@ def knn_int8_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim_q"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+# --------------------------------------------------------------------------
+# binary (1-bit sign) quantized retrieval: Hamming shortlist + rescore
+# --------------------------------------------------------------------------
+
+_KNN_BINARY_ORACLE = """
+WITH dims AS (SELECT max(len(embedding)) AS d FROM embeddings),
+bits AS (
+    SELECT u.vec_id,
+           CAST((u.i - 1) // 32 AS INT) AS w,
+           SUM(CASE WHEN CAST(u.x AS DOUBLE) > 0
+                    THEN 1::BIGINT << CAST((u.i - 1) % 32 AS INT)
+                    ELSE 0 END) AS word
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) u
+    GROUP BY u.vec_id, w
+),
+ham AS (
+    SELECT b.vec_id,
+           CAST(d.d - SUM(bit_count(xor(b.word, q.word))) AS INT)
+               AS matches
+    FROM bits b
+    JOIN (SELECT w, word FROM bits WHERE vec_id = 0) q USING (w)
+    CROSS JOIN dims d
+    WHERE b.vec_id <> 0
+    GROUP BY b.vec_id, d.d
+),
+shortlist AS (
+    SELECT vec_id, matches FROM ham
+    ORDER BY matches DESC, vec_id ASC LIMIT 50
+),
+exact AS (
+    SELECT e.vec_id,
+           ROUND(
+               SUM(CAST(e.x AS DOUBLE) * CAST(q.y AS DOUBLE))
+               / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(q.y AS DOUBLE) * CAST(q.y AS DOUBLE)))),
+               6) AS sim
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings
+          WHERE vec_id IN (SELECT vec_id FROM shortlist)) e
+    JOIN (SELECT unnest(embedding) AS y,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id = 0) q USING (i)
+    GROUP BY e.vec_id
+)
+SELECT s.vec_id, s.matches, x.sim
+FROM shortlist s JOIN exact x USING (vec_id)
+ORDER BY x.sim DESC, s.vec_id ASC LIMIT 5
+"""
+
+
+@register("knn_binary", oracle=_KNN_BINARY_ORACLE, tags=("vector",))
+def knn_binary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval: sign bits packed 32-per-BIGINT
+    (operators/quant.py:binarize_sign), Hamming-similarity shortlist
+    of 50 (XOR + POPCNT, pure integer codegen), exact float rescore of
+    the shortlist, top-5. Completes the storage ladder below SQ8
+    (knn_int8, 4x) and PQ (ann_pq, 32x trained): sign binarization is
+    32x untrained — and unlike PQ it is a pure comparison against the
+    constant 0, so the codes are bit-identical in any engine and the
+    whole query is ORACLE-BACKED (the trained families are rows-only
+    with recall audits by design).
+
+    Scale: the Hamming pass scans ONLY the packed-code column — at
+    384-dim float32 that is 48 bytes/vector instead of 1536, and the
+    scan is XOR+POPCNT with no float math; shortlist is
+    TakeOrderedAndProject(50) (integer key, vec_id tie-break — no
+    rounding ambiguity); the float rescore touches 50 rows. In a real
+    deployment the rescore is an id-join back into the float table;
+    the fixture carries both columns through one scan. The corpus
+    never shuffles.
+    """
+    from conversadocs_spark.operators.quant import (
+        binarize_sign,
+        hamming_matches,
+    )
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    packed = binarize_sign(emb).select("vec_id", "embedding", "bwords")
+    qrow = packed.where(F.col("vec_id") == 0).select(
+        F.col("bwords").alias("_qw"), F.col("embedding").alias("_qv")
+    )
+    cand = (
+        packed.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "embedding",
+            "_qv",
+            hamming_matches(
+                F.col("bwords"), F.col("_qw"), F.size("embedding")
+            ).alias("matches"),
+        )
+    )
+    shortlist = cand.orderBy(
+        F.desc("matches"), F.asc("vec_id")
+    ).limit(50)
+    rescored = shortlist.select(
+        "vec_id",
+        "matches",
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("_qv")), 6
+        ).alias("sim"),
+    )
+    return rescored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(5)
+
+
+# --------------------------------------------------------------------------
+# matryoshka (prefix-dimension) retrieval: coarse rank + full refine
+# --------------------------------------------------------------------------
+
+_MRL_DIMS = 16
+
+_KNN_MATRYOSHKA_ORACLE = """
+WITH coarse AS (
+    SELECT e.vec_id,
+           ROUND(
+               SUM(CAST(e.x AS DOUBLE) * CAST(q.y AS DOUBLE))
+               / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(q.y AS DOUBLE) * CAST(q.y AS DOUBLE)))),
+               6) AS sim_coarse
+    FROM (SELECT vec_id, unnest(embedding[1:16]) AS x,
+                 generate_subscripts(embedding[1:16], 1) AS i
+          FROM embeddings WHERE vec_id <> 0) e
+    JOIN (SELECT unnest(embedding[1:16]) AS y,
+                 generate_subscripts(embedding[1:16], 1) AS i
+          FROM embeddings WHERE vec_id = 0) q USING (i)
+    GROUP BY e.vec_id
+),
+shortlist AS (
+    SELECT vec_id, sim_coarse FROM coarse
+    ORDER BY sim_coarse DESC, vec_id ASC LIMIT 50
+),
+exact AS (
+    SELECT e.vec_id,
+           ROUND(
+               SUM(CAST(e.x AS DOUBLE) * CAST(q.y AS DOUBLE))
+               / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(q.y AS DOUBLE) * CAST(q.y AS DOUBLE)))),
+               6) AS sim
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings
+          WHERE vec_id IN (SELECT vec_id FROM shortlist)) e
+    JOIN (SELECT unnest(embedding) AS y,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id = 0) q USING (i)
+    GROUP BY e.vec_id
+)
+SELECT s.vec_id, s.sim_coarse, x.sim
+FROM shortlist s JOIN exact x USING (vec_id)
+ORDER BY x.sim DESC, s.vec_id ASC LIMIT 5
+"""
+
+
+@register(
+    "knn_matryoshka", oracle=_KNN_MATRYOSHKA_ORACLE, tags=("vector",)
+)
+def knn_matryoshka_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-dimension) retrieval, Kusupati et al. 2022:
+    rank the corpus on the FIRST 16 of 64 dimensions (MRL-trained
+    embeddings front-load information, so a prefix is itself a valid
+    embedding), keep the top 50 by rounded coarse similarity
+    (vec_id tie-break), rescore those 50 with full-dimension cosine,
+    return the top 5 with both scores.
+
+    Scale: the coarse pass reads a quarter of the vector bytes — in a
+    real deployment the prefix lives in its own (sub)column so the
+    scan is dim-proportional, the same lever as knn_binary's packed
+    column; the refine is a 50-row broadcast id-join back into the
+    full-width table (broadcast side = the k-row shortlist, never the
+    corpus). The corpus never shuffles; both stages end in
+    TakeOrderedAndProject.
+    """
+    emb = io.table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.slice("embedding", 1, _MRL_DIMS).alias("_qc"),
+        F.col("embedding").alias("_qv"),
+    )
+    coarse = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(
+                    F.slice("embedding", 1, _MRL_DIMS), F.col("_qc")
+                ),
+                6,
+            ).alias("sim_coarse"),
+            "_qv",
+        )
+    )
+    shortlist = coarse.orderBy(
+        F.desc("sim_coarse"), F.asc("vec_id")
+    ).limit(50)
+    refined = F.broadcast(shortlist).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    return (
+        refined.select(
+            "vec_id",
+            "sim_coarse",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("_qv")), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# --------------------------------------------------------------------------
+# multi-vector late-interaction retrieval (ColBERT MaxSim)
+# --------------------------------------------------------------------------
+
+_MULTIVEC_MAXSIM_ORACLE = """
+WITH pairs AS (
+    SELECT e.vec_id, q.q_id,
+           ROUND(
+               SUM(CAST(e.x AS DOUBLE) * CAST(q.y AS DOUBLE))
+               / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(q.y AS DOUBLE) * CAST(q.y AS DOUBLE)))),
+               6) AS s
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id // 10 <> 0) e
+    JOIN (SELECT vec_id AS q_id, unnest(embedding) AS y,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id // 10 = 0) q USING (i)
+    GROUP BY e.vec_id, q.q_id
+),
+per_q AS (
+    SELECT CAST(vec_id // 10 AS BIGINT) AS doc_id, q_id, MAX(s) AS m
+    FROM pairs GROUP BY 1, 2
+)
+SELECT doc_id, ROUND(SUM(m), 6) AS maxsim
+FROM per_q GROUP BY doc_id
+ORDER BY maxsim DESC, doc_id ASC LIMIT 5
+"""
+
+
+@register(
+    "multivec_maxsim", oracle=_MULTIVEC_MAXSIM_ORACLE, tags=("vector",)
+)
+def multivec_maxsim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late interaction (Khattab & Zaharia 2020): each
+    document is a BAG of token vectors; score(Q, D) = sum over query
+    vectors of the max cosine against any of D's vectors. Fixture
+    multi-vector layout: doc = vec_id DIV 10 (10 token vectors per
+    pseudo-doc); the query is doc 0's bag. Top-5 docs by MaxSim.
+
+    Fully oracle-backed: per-token cosines are rounded to 6 before the
+    MAX (so both engines pick the same argmax regardless of float
+    summation order) and the 10-term sum is rounded again.
+
+    Scale: the query bag (tens of vectors) broadcasts; one pass over
+    the corpus token vectors computes |Q| cosines per token inside
+    codegen; then two MAP-SIDE-COMBINABLE aggregations — max per
+    (doc, query-token), sum per doc — shuffle only doc-count-sized
+    relations on the doc key. The token table never shuffles; this is
+    the standard late-interaction serving shape (candidate generation
+    via ann_* families composes in front at 100 TB).
+    """
+    emb = io.table(spark, sf_dir, "embeddings").withColumn(
+        "doc_id", F.expr("CAST(vec_id DIV 10 AS BIGINT)")
+    )
+    qv = emb.where(F.col("doc_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("_qv")
+    )
+    pairs = (
+        emb.where(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "vec_id",
+            "q_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("_qv")), 6
+            ).alias("s"),
+        )
+    )
+    per_q = pairs.groupBy("doc_id", "q_id").agg(F.max("s").alias("m"))
+    return (
+        per_q.groupBy("doc_id")
+        .agg(F.round(F.sum("m"), 6).alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc("doc_id"))
+        .limit(5)
+    )

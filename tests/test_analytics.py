@@ -267,3 +267,57 @@ def test_basket_lift_matches_python(spark, sf_dir):
     }
     assert got == expected
     assert got  # non-vacuous
+
+
+def test_outlier_mad_planted_fixture(spark, tmp_path):
+    """Planted group: median 10, MAD 2 (|x-10| sorted is
+    0,1,1,2,2,20,28) -> threshold |x-10| > 3*1.4826*2 = 8.8956; both
+    tails flag; a zero-MAD group (constant values) is skipped
+    entirely instead of dividing by zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    vals = [8.0, 9.0, 10.0, 11.0, 12.0, 30.0, -20.0]
+    rows = [
+        (i, datetime(2024, 1, 1, 0, 0, i), i, "a", v, None)
+        for i, v in enumerate(vals)
+    ]
+    rows += [
+        (100 + i, datetime(2024, 1, 1, 1, 0, i), i, "const", 5.0, None)
+        for i in range(5)
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from conversadocs_spark.plans import QUERIES
+
+    got = QUERIES["outlier_mad"](spark, str(tmp_path)).collect()
+    flagged = {r.event_id: r.robust_z for r in got}
+    # median=10, MAD=median(|x-10|)=2 -> z = (x-10)/(1.4826*2)
+    assert set(flagged) == {5, 6}, flagged
+    assert abs(flagged[5] - round(20 / (1.4826 * 2), 6)) < 1e-6
+    assert abs(flagged[6] - round(-30 / (1.4826 * 2), 6)) < 1e-6
+    assert all(r.event_type == "a" for r in got)
+
+
+def test_outlier_mad_stats_broadcast_not_corpus(spark, sf_oracle_dir):
+    """Plan pin: the flagging pass joins the 5-row stats table onto
+    the raw events scan as a BroadcastHashJoin — the events table is
+    never hash-shuffled for the final join (only the two percentile
+    aggregations shuffle, on the low-cardinality type key)."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["outlier_mad"](spark, sf_oracle_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

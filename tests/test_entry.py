@@ -49,7 +49,13 @@ def test_driver_order_covers_registry_exactly():
     # mid-r7: knn_label_eval then knn_auto (green rows) rotated to the
     # tail so the new oracle-backed knn_filtered and knn_int8 get
     # their first driver rows.
-    for must in ("knn_int8", "knn_filtered", "lake_zorder_scan",
+    # r8: the four new oracle-backed queries take head-50 slots from
+    # variant_funcs / bm25_topk / hybrid_rrf / funnel_conversion
+    # (green r6+r7; ansi_try_funcs, rerank_topk and cohort_retention
+    # keep those families' rows) — pin them.
+    for must in ("knn_binary", "knn_matryoshka", "multivec_maxsim",
+                 "outlier_mad",
+                 "knn_int8", "knn_filtered", "lake_zorder_scan",
                  "lake_compact_files", "cms_term_freq",
                  "dedup_incremental", "pretrain_corpus",
                  "arrow_grouped_seq",

@@ -667,3 +667,131 @@ def test_knn_int8_oracle_guards_constant_vectors(spark, tmp_path):
     assert s_norm == o_norm
     got = {r[0]: r[1] for r in s_rows}
     assert 3 in got, "constant vector must be scored, not NaN'd out"
+
+
+def test_binarize_sign_packs_bits_like_numpy(spark):
+    """Packed words == little-endian sign bits, 32 per BIGINT word,
+    zero-padded last word — re-derived bit-by-bit in Python."""
+    from conversadocs_spark.operators.quant import binarize_sign
+
+    vecs = [
+        [1.0, -2.0, 0.0, 3.5] * 10,          # dim 40 -> 2 words
+        [-0.25] * 40,
+        [5.0] * 40,
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.bwords
+        for r in binarize_sign(df).select("vec_id", "bwords").collect()
+    }
+    for i, v in enumerate(vecs):
+        words = [0, 0]
+        for j, x in enumerate(v):
+            if x > 0:
+                words[j // 32] |= 1 << (j % 32)
+        assert got[i] == words, f"vec {i}: {got[i]} != {words}"
+
+
+def test_hamming_matches_equals_bitwise_agreement(spark):
+    """matches == number of agreeing sign bits, via planted codes."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark.operators.quant import hamming_matches
+
+    df = spark.createDataFrame(
+        [([0b1010, 0b1], [0b1001, 0b1])],
+        "a array<long>, b array<long>",
+    )
+    got = df.select(
+        hamming_matches(F.col("a"), F.col("b"), F.lit(64)).alias("m")
+    ).collect()[0].m
+    # a XOR b = [0b0011, 0b0] -> 2 differing bits -> 62 agree
+    assert got == 62
+
+
+def test_knn_binary_rescore_is_exact_cosine(spark, sf_oracle_dir):
+    """The 5 returned sims must equal the brute-force exact cosine of
+    those ids (the shortlist only prunes; it never changes scores)."""
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    got = QUERIES["knn_binary"](spark, sf_oracle_dir).collect()
+    emb = {
+        r.vec_id: r.embedding
+        for r in io.table(spark, sf_oracle_dir, "embeddings").collect()
+    }
+    import math
+
+    q = emb[0]
+    for r in got:
+        v = emb[r.vec_id]
+        dot = sum(float(a) * float(b) for a, b in zip(v, q))
+        na = math.sqrt(sum(float(a) ** 2 for a in v))
+        nb = math.sqrt(sum(float(b) ** 2 for b in q))
+        assert abs(r.sim - round(dot / (na * nb), 6)) < 2e-6
+        assert 0 <= r.matches <= len(q)
+
+
+def test_knn_binary_plan_no_corpus_shuffle(spark, sf_oracle_dir):
+    """Packing + Hamming run in the scan stage: no hash-partition
+    Exchange on the corpus; both stages end in TakeOrdered."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["knn_binary"](spark, sf_oracle_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_knn_matryoshka_refine_broadcasts_shortlist(
+    spark, sf_oracle_dir
+):
+    """The refine join's broadcast side is the 50-row shortlist, and
+    the coarse pass ends in TakeOrderedAndProject — the corpus is
+    never shuffled or broadcast."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["knn_matryoshka"](spark, sf_oracle_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_multivec_maxsim_matches_numpy(spark, sf_oracle_dir):
+    """MaxSim score for every returned doc == the numpy re-derivation
+    sum_q max_t round(cos(q, t), 6), rounded to 6."""
+    import numpy as np
+
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    got = QUERIES["multivec_maxsim"](spark, sf_oracle_dir).collect()
+    assert len(got) == 5
+    rows = io.table(spark, sf_oracle_dir, "embeddings").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.vec_id // 10, []).append(
+            np.asarray(r.embedding, dtype="float64")
+        )
+    qs = by_doc[0]
+    for r in got:
+        docs = by_doc[r.doc_id]
+        score = 0.0
+        for q in qs:
+            best = max(
+                round(
+                    float(q @ t)
+                    / (np.linalg.norm(q) * np.linalg.norm(t)),
+                    6,
+                )
+                for t in docs
+            )
+            score += best
+        assert abs(r.maxsim - round(score, 6)) < 2e-6
+    # descending, doc-id tie-broken
+    sims = [r.maxsim for r in got]
+    assert sims == sorted(sims, reverse=True)
