@@ -115,10 +115,15 @@ _DRIVER_ORDER = [
     # r6 row so the CMS sketch — oracle-backed, unusually for a
     # sketch — gets its first ledger row)
     "cms_term_freq",
-    # wave 3: gaps-and-islands sessionization, melt, and the max_by
-    # log-compaction snapshot (displacing text_quality / pii_redact /
-    # udaf_price_range — green driver rows r5 or earlier)
-    "sessionize", "agg_unpivot", "latest_per_key",
+    # wave 3: melt + the max_by log-compaction snapshot (displacing
+    # text_quality / pii_redact / udaf_price_range — green driver
+    # rows r5 or earlier; sessionize rotated to the tail in r8 with
+    # green r6+r7 rows so the token-budget selection gets its first
+    # driver row — event analytics keeps five other head entries)
+    "agg_unpivot", "latest_per_key",
+    # r8: token-budget corpus curation (oracle-backed, new — the
+    # global-cumsum semantics served by the bucket decomposition)
+    "token_budget_select",
     # wave 4: trailing-baseline anomaly scoring + market-basket lift
     # (displacing vocab_topk / gopher_repetition — green rows r6)
     "anomaly_zscore", "basket_lift",
@@ -182,6 +187,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     # r8 tail rotations (green r6+r7 driver rows; see head notes)
     "variant_funcs", "bm25_topk", "hybrid_rrf", "funnel_conversion",
+    "sessionize",
     # r7 tail rotations (all with green driver rows; see head notes)
     "knn_label_eval", "knn_auto", "scd2_history", "dq_audit",
     "window_ignore_nulls",
@@ -242,6 +248,10 @@ _DRIVER_ORDER = [
     # MMR diversified re-ranking (greedy-iterative, rows-only by
     # design; independent numpy re-derivation pins the selection)
     "mmr_rerank",
+    # r8: distributed Newton/IRLS quality-classifier training
+    # (rows-only by design — iterative model state; NumPy IRLS
+    # re-derivation + >=0.95 separation accuracy pinned)
+    "quality_lr_train",
 ]
 
 

@@ -248,3 +248,105 @@ def quality_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# learned quality classifier: distributed logistic regression
+# --------------------------------------------------------------------------
+
+
+@register("quality_lr_train", tags=("lm", "pipeline", "rows-only"))
+def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the learned tier of the quality stack ON-cluster: a
+    logistic-regression document classifier (the GPT-3/CCNet "quality
+    classifier" step) fit by Newton/IRLS where every iteration is ONE
+    map-side-combinable aggregate job over a cached feature relation
+    computing the gradient AND the d x d Hessian sums together
+    (operators/logreg.py); the weight vector is d driver doubles
+    entering each pass as literals, so executors run pure codegen
+    arithmetic, no Python.
+
+    Fixture task: features are the heuristic quality signals
+    (length saturation, lexical diversity, punctuation rate — the
+    same expressions text_quality scores) and the label is
+    "quality_score above the corpus median", computed in-plan via an
+    exact percentile + 1-row cross join. The target is a linear
+    threshold of the features (separable up to median ties), so a
+    correctly-implemented trainer must separate it almost perfectly —
+    train accuracy is part of the output and the test pins it >= 0.95
+    along with a NumPy IRLS re-derivation of the converged weights
+    (the L2 ridge makes them a unique engine-independent fixed
+    point).
+
+    Rows-only BY DESIGN: w_{t+1} needs an aggregate over all rows at
+    w_t, which SQL recursion cannot express (no aggregates in a
+    recursive term); K=15 is fixed — Newton converges quadratically —
+    so unlike a vocab-sized merge loop the driver iteration count is
+    independent of data size.
+
+    Output: one row per feature (feature, weight, train_accuracy) —
+    model-sized at any corpus scale.
+    """
+    from conversadocs_spark.operators.logreg import (
+        lr_predict,
+        lr_train,
+    )
+
+    d = io.table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("double")
+    n_uniq = F.size(F.array_distinct(words)).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("double")
+    quality = (
+        F.least(n_words / 50, F.lit(1.0)) * 0.4
+        + (n_uniq / n_words) * 0.4
+        + (F.lit(1) - F.least(n_punct / n_chars, F.lit(1.0))) * 0.2
+    )
+    scored = d.select(
+        F.lit(1.0).alias("f_bias"),
+        F.least(n_words / 50, F.lit(1.0)).alias("f_lensat"),
+        (n_uniq / n_words).alias("f_uniq"),
+        F.least(n_punct / n_chars, F.lit(1.0)).alias("f_punct"),
+        quality.alias("q"),
+    )
+    med = scored.agg(
+        F.percentile("q", 0.5).alias("q_med")
+    )
+    feats = (
+        scored.crossJoin(F.broadcast(med))
+        .select(
+            "f_bias",
+            "f_lensat",
+            "f_uniq",
+            "f_punct",
+            (F.col("q") > F.col("q_med")).cast("double").alias("y"),
+        )
+        .persist()
+    )
+    cols = ["f_bias", "f_lensat", "f_uniq", "f_punct"]
+    try:
+        w = lr_train(feats, cols, label_col="y", lam=1e-6, n_iter=15)
+        acc = feats.agg(
+            F.avg(
+                (
+                    (lr_predict(w, cols) > 0.5).cast("double")
+                    == F.col("y")
+                ).cast("double")
+            ).alias("train_accuracy")
+        )
+        weights = spark.createDataFrame(
+            [(c, round(float(wj), 6)) for c, wj in zip(cols, w)],
+            "feature string, weight double",
+        )
+        out = weights.crossJoin(acc).select(
+            "feature", "weight",
+            F.round("train_accuracy", 6).alias("train_accuracy"),
+        )
+        # materialization happens driver-side later; the persist is
+        # only needed during the K aggregate passes above
+        return out
+    finally:
+        feats.unpersist()

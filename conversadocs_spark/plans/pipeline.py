@@ -1207,3 +1207,140 @@ def training_order_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_rows", "key_lo", "key_hi")
     )
+
+
+# --------------------------------------------------------------------------
+# token-budget corpus selection (quality-ordered greedy fill)
+# --------------------------------------------------------------------------
+
+_BUDGET_SELECT_ORACLE = """
+WITH scored AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round(least(len(string_split(text,' '))/50.0, 1.0)*0.4
+                 + len(list_distinct(string_split(text,' ')))*1.0
+                   / len(string_split(text,' '))*0.4
+                 + (1 - least(len(regexp_extract_all(
+                        text,'[^A-Za-z0-9\\s]'))*1.0/length(text),
+                        1.0))*0.2,
+                 6) AS quality_score
+    FROM documents
+),
+tot AS (
+    SELECT CAST(floor(0.25 * SUM(n_tokens)) AS BIGINT) AS budget
+    FROM scored
+),
+cum AS (
+    SELECT doc_id, n_tokens, quality_score,
+           SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS c
+    FROM scored
+)
+SELECT doc_id, quality_score, n_tokens
+FROM cum CROSS JOIN tot WHERE c <= budget
+"""
+
+
+@register(
+    "token_budget_select", oracle=_BUDGET_SELECT_ORACLE,
+    tags=("pipeline",),
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget curation: order documents by quality
+    (desc, doc_id tie-break) and keep them while the running token
+    count stays within 25% of the corpus total — "take the best N
+    tokens", the selection step behind quality-pruned pretraining
+    mixes (e.g. the DSIR / phi-style "textbook" subsets).
+
+    The ORACLE expresses the semantics directly as a global-order
+    running sum. The Spark plan must NOT: a corpus-wide
+    empty-partitionBy window is the classic single-reducer sort
+    (stable_row_ids' docstring shows the same refusal). Instead the
+    scale-correct two-level decomposition, exactly equivalent because
+    the global order (quality desc, doc_id) groups by quality first:
+
+    1. aggregate token sums per DISTINCT quality value (round-6 ->
+       at most ~10^6 buckets at any corpus size; map-side combine
+       collapses the corpus before the one small shuffle);
+    2. running-sum the bucket table (the only SinglePartition window
+       sits above a value-domain-bounded relation, like
+       stable_row_ids' 16-row count table);
+    3. broadcast the threshold row back: buckets whose cumulative
+       total fits take ALL their docs (broadcast hash join, corpus
+       never shuffles); the single straddling bucket resolves its
+       docs with a PARTITION-LOCAL (quality-keyed) window over the
+       budget remainder.
+
+    Output is (doc_id, quality_score, n_tokens) for the kept docs —
+    identical row set to the oracle's global cumulative sum.
+    """
+    from pyspark.sql import Window
+
+    d = io.table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("double")
+    n_uniq = F.size(F.array_distinct(words)).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("double")
+    quality = (
+        F.least(n_words / 50, F.lit(1.0)) * 0.4
+        + (n_uniq / n_words) * 0.4
+        + (F.lit(1) - F.least(n_punct / n_chars, F.lit(1.0))) * 0.2
+    )
+    scored = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+    budget = scored.agg(
+        F.floor(F.lit(0.25) * F.sum("n_tokens"))
+        .cast("long")
+        .alias("budget")
+    )
+    buckets = scored.groupBy("quality_score").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_bucket = Window.orderBy(F.desc("quality_score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bcum = (
+        buckets.select(
+            "quality_score",
+            "bucket_tokens",
+            F.sum("bucket_tokens").over(w_bucket).alias("cum"),
+        )
+        .crossJoin(F.broadcast(budget))
+    )
+
+    full_in = bcum.where(F.col("cum") <= F.col("budget")).select(
+        "quality_score"
+    )
+    kept_full = scored.join(F.broadcast(full_in), "quality_score")
+
+    boundary = bcum.where(
+        (F.col("cum") > F.col("budget"))
+        & (F.col("cum") - F.col("bucket_tokens") < F.col("budget"))
+    ).select(
+        "quality_score",
+        (F.col("budget") - (F.col("cum") - F.col("bucket_tokens")))
+        .alias("remaining"),
+    )
+    w_doc = (
+        Window.partitionBy("quality_score")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_boundary = (
+        scored.join(F.broadcast(boundary), "quality_score")
+        .withColumn("c_in", F.sum("n_tokens").over(w_doc))
+        .where(F.col("c_in") <= F.col("remaining"))
+    )
+
+    return kept_full.select(
+        "doc_id", "quality_score", "n_tokens"
+    ).unionByName(
+        kept_boundary.select("doc_id", "quality_score", "n_tokens")
+    )

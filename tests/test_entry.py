@@ -54,7 +54,7 @@ def test_driver_order_covers_registry_exactly():
     # (green r6+r7; ansi_try_funcs, rerank_topk and cohort_retention
     # keep those families' rows) — pin them.
     for must in ("knn_binary", "knn_matryoshka", "multivec_maxsim",
-                 "outlier_mad",
+                 "outlier_mad", "token_budget_select",
                  "knn_int8", "knn_filtered", "lake_zorder_scan",
                  "lake_compact_files", "cms_term_freq",
                  "dedup_incremental", "pretrain_corpus",

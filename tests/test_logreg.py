@@ -1,0 +1,123 @@
+"""Distributed logistic-regression trainer (operators/logreg.py).
+
+The trainer is rows-only by design (iterative Newton state), so these
+tests carry the correctness burden: an independent NumPy IRLS
+re-derivation must reproduce the converged weights, and the fixture
+task (a linear threshold of the features) must be separated almost
+perfectly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _numpy_irls(X, y, lam=1e-6, n_iter=15):
+    d = X.shape[1]
+    w = np.zeros(d)
+    n = len(y)
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-X @ w))
+        r = p * (1.0 - p)
+        H = (X.T * r) @ X / n + lam * np.eye(d)
+        g = X.T @ (p - y) / n + lam * w
+        w = w - np.linalg.solve(H, g)
+    return w
+
+
+def test_lr_train_matches_numpy_irls(spark):
+    """Converged weights on a planted 2-feature task == the NumPy
+    IRLS fixed point (the L2 ridge makes it unique)."""
+    from conversadocs_spark.operators.logreg import lr_predict, lr_train
+
+    rng = [(i * 37 % 97) / 97.0 for i in range(200)]
+    rows = [
+        (1.0, x, (x * 3 % 1.0), 1.0 if x + (x * 3 % 1.0) > 1.0 else 0.0)
+        for i, x in enumerate(rng)
+    ]
+    df = spark.createDataFrame(
+        rows, "f_bias double, f_a double, f_b double, y double"
+    ).persist()
+    try:
+        w = lr_train(df, ["f_bias", "f_a", "f_b"], lam=1e-6, n_iter=15)
+    finally:
+        df.unpersist()
+    X = np.array([[r[0], r[1], r[2]] for r in rows])
+    y = np.array([r[3] for r in rows])
+    w_np = _numpy_irls(X, y)
+    assert np.allclose(w, w_np, rtol=1e-4, atol=1e-6), (w, list(w_np))
+    assert callable(lr_predict)
+
+
+def test_quality_lr_train_separates_fixture(spark, sf_oracle_dir):
+    """The fixture label is a linear threshold of the features, so
+    the trainer must reach >= 0.95 train accuracy, and the weights
+    must match the NumPy IRLS re-derivation of the SAME features."""
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["quality_lr_train"](spark, sf_oracle_dir).collect()
+    by_feat = {r.feature: r.weight for r in rows}
+    acc = rows[0].train_accuracy
+    assert set(by_feat) == {"f_bias", "f_lensat", "f_uniq", "f_punct"}
+    assert acc >= 0.95, acc
+
+    # independent re-derivation from the raw parquet
+    import duckdb
+
+    con = duckdb.connect()
+    feats = con.execute(
+        f"""
+        WITH s AS (
+          SELECT least(len(string_split(text,' '))/50.0, 1.0) AS f1,
+                 len(list_distinct(string_split(text,' ')))*1.0
+                     / len(string_split(text,' ')) AS f2,
+                 least(len(regexp_extract_all(text,'[^A-Za-z0-9\\s]'))
+                       *1.0/length(text), 1.0) AS f3
+          FROM '{sf_oracle_dir}/documents.parquet')
+        SELECT f1, f2, f3,
+               f1*0.4 + f2*0.4 + (1-f3)*0.2 AS q
+        FROM s
+        """
+    ).fetchall()
+    con.close()
+    X = np.array([[1.0, r[0], r[1], r[2]] for r in feats])
+    q = np.array([r[3] for r in feats])
+    y = (q > np.median(q)).astype(float)
+    w_np = _numpy_irls(X, y)
+    got = np.array(
+        [by_feat[c] for c in ("f_bias", "f_lensat", "f_uniq", "f_punct")]
+    )
+    assert np.allclose(got, w_np, rtol=1e-3, atol=1e-4), (
+        list(got),
+        list(w_np),
+    )
+
+
+def test_lr_train_one_job_per_iteration(spark):
+    """Scale contract: K iterations must launch exactly K aggregate
+    jobs over the cached features (gradient + Hessian fused into one
+    pass) — not K*(d + d^2) separate scans."""
+    from conversadocs_spark.operators.logreg import lr_train
+
+    rows = [(1.0, float(i % 7) / 7.0, float(i % 2)) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "f_bias double, f_a double, y double"
+    ).persist()
+    df.count()  # materialize the cache outside the measured window
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    try:
+        lr_train(df, ["f_bias", "f_a"], n_iter=5)
+    finally:
+        df.unpersist()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    # AQE materializes the partial-agg exchange as its own job, so a
+    # single fused aggregate costs 2 jobs per iteration; the failure
+    # mode guarded against is O(d + d^2) scans per iteration (>= 6
+    # per iteration even at d=2).
+    assert after - before <= 2 * 5 + 1, (
+        f"{after - before} jobs for 5 IRLS iterations — the "
+        "gradient/Hessian sums are no longer fused into one agg"
+    )

@@ -666,3 +666,49 @@ def test_training_order_write_realizes_global_order(
     }
     got = {r["doc_id"] for r in written.collect()}
     assert got == want
+
+
+def test_token_budget_select_boundary_bucket_prefix(spark, tmp_path):
+    """Planted fixture where the budget cuts INSIDE the first quality
+    bucket: three identical-quality 60-token docs (ids 0,1,2) and two
+    lower-quality 100-token docs; budget = 25% of 380 = 95 tokens, so
+    exactly doc 0 fits (60 <= 95, 120 > 95) — the boundary bucket
+    must resolve by doc_id prefix, not drop or take the whole
+    bucket."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [" ".join(["a"] * 60)] * 3 + [" ".join(["b"] * 100)] * 2
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 5),
+            "source": pa.array(["s"] * 5),
+            "n_chars": pa.array([len(t) for t in texts], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    from conversadocs_spark.plans import QUERIES
+
+    got = QUERIES["token_budget_select"](spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in got} == {0}, got
+    assert got[0].n_tokens == 60
+
+
+def test_token_budget_select_no_global_sort_of_corpus(
+    spark, sf_oracle_dir
+):
+    """Scale pin: the oracle's semantics are a GLOBAL-order running
+    sum, but the plan must not contain one — no range-partitioned
+    (global sort) exchange anywhere; the bucket set joins back onto
+    the corpus scan as a broadcast hash join."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["token_budget_select"](spark, sf_oracle_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan, (
+        "corpus-wide sort crept in — the bucket decomposition is gone"
+    )
+    assert "BroadcastHashJoin" in plan

@@ -438,15 +438,18 @@ def test_no_unsanctioned_collect_in_operator_or_plan_code():
     """Driver-side materialization is the classic scale-killer, so
     `.collect(` may appear in package code ONLY at the sanctioned
     sites: bpe_train's few-row ranked-pair fetch (the merge rules ARE
-    driver state, batched so jobs ≪ merges) and two bounded
-    test-staging helpers that write fixture files a scan/stream then
-    reads. Anything else is a regression."""
+    driver state, batched so jobs ≪ merges), lr_train's 1-row
+    gradient-aggregate fetch (the weight vector is d driver doubles —
+    the MLlib treeAggregate shape, K fixed iterations independent of
+    data size) and two bounded test-staging helpers that write fixture
+    files a scan/stream then reads. Anything else is a regression."""
     import os
 
     pkg = os.path.join(os.path.dirname(__file__), "..",
                        "conversadocs_spark")
     sanctioned = {
         ("operators/bpe.py",),      # ranked merge-rule fetch (model)
+        ("operators/logreg.py",),   # 1-row gradient agg (model state)
         ("sources/ingest.py",),     # fixture staging (docstring-guarded)
         ("streaming/ivf_maintain.py",),  # arrival staging (guarded)
     }
