@@ -225,6 +225,9 @@ _DRIVER_ORDER = [
     "window_tumbling", "window_sliding", "window_session",
     "ingest_scan_text", "ingest_datasource_scan",
     "index_build_overwrite", "index_time_travel",
+    # r8: retention/VACUUM third of the versioned lifecycle
+    # (rows-only; rollback-guard + physical-removal tests)
+    "index_vacuum",
     "multimodal_meta", "multimodal_features", "multimodal_frames",
     "multimodal_resize", "multimodal_audio",
     "streaming_tumbling_replay", "streaming_dedup_replay",

@@ -42,6 +42,9 @@ HEADLINE = (
     # added r7 (BASELINE.md records the set change; round-over-round
     # totals compare on the stable prior-set subtotals):
     "knn_filtered",     # metadata-filtered retrieval, semi-join pre-filter
+    # added r8:
+    "knn_binary",       # 1-bit quantized tier: packed Hamming + rescore
+    "token_budget_select",  # quality-ordered budget fill, bucket plan
 )
 
 

@@ -390,3 +390,43 @@ def ingest_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("source", r"(\.[a-z]+)$", 1).alias("ext"),
         "page",
     )
+
+
+@register("index_vacuum", tags=("ingest", "rows-only"))
+def index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention lifecycle (sources/sink.py vacuum_versions — the
+    VACUUM / expire_snapshots third of the versioned-table story
+    next to write_versioned and read_versioned's time travel): build
+    four index versions, vacuum with keep_last=2, then prove the
+    retained versions still serve (row counts) and the expired ones
+    are physically gone (directory absent, pinned read fails fast).
+
+    Output: one row per version (version, retained, n_rows — -1 for
+    vacuumed versions). Scale note: vacuum is driver-side metadata
+    work proportional to the number of VERSIONS, never a data scan;
+    the current-marker version is always retained even when
+    keep_last would drop it (rollback safety — pinned by
+    tests/test_ingest.py)."""
+    import shutil
+
+    from conversadocs_spark.sources.sink import (
+        read_versioned,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"vac_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    for cut in (10, 20, 40, 60):
+        write_versioned(docs.where(F.col("doc_id") < cut), path)
+    result = vacuum_versions(path, keep_last=2)
+    rows = []
+    for v in result["removed"]:
+        rows.append((v, False, -1))
+    for v in result["retained"]:
+        rows.append((v, True, read_versioned(spark, path, v).count()))
+    return spark.createDataFrame(
+        rows, schema="version int, retained boolean, n_rows bigint"
+    )

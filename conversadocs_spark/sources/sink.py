@@ -254,3 +254,42 @@ def read_manifest(
         return None
     with open(p) as fh:
         return json.load(fh)
+
+
+def vacuum_versions(table_path: str, keep_last: int = 2) -> dict:
+    """Retention for versioned tables — the third leg of the
+    write_versioned / read_versioned lifecycle (Delta VACUUM /
+    Iceberg expire_snapshots analog): delete version directories
+    older than the newest ``keep_last``, ALWAYS retaining the version
+    the ``_LATEST`` marker names (a marker pinned backwards by a
+    manual rollback must never have its data vacuumed from under it).
+
+    Returns ``{"removed": [...], "retained": [...]}`` (version
+    numbers, ascending). Driver-side filesystem metadata work only —
+    no Spark job: at any corpus size the cost is proportional to the
+    number of VERSIONS, not rows (a real table format does the same
+    from its transaction log; on an object store each rmtree becomes
+    a batched delete of that snapshot's unreferenced files).
+
+    Readers pinned to a vacuumed version fail fast on the missing
+    path — the same contract Delta documents for time travel past the
+    retention window.
+    """
+    import os
+    import shutil
+
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_path)
+        if d.startswith("v=")
+    )
+    current = _resolve_version(table_path, None)
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    keep.add(current)
+    removed = [v for v in versions if v not in keep]
+    for v in removed:
+        shutil.rmtree(os.path.join(table_path, f"v={v}"))
+    return {
+        "removed": removed,
+        "retained": [v for v in versions if v in keep],
+    }

@@ -304,3 +304,50 @@ def test_datasource_scan_equals_mapinpandas(spark, tmp_path):
     parts = DocScanReader({"path": corpus, "numPartitions": "8"}).partitions()
     assert len(parts) == 8
     assert sum(len(p.files) for p in parts) == 30
+
+
+def test_vacuum_versions_retention_and_rollback_guard(spark, tmp_path):
+    """vacuum keeps the newest keep_last versions AND whatever the
+    marker names (rollback safety), removes the rest physically, and
+    pinned reads of an expired version fail fast."""
+    import os
+
+    import pytest
+
+    from conversadocs_spark.sources.sink import (
+        read_versioned,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    df1 = spark.range(5).withColumnRenamed("id", "doc_id")
+    for _ in range(4):
+        write_versioned(df1, path)
+
+    out = vacuum_versions(path, keep_last=2)
+    assert out == {"removed": [1, 2], "retained": [3, 4]}
+    assert not os.path.exists(os.path.join(path, "v=1"))
+    assert read_versioned(spark, path, 4).count() == 5
+    with pytest.raises(Exception):
+        read_versioned(spark, path, 1).count()
+
+    # rollback guard: pin the marker back to v=3, then vacuum with
+    # keep_last=1 — v=3 must survive alongside the newest v=4
+    with open(os.path.join(path, "_LATEST"), "w") as fh:
+        fh.write("3")
+    out2 = vacuum_versions(path, keep_last=1)
+    assert 3 in out2["retained"] and 4 in out2["retained"]
+    assert read_versioned(spark, path).count() == 5
+
+
+def test_index_vacuum_query_shape(spark, sf_dir):
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["index_vacuum"](spark, sf_dir).collect()
+    by_v = {r.version: r for r in rows}
+    assert len(by_v) == 4
+    assert not by_v[1].retained and by_v[1].n_rows == -1
+    assert not by_v[2].retained
+    assert by_v[3].retained and by_v[3].n_rows >= 0
+    assert by_v[4].retained and by_v[4].n_rows >= by_v[3].n_rows
