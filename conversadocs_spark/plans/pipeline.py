@@ -1289,19 +1289,23 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (n_uniq / n_words) * 0.4
         + (F.lit(1) - F.least(n_punct / n_chars, F.lit(1.0))) * 0.2
     )
+    # one corpus scan: the 3-column scored projection is persisted
+    # (tiny relative to text) and feeds the bucket aggregate and both
+    # kept branches; the budget derives from the BUCKET table (sum of
+    # bucket sums == corpus sum), so no second pass over text
     scored = d.select(
         "doc_id",
         F.size(words).cast("long").alias("n_tokens"),
         F.round(quality, 6).alias("quality_score"),
-    )
+    ).persist()
 
-    budget = scored.agg(
-        F.floor(F.lit(0.25) * F.sum("n_tokens"))
-        .cast("long")
-        .alias("budget")
-    )
     buckets = scored.groupBy("quality_score").agg(
         F.sum("n_tokens").alias("bucket_tokens")
+    )
+    budget = buckets.agg(
+        F.floor(F.lit(0.25) * F.sum("bucket_tokens"))
+        .cast("long")
+        .alias("budget")
     )
     w_bucket = Window.orderBy(F.desc("quality_score")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
