@@ -350,3 +350,93 @@ def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         feats.unpersist()
+
+
+@register("quality_lr_serve", tags=("lm", "pipeline", "rows-only"))
+def quality_lr_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full model lifecycle around quality_lr_train: fit the IRLS
+    classifier, stamp the weights into a VERSIONED model directory's
+    manifest (sources/sink.py write_versioned — the same
+    snapshot-isolation discipline the IVF index uses), then SERVE:
+    read the weights back with read_manifest (a pure driver-side file
+    read, no Spark job — the knn_auto_indexed move) and score every
+    document with one codegen sigmoid expression.
+
+    This is the deployment shape of a learned quality gate at 100 TB:
+    training happens once (K bounded aggregate jobs), the model is d
+    doubles in a manifest, and serving is a stateless scan-side
+    expression any executor evaluates without Python, shuffles, or a
+    model server. Output: (doc_id, lr_score, keep) for every doc.
+
+    Rows-only (the scores depend on iteratively-trained weights);
+    tests pin serve == direct sigmoid of the trained weights and the
+    manifest round-trip exactness (JSON doubles are repr-exact).
+    """
+    import os
+    import shutil
+
+    from conversadocs_spark.operators.logreg import lr_predict, lr_train
+    from conversadocs_spark.sources.sink import (
+        read_manifest,
+        write_versioned,
+    )
+
+    d = io.table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("double")
+    n_uniq = F.size(F.array_distinct(words)).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("double")
+    quality = (
+        F.least(n_words / 50, F.lit(1.0)) * 0.4
+        + (n_uniq / n_words) * 0.4
+        + (F.lit(1) - F.least(n_punct / n_chars, F.lit(1.0))) * 0.2
+    )
+    featured = d.select(
+        "doc_id",
+        F.lit(1.0).alias("f_bias"),
+        F.least(n_words / 50, F.lit(1.0)).alias("f_lensat"),
+        (n_uniq / n_words).alias("f_uniq"),
+        F.least(n_punct / n_chars, F.lit(1.0)).alias("f_punct"),
+        quality.alias("q"),
+    )
+    med = featured.agg(F.percentile("q", 0.5).alias("q_med"))
+    cols = ["f_bias", "f_lensat", "f_uniq", "f_punct"]
+    train = (
+        featured.crossJoin(F.broadcast(med))
+        .select(
+            *cols,
+            (F.col("q") > F.col("q_med")).cast("double").alias("y"),
+        )
+        .persist()
+    )
+    try:
+        w = lr_train(train, cols, label_col="y", lam=1e-6, n_iter=15)
+    finally:
+        train.unpersist()
+
+    # ---- versioned model publish (train-time) -------------------
+    from conversadocs_spark.plans.ingestion import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    model_path = os.path.join(_SCRATCH, f"lrmodel_{tag}")
+    shutil.rmtree(model_path, ignore_errors=True)
+    weights_df = spark.createDataFrame(
+        list(zip(cols, w)), "feature string, weight double"
+    )
+    write_versioned(
+        weights_df,
+        model_path,
+        manifest={"features": cols, "weights": w, "kind": "lr_quality"},
+    )
+
+    # ---- serve (no Spark job to load the model) -----------------
+    m = read_manifest(model_path)
+    score = lr_predict(m["weights"], m["features"])
+    return featured.select(
+        "doc_id",
+        F.round(score, 6).alias("lr_score"),
+        (score >= 0.5).alias("keep"),
+    )

@@ -121,3 +121,55 @@ def test_lr_train_one_job_per_iteration(spark):
         f"{after - before} jobs for 5 IRLS iterations — the "
         "gradient/Hessian sums are no longer fused into one agg"
     )
+
+
+def test_quality_lr_serve_manifest_roundtrip(spark, sf_oracle_dir):
+    """Serve path: scores must equal the sigmoid of the manifest
+    weights against independently recomputed features (JSON doubles
+    round-trip repr-exact), keep == score >= 0.5, and roughly half
+    the corpus clears the above-median gate."""
+    import json
+    import math
+    import os
+
+    from conversadocs_spark.plans import QUERIES
+    from conversadocs_spark.plans.ingestion import _SCRATCH
+
+    rows = QUERIES["quality_lr_serve"](spark, sf_oracle_dir).collect()
+    n = len(rows)
+    keep = sum(1 for r in rows if r.keep)
+    assert 0.3 * n <= keep <= 0.7 * n, (keep, n)
+    for r in rows:
+        assert r.keep == (r.lr_score >= 0.5)
+
+    tag = os.path.basename(sf_oracle_dir.rstrip("/"))
+    mpath = os.path.join(_SCRATCH, f"lrmodel_{tag}", "v=1",
+                         "_manifest.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    assert m["features"] == ["f_bias", "f_lensat", "f_uniq", "f_punct"]
+    w = m["weights"]
+
+    import duckdb
+
+    con = duckdb.connect()
+    feats = con.execute(
+        f"""
+        SELECT doc_id,
+               least(len(string_split(text,' '))/50.0, 1.0),
+               len(list_distinct(string_split(text,' ')))*1.0
+                   / len(string_split(text,' ')),
+               least(len(regexp_extract_all(text,'[^A-Za-z0-9\\s]'))
+                     *1.0/length(text), 1.0)
+        FROM '{sf_oracle_dir}/documents.parquet'
+        """
+    ).fetchall()
+    con.close()
+    expect = {}
+    for doc_id, f1, f2, f3 in feats:
+        z = w[0] + w[1] * f1 + w[2] * f2 + w[3] * f3
+        expect[doc_id] = 1.0 / (1.0 + math.exp(-z))
+    for r in rows:
+        assert abs(r.lr_score - round(expect[r.doc_id], 6)) < 2e-6, (
+            r.doc_id, r.lr_score, expect[r.doc_id]
+        )
