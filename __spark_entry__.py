@@ -255,6 +255,10 @@ _DRIVER_ORDER = [
     # (rows-only by design — iterative model state; NumPy IRLS
     # re-derivation + >=0.95 separation accuracy pinned)
     "quality_lr_train",
+    # r8 landed / r9 registered: versioned LR model serving (rows-only
+    # — reads the persisted model manifest; manifest-roundtrip test
+    # pins scoring against the training fit)
+    "quality_lr_serve",
 ]
 
 

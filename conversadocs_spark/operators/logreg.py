@@ -37,6 +37,7 @@ IRLS re-derivation instead.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -87,8 +88,29 @@ def lr_train(
                         * F.col(feature_cols[k])
                     ).alias(f"h{j}_{k}")
                 )
-        aggs.append(F.count(F.lit(1)).alias("n"))
+        # n must count exactly the rows the gradient/Hessian sums see:
+        # F.sum skips rows where any participating column is NULL, so
+        # a null feature/label would silently shrink g and H by 1/n
+        # instead of erroring (ADVICE r8). Count complete rows and
+        # fail loudly on any incomplete one.
+        complete = F.when(
+            functools.reduce(
+                lambda a, c: a & F.col(c).isNotNull(),
+                feature_cols,
+                F.col(label_col).isNotNull(),
+            ),
+            F.lit(1),
+        )
+        aggs.append(F.count(complete).alias("n"))
+        aggs.append(F.count(F.lit(1)).alias("n_all"))
         row = features.agg(*aggs).collect()[0]
+        if int(row["n"]) != int(row["n_all"]):
+            raise ValueError(
+                "lr_train: "
+                f"{int(row['n_all']) - int(row['n'])} row(s) have a "
+                "NULL label/feature; drop or impute them before "
+                "training (a silent skip would bias the fit)"
+            )
         n = float(row["n"])
         g = np.array(
             [float(row[f"g{j}"]) for j in range(d)]

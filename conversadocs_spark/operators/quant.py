@@ -129,7 +129,16 @@ def hamming_matches(a: Column, b: Column, dim: Column) -> Column:
     """Number of agreeing sign bits between two packed codes =
     dim - popcount(a XOR b), summed over words (int column). XOR and
     bit_count run word-at-a-time inside codegen — the binary scan
-    reads 1/32nd of the float bytes and does no float math at all."""
+    reads 1/32nd of the float bytes and does no float math at all.
+
+    PRECONDITION: ``a`` and ``b`` pack vectors of the SAME dimension
+    and ``dim`` is that shared dimension (knn_binary passes the
+    per-candidate ``F.size(embedding)``, which only equals the query
+    dim on a uniform-dimension corpus). Mixed word counts would
+    otherwise mis-score silently (ADVICE r8), so the expression
+    guards itself: unequal code lengths yield NULL, which a top-k
+    consumer surfaces as a missing score instead of an inflated
+    match count."""
     diff = F.aggregate(
         F.zip_with(
             a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))
@@ -137,4 +146,6 @@ def hamming_matches(a: Column, b: Column, dim: Column) -> Column:
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (dim - diff).cast("int")
+    return F.when(
+        F.size(a) == F.size(b), (dim - diff).cast("int")
+    ).otherwise(F.lit(None).cast("int"))

@@ -638,7 +638,7 @@ SELECT e.event_id, e.event_type, e.value,
        ROUND((e.value - s.med) / (1.4826 * s.mad), 6) AS robust_z
 FROM events e JOIN mad s USING (event_type)
 WHERE s.mad > 0
-  AND abs(e.value - s.med) / (1.4826 * s.mad) > 3.0
+  AND abs(ROUND((e.value - s.med) / (1.4826 * s.mad), 6)) > 3.0
 """
 
 
@@ -677,7 +677,19 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad")
         )
     )
-    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    # The keep predicate compares the ROUNDED z (same rounding the
+    # output column carries, and the oracle mirrors it): Spark's
+    # percentile and DuckDB's percentile_cont can disagree in the
+    # last ulp of the interpolated median/MAD, so an unrounded
+    # compare lets a value sitting exactly on the 3.0 boundary flip
+    # membership between engines (ADVICE r8). Spark round (HALF_UP,
+    # away from zero) and C round agree under abs(), so
+    # abs(round(z)) == round(abs(z)) on both sides.
+    z = F.round(
+        (F.col("value") - F.col("med"))
+        / (F.lit(1.4826) * F.col("mad")),
+        6,
+    )
     return (
         ev.join(F.broadcast(mad), "event_type")
         .where((F.col("mad") > 0) & (F.abs(z) > 3.0))
@@ -685,6 +697,6 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "value",
-            F.round(z, 6).alias("robust_z"),
+            z.alias("robust_z"),
         )
     )

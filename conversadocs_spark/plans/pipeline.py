@@ -1289,15 +1289,23 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (n_uniq / n_words) * 0.4
         + (F.lit(1) - F.least(n_punct / n_chars, F.lit(1.0))) * 0.2
     )
-    # one corpus scan: the 3-column scored projection is persisted
-    # (tiny relative to text) and feeds the bucket aggregate and both
-    # kept branches; the budget derives from the BUCKET table (sum of
-    # bucket sums == corpus sum), so no second pass over text
+    # one corpus scan: the 3-column scored projection is materialized
+    # ONCE via localCheckpoint (tiny relative to text) and feeds the
+    # bucket aggregate and both kept branches; the budget derives
+    # from the BUCKET table (sum of bucket sums == corpus sum), so no
+    # second pass over text. localCheckpoint (not persist): the
+    # returned DataFrame keeps reading these blocks, so an in-function
+    # unpersist is impossible — checkpoint blocks are instead freed by
+    # the ContextCleaner when the result goes out of scope, so a long
+    # gate/driver sweep can't accumulate pinned cache (ADVICE r8).
+    # Trade-off: lineage is truncated, so a lost block re-runs the
+    # checkpoint job rather than the minimal subtree — fine for a
+    # deterministic scan projection.
     scored = d.select(
         "doc_id",
         F.size(words).cast("long").alias("n_tokens"),
         F.round(quality, 6).alias("quality_score"),
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     buckets = scored.groupBy("quality_score").agg(
         F.sum("n_tokens").alias("bucket_tokens")

@@ -1,0 +1,67 @@
+"""Per-file pin of every `F.broadcast(` site in the package.
+
+An unconditional broadcast hint on an UNBOUNDED side is a driver-OOM
+at scale (the r7 knn_filtered lesson, ADVICE r7): Spark will build the
+hash relation on the driver no matter how big the side turns out to
+be. Every hint in the package must therefore broadcast a side whose
+size is bounded by construction — a dimension table, a top-k
+shortlist, a 1-row aggregate, trained model state — never raw data.
+
+This module pins (file -> site count). Adding a broadcast anywhere
+changes a count and fails scripts/preflight.py and the twin test in
+tests/test_plans.py until the new site is reviewed and recorded here
+WITH its bound. Removals must be recorded too (counts are exact, not
+upper bounds) so the pin never drifts stale.
+
+Bounds, per file (reviewed r9):
+- plans/aggregates.py 4: nation/region dims (25/5 rows at any SF).
+- plans/analytics.py 7: cohort sizes, per-type totals/median/MAD
+  stats (5-row key), part-name dims, 1-row total.
+- plans/eventtime.py 1: 24-row hour grid.
+- plans/joins.py 4: nation/region dims, supplier dim (star), 5-row
+  null-key fixture.
+- plans/lake.py 1: CDC change batch (micro-batch sized).
+- plans/lm.py 4: 1-row vocab-cut / median aggregates, k-row vocab.
+- plans/pipeline.py 9: 1-row totals/budget, per-source k-row tables,
+  32-row partition-offset table, eval n-gram set (contamination: the
+  held-out eval set is small by definition).
+- plans/rag.py 1: k-row retrieved-context shortlist.
+- plans/retrieval.py 3: 1-row corpus stats, k-row RRF shortlists.
+- plans/streamqueries.py 1: event_type dim.
+- plans/text.py 2: vocab df table (bounded by vocab), 1-row N.
+- plans/vector.py 9: 1-row query vectors, 50-row shortlists,
+  provenance top-k (flipped small side per ADVICE r8).
+- streaming/cdc.py 1: per-micro-batch CDC delta.
+- functions/zorder.py 1: 1-row min/max bounds aggregate.
+- operators/incremental.py 1: O(batch) new-doc signatures.
+- operators/ivf.py 3: k-row centroid table (k ≪ corpus).
+- operators/knn.py 3: 1-row query vector / k-row probe shortlist
+  (the filtered-kNN semi-join side is deliberately UNhinted).
+- operators/lsh.py 3: hyperplane matrix + 1-row query signature.
+- operators/pagerank.py 1: 1-row dangling-mass aggregate.
+- operators/pq.py 8: codebooks (m×k rows, model state) + 1-row
+  query codes.
+"""
+
+BROADCAST_ALLOWED: dict[str, int] = {
+    "functions/zorder.py": 1,
+    "operators/incremental.py": 1,
+    "operators/ivf.py": 3,
+    "operators/knn.py": 3,
+    "operators/lsh.py": 3,
+    "operators/pagerank.py": 1,
+    "operators/pq.py": 8,
+    "plans/aggregates.py": 4,
+    "plans/analytics.py": 7,
+    "plans/eventtime.py": 1,
+    "plans/joins.py": 4,
+    "plans/lake.py": 1,
+    "plans/lm.py": 4,
+    "plans/pipeline.py": 9,
+    "plans/rag.py": 1,
+    "plans/retrieval.py": 3,
+    "plans/streamqueries.py": 1,
+    "plans/text.py": 2,
+    "plans/vector.py": 9,
+    "streaming/cdc.py": 1,
+}

@@ -67,11 +67,25 @@ def value_signals(con, sdf, oracle_sql):
             d_exprs.append(f'sum("{c}") AS "{c}"')
             kinds.append("int")
         elif isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            # Midpoint-unambiguous integerization (ADVICE r8): Spark
+            # round (BigDecimal HALF_UP) and DuckDB round (C round)
+            # can disagree on the same double near .5 midpoints, and
+            # float-sum compares need an order tolerance. floor(x*1e3
+            # + 0.5) is the identical IEEE expression in both engines
+            # and the summed BIGINTs compare exactly; residual
+            # last-ulp drift in the VALUES themselves (each flip is
+            # ±1 unit = 1e-3) is absorbed by a row-count-scaled
+            # integer tolerance below.
             s_aggs.append(
-                F.sum(F.round(F.col(c).cast("double"), 3)).alias(c)
+                F.sum(
+                    F.floor(
+                        F.col(c).cast("double") * 1000 + F.lit(0.5)
+                    )
+                ).alias(c)
             )
             d_exprs.append(
-                f'sum(round(CAST("{c}" AS DOUBLE), 3)) AS "{c}"'
+                f'sum(CAST(floor(CAST("{c}" AS DOUBLE) * 1000 + 0.5)'
+                f' AS BIGINT)) AS "{c}"'
             )
             kinds.append("float")
         elif isinstance(f.dataType, T.StringType):
@@ -86,11 +100,18 @@ def value_signals(con, sdf, oracle_sql):
             kinds.append("int")
     if not s_aggs:
         return None, None, True
+    s_aggs.append(F.count(F.lit(1)).alias("__n"))
+    d_exprs.append('count(*) AS "__n"')
     srow = sdf.agg(*s_aggs).collect()[0]
     orow = con.execute(
         "SELECT " + ", ".join(d_exprs) + f" FROM ({oracle_sql}) _big"
     ).fetchone()
-    ok = True
+    n = max(int(srow[-1] or 0), int(orow[-1] or 0))
+    # each cross-engine last-ulp flip moves a float signal by exactly
+    # 1 unit (1e-3 of the raw value); allow 1 flip per million rows,
+    # min 2, and never let genuine per-row drift below that through
+    float_tol = max(2, math.ceil(n / 1_000_000))
+    ok = int(srow[-1] or 0) == int(orow[-1] or 0)
     for i, kind in enumerate(kinds):
         sv, ov = srow[i], orow[i]
         if sv is None and ov is None:
@@ -98,9 +119,7 @@ def value_signals(con, sdf, oracle_sql):
         if sv is None or ov is None:
             ok = False
         elif kind == "float":
-            ok = ok and math.isclose(
-                float(sv), float(ov), rel_tol=1e-9, abs_tol=1e-3
-            )
+            ok = ok and abs(int(sv) - int(ov)) <= float_tol
         else:
             ok = ok and int(sv) == int(ov)
     return tuple(srow), tuple(orow), ok

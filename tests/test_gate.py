@@ -101,3 +101,18 @@ def test_value_signals_skip_unsignalable_columns(spark, gate):
     con.execute("CREATE TABLE t (emb DOUBLE[])")
     ssig, osig, ok = gate.value_signals(con, sdf, "SELECT * FROM t")
     assert (ssig, osig, ok) == (None, None, True)
+
+
+def test_value_signals_midpoint_unambiguous(spark, gate):
+    """Round-half midpoints (x.xxx5) were the ADVICE r8 hazard: Spark
+    round is BigDecimal HALF_UP, DuckDB round is C round, and they
+    can disagree on the same double. The floor(x*1000 + 0.5)
+    integerization is the identical IEEE expression in both engines,
+    so a result column full of midpoints must still agree exactly."""
+    rows = [(i, (2 * i + 1) / 2000.0, "m", True) for i in range(50)]
+    rows += [(100 + i, -(2 * i + 1) / 2000.0, "m", False)
+             for i in range(50)]
+    sdf = spark.createDataFrame(rows, _SCHEMA)
+    con = _ducksetup(list(reversed(rows)))
+    ssig, osig, ok = gate.value_signals(con, sdf, "SELECT * FROM t")
+    assert ok, f"midpoint column diverged: {ssig} vs {osig}"

@@ -173,3 +173,25 @@ def test_quality_lr_serve_manifest_roundtrip(spark, sf_oracle_dir):
         assert abs(r.lr_score - round(expect[r.doc_id], 6)) < 2e-6, (
             r.doc_id, r.lr_score, expect[r.doc_id]
         )
+
+
+def test_lr_train_raises_on_null_rows(spark):
+    """A NULL label or feature must error loudly, not silently shrink
+    the gradient/Hessian by 1/n (ADVICE r8)."""
+    import pytest
+
+    from conversadocs_spark.operators.logreg import lr_train
+
+    df = spark.createDataFrame(
+        [(1.0, 0.5, 1.0), (1.0, -0.5, 0.0), (1.0, None, 1.0)],
+        "f_bias double, f_x double, y double",
+    )
+    with pytest.raises(ValueError, match="NULL label/feature"):
+        lr_train(df, ["f_bias", "f_x"], label_col="y", n_iter=2)
+    null_label = spark.createDataFrame(
+        [(1.0, 0.5, 1.0), (1.0, -0.5, None)],
+        "f_bias double, f_x double, y double",
+    )
+    with pytest.raises(ValueError, match="NULL label/feature"):
+        lr_train(null_label, ["f_bias", "f_x"], label_col="y",
+                 n_iter=2)

@@ -468,3 +468,41 @@ def test_no_unsanctioned_collect_in_operator_or_plan_code():
     assert not offenders, (
         "unsanctioned .collect( in package code:\n" + "\n".join(offenders)
     )
+
+
+def test_broadcast_sites_match_reviewed_allowlist():
+    """An unconditional F.broadcast( on an unbounded side is a
+    driver-OOM at scale (the r7 knn_filtered lesson). Every hint site
+    is pinned per-file in scripts/broadcast_allowlist.py together with
+    its bound justification; adding OR removing one must update that
+    pin (exact counts, so the review can never be skipped). Twin of
+    the scripts/preflight.py check so the invariant also gates the
+    full suite."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from scripts.broadcast_allowlist import BROADCAST_ALLOWED
+
+    pkg = os.path.join(repo, "conversadocs_spark")
+    found = {}
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, pkg).replace(os.sep, "/")
+            n = open(full).read().count("F.broadcast(")
+            if n:
+                found[rel] = n
+    diff = {
+        rel: (found.get(rel, 0), BROADCAST_ALLOWED.get(rel, 0))
+        for rel in set(found) | set(BROADCAST_ALLOWED)
+        if found.get(rel, 0) != BROADCAST_ALLOWED.get(rel, 0)
+    }
+    assert not diff, (
+        "F.broadcast( sites diverge from the reviewed allowlist "
+        f"(found vs pinned): {diff}"
+    )

@@ -712,6 +712,23 @@ def test_hamming_matches_equals_bitwise_agreement(spark):
     assert got == 62
 
 
+def test_hamming_matches_nulls_on_mixed_code_lengths(spark):
+    """Mixed-dimension codes must NOT silently mis-score (ADVICE r8):
+    unequal packed lengths yield NULL, never an inflated count."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark.operators.quant import hamming_matches
+
+    df = spark.createDataFrame(
+        [([0b1010, 0b1], [0b1010])],
+        "a array<long>, b array<long>",
+    )
+    got = df.select(
+        hamming_matches(F.col("a"), F.col("b"), F.lit(64)).alias("m")
+    ).collect()[0].m
+    assert got is None
+
+
 def test_knn_binary_rescore_is_exact_cosine(spark, sf_oracle_dir):
     """The 5 returned sims must equal the brute-force exact cosine of
     those ids (the shortlist only prunes; it never changes scores)."""
