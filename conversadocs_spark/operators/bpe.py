@@ -178,6 +178,86 @@ def _accept_merge_prefix(
     return accepted
 
 
+def _train_merges_local(
+    word_freqs: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[int, str, str, int]]:
+    """Exact Sennrich training on a DRIVER-RESIDENT (word, freq)
+    table: incremental pair-count maintenance (only words containing
+    the merged pair are touched) plus a lazy-deletion heap whose key
+    (-count, left, right) IS the sequential loop's tie-break (count
+    desc, left asc, right asc) — so the merge sequence is
+    bit-identical to the one-merge-per-job distributed loop, computed
+    with zero further Spark jobs. This is the learn_bpe fast path
+    from the reference implementation, generalized to weighted words.
+
+    Counting semantics match the distributed loop exactly: pairs are
+    OVERLAPPING adjacencies weighted by word freq; application is
+    greedy non-overlapping left-to-right (see _apply_merge)."""
+    import heapq
+    from collections import Counter
+
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [END_OF_WORD], f) for w, f in word_freqs
+    ]
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, freq) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += freq
+            pair_words.setdefault(p, set()).add(idx)
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def greedy_merge(syms: list[str], left: str, right: str) -> list[str]:
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        neg, left, right = heapq.heappop(heap)
+        cnt = pair_counts.get((left, right), 0)
+        if cnt == 0 or -neg != cnt:
+            continue  # stale heap entry (count changed since push)
+        if cnt < min_pair_count:
+            break
+        merges.append((len(merges), left, right, cnt))
+        changed: set[tuple[str, str]] = set()
+        for idx in sorted(pair_words.get((left, right), set())):
+            syms, freq = words[idx]
+            new_syms = greedy_merge(syms, left, right)
+            old_p, new_p = Counter(zip(syms, syms[1:])), Counter(
+                zip(new_syms, new_syms[1:])
+            )
+            for p in old_p.keys() | new_p.keys():
+                delta = new_p.get(p, 0) - old_p.get(p, 0)
+                if delta:
+                    pair_counts[p] += delta * freq
+                    changed.add(p)
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+                        pair_words.pop(p, None)
+                if p in new_p and p not in old_p:
+                    pair_words.setdefault(p, set()).add(idx)
+                elif p in old_p and p not in new_p:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(idx)
+            words[idx] = (new_syms, freq)
+        for p in changed:
+            if p in pair_counts:
+                heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 40,
@@ -185,6 +265,8 @@ def bpe_train(
     text_col: str = "text",
     merges_per_job: int = 16,
     stats: dict | None = None,
+    mode: str = "batched",
+    driver_vocab_budget: int = 2_000_000,
 ) -> list[tuple[int, str, str, int]]:
     """Learn up to ``n_merges`` merge rules; returns
     [(step, left, right, pair_count), ...] in training order.
@@ -199,9 +281,61 @@ def bpe_train(
     a 32k-merge tokenizer run is hundreds of jobs, not 32k — while the
     merge sequence stays bit-identical to ``merges_per_job=1`` (pinned
     against the pure-Python Sennrich reference in tests/test_text.py).
-    Pass ``stats={}`` to receive ``{"jobs": J, "merges": M}`` back for
-    asserting the batching actually engaged.
+    Pass ``stats={}`` to receive ``{"jobs": J, "merges": M,
+    "mode": ...}`` back for asserting the batching actually engaged.
+
+    ``mode`` picks the training strategy (the r8 verdict's scale fix:
+    the exactness-preserving batched prefix measures only ~1.2
+    merges/job on a diverse vocabulary, so a 32k-merge production run
+    would still be ~30k sequential driver-coordinated jobs):
+
+    - ``"batched"`` (default): the distributed loop above — every
+      statistic computed on-cluster; the right mode when the DISTINCT
+      WORD table itself is too big to hold driver-side.
+    - ``"local"``: aggregate the corpus to (word, freq) on-cluster
+      (the data-plane-heavy step — ONE corpus-sized job), then, since
+      by Heaps' law distinct lowercase-alphabetic words ≪ corpus
+      (~10^6-10^8 rows even at 100 TB, i.e. tens of MB to a few GB of
+      driver memory — same order as the model being trained), run the
+      ENTIRE merge loop driver-side with incremental pair counts and
+      a heap (:func:`_train_merges_local`): merges/job is effectively
+      unbounded — a 32k-merge run is 1 Spark job + local compute.
+      Raises ``ValueError`` when the vocabulary exceeds
+      ``driver_vocab_budget`` rows (the documented driver-memory
+      budget) — the loud alternative to a silent driver OOM.
+    - ``"auto"``: try local; fall back to the batched loop when the
+      vocabulary is over budget. The merge sequence is bit-identical
+      across all three paths (pinned in tests/test_text.py), so mode
+      is purely an execution-strategy choice, like a join hint.
     """
+    if mode not in ("batched", "local", "auto"):
+        raise ValueError(f"bpe_train: unknown mode {mode!r}")
+    if mode in ("local", "auto"):
+        # budget+1 probe: the limit caps driver transfer even when the
+        # vocabulary is far over budget, and one extra row tells us
+        # the cap was hit without a separate count() job.
+        rows = (
+            word_counts(docs, text_col=text_col)
+            .limit(driver_vocab_budget + 1)
+            .collect()
+        )
+        if len(rows) <= driver_vocab_budget:
+            merges = _train_merges_local(
+                [(r["word"], r["freq"]) for r in rows],
+                n_merges,
+                min_pair_count,
+            )
+            if stats is not None:
+                stats["jobs"] = 1
+                stats["merges"] = len(merges)
+                stats["mode"] = "local"
+            return merges
+        if mode == "local":
+            raise ValueError(
+                f"bpe_train: vocabulary exceeds driver_vocab_budget="
+                f"{driver_vocab_budget} rows; use mode='auto' or "
+                "'batched'"
+            )
     spark = docs.sparkSession
     sc = spark.sparkContext
     before = _persistent_rdd_ids(sc)
@@ -248,6 +382,7 @@ def bpe_train(
     if stats is not None:
         stats["jobs"] = jobs
         stats["merges"] = len(merges)
+        stats["mode"] = "batched"
     return merges
 
 

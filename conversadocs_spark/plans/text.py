@@ -900,12 +900,19 @@ def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_bpe_train_batched_merges_equal_sequential pins batched ==
     one-merge-per-job with measurably fewer jobs.
 
-    Scale: every iteration runs over the DISTINCT-WORD table, not the
-    corpus (see operators/bpe.py docstring) — corpus is read once."""
+    Scale: mode="auto" (r8 verdict fix) — ONE corpus-sized job
+    aggregates the (word, freq) table; since distinct words ≪ corpus
+    (Heaps' law) the table virtually always fits the documented
+    driver budget and the entire merge loop runs driver-side with
+    incremental pair counts + a heap (merges/job unbounded — a
+    32k-merge run is 1 job, vs ~30k for the batched distributed
+    loop). Over budget it falls back to the on-cluster batched loop;
+    the merge sequence is bit-identical either way (pinned in
+    tests/test_text.py)."""
     from conversadocs_spark.operators.bpe import bpe_train
 
     d = io.table(spark, sf_dir, "documents")
-    merges = bpe_train(d, n_merges=40, min_pair_count=2)
+    merges = bpe_train(d, n_merges=40, min_pair_count=2, mode="auto")
     return spark.createDataFrame(
         merges, schema="step int, left string, right string, pair_count bigint"
     )
@@ -924,7 +931,7 @@ def bpe_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conversadocs_spark.operators.bpe import bpe_apply, bpe_train
 
     d = io.table(spark, sf_dir, "documents")
-    merges = bpe_train(d, n_merges=40, min_pair_count=2)
+    merges = bpe_train(d, n_merges=40, min_pair_count=2, mode="auto")
     return bpe_apply(d, merges)
 
 

@@ -415,3 +415,49 @@ def test_cms_guarantee_and_bound(spark, sf_oracle_dir):
     for r in rows:
         assert r.est_n >= r.true_n, (r.term, r.true_n, r.est_n)
         assert r.est_n - r.true_n <= envelope, (r.term, r.est_n - r.true_n)
+
+
+def test_bpe_train_local_mode_equals_batched(spark, sf_dir):
+    """The driver-side heap trainer (mode='local', the r8-verdict
+    scale fix: merges/job unbounded once the Heaps'-law word table
+    fits the driver budget) must produce the BIT-IDENTICAL merge
+    sequence as the distributed batched loop, in ONE Spark-job
+    equivalent; mode='auto' must pick it when under budget."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.bpe import bpe_train
+
+    docs = io.table(spark, sf_dir, "documents")
+    bat = bpe_train(docs, n_merges=25, min_pair_count=2,
+                    mode="batched")
+    loc_stats, auto_stats = {}, {}
+    loc = bpe_train(docs, n_merges=25, min_pair_count=2, mode="local",
+                    stats=loc_stats)
+    auto = bpe_train(docs, n_merges=25, min_pair_count=2, mode="auto",
+                     stats=auto_stats)
+    assert loc == bat
+    assert auto == bat
+    assert loc_stats == {"jobs": 1, "merges": len(loc),
+                         "mode": "local"}
+    assert auto_stats["mode"] == "local"
+
+
+def test_bpe_train_local_budget_guard(spark, sf_dir):
+    """Over the driver vocab budget: mode='local' errors loudly
+    (never a silent driver OOM) and mode='auto' falls back to the
+    distributed batched loop with the identical merge sequence."""
+    import pytest
+
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.bpe import bpe_train
+
+    docs = io.table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="driver_vocab_budget"):
+        bpe_train(docs, n_merges=5, mode="local",
+                  driver_vocab_budget=3)
+    bat = bpe_train(docs, n_merges=10, min_pair_count=2,
+                    mode="batched")
+    auto_stats = {}
+    auto = bpe_train(docs, n_merges=10, min_pair_count=2, mode="auto",
+                     driver_vocab_budget=3, stats=auto_stats)
+    assert auto == bat
+    assert auto_stats["mode"] == "batched"
