@@ -84,7 +84,11 @@ _DRIVER_ORDER = [
     # driver rows)
     # (text_stats_by_lang rotated to the tail for rerank_topk's first
     # recording: green r2/r4/r5, the r5 HUGEINT fix pinned by test)
-    "lm_bigram_score",
+    # r9: lm_bigram_score rotated to the tail (green r6-judge + r8
+    # driver rows) so the new oracle-backed fixed-weight LR serving
+    # expression gets its first driver row — the lm family keeps this
+    # slot
+    "quality_lr_score_fixed",
     # r7 rotation (VERDICT r6 #1): the 7 oracle-backed queries that
     # had never had a driver-recorded row — each green in the judge's
     # full sweep, now getting its first driver ledger row. Displaced:
@@ -185,6 +189,8 @@ _DRIVER_ORDER = [
     # grouped_map_order_seq, green r5)
     "join_null_safe", "sql_correlated_subqueries",
     # --- 50 ---
+    # r9 tail rotation (green r6-judge + r8 driver rows; see head)
+    "lm_bigram_score",
     # r8 tail rotations (green r6+r7 driver rows; see head notes)
     "variant_funcs", "bm25_topk", "hybrid_rrf", "funnel_conversion",
     "sessionize",

@@ -440,3 +440,80 @@ def quality_lr_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("lr_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# fixed-weight LR scoring (the serving expression, oracle-backed)
+# --------------------------------------------------------------------------
+
+_LR_SCORE_FIXED_ORACLE = """
+WITH f AS (
+    SELECT doc_id,
+           least(len(string_split(text,' '))/50.0, 1.0) AS f_lensat,
+           len(list_distinct(string_split(text,' ')))*1.0
+               / len(string_split(text,' ')) AS f_uniq,
+           least(len(regexp_extract_all(text,'[^A-Za-z0-9\\s]'))
+                 *1.0/length(text), 1.0) AS f_punct
+    FROM documents
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(-6.0 + 2.5*f_lensat + 5.0*f_uniq
+                                - 1.5*f_punct))), 6) AS lr_score,
+       round(1.0 / (1.0 + exp(-(-6.0 + 2.5*f_lensat + 5.0*f_uniq
+                                - 1.5*f_punct))), 6) >= 0.5 AS keep
+FROM f
+"""
+
+
+@register(
+    "quality_lr_score_fixed", oracle=_LR_SCORE_FIXED_ORACLE,
+    tags=("lm", "pipeline"),
+)
+def quality_lr_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LR quality gate's SERVING expression with PINNED literal
+    weights, hash-checked against DuckDB (r8 verdict #5):
+    `quality_lr_serve` is rows-only because its weights come from the
+    iterative trainer, but scoring itself is deterministic arithmetic
+    — one codegen sigmoid over scan-side features — so this query
+    gives the serving codegen path an oracle row like every other
+    scan-side expression. Weights (-6.0, 2.5, 5.0, -1.5) are
+    representative of a fit on these features (bias, length
+    saturation, lexical diversity, punctuation density).
+
+    keep compares the ROUNDED score against 0.5 in both engines (the
+    outlier_mad boundary lesson): Math.exp and std::exp can differ in
+    the last ulp, and the rounded value is what the output carries.
+
+    Scale: a pure narrow map — no shuffle, no Python, whole-stage
+    codegen end to end; at 100 TB this is a streaming scan at storage
+    bandwidth, the exact deployment shape of a learned quality gate.
+    """
+    from conversadocs_spark.operators.logreg import lr_predict
+
+    d = io.table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("double")
+    n_uniq = F.size(F.array_distinct(words)).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("double")
+    featured = d.select(
+        "doc_id",
+        F.lit(1.0).alias("f_bias"),
+        F.least(n_words / 50, F.lit(1.0)).alias("f_lensat"),
+        (n_uniq / n_words).alias("f_uniq"),
+        F.least(n_punct / n_chars, F.lit(1.0)).alias("f_punct"),
+    )
+    score = F.round(
+        lr_predict(
+            [-6.0, 2.5, 5.0, -1.5],
+            ["f_bias", "f_lensat", "f_uniq", "f_punct"],
+        ),
+        6,
+    )
+    return featured.select(
+        "doc_id",
+        score.alias("lr_score"),
+        (score >= 0.5).alias("keep"),
+    )

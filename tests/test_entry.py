@@ -59,7 +59,7 @@ def test_driver_order_covers_registry_exactly():
                  "lake_compact_files", "cms_term_freq",
                  "dedup_incremental", "pretrain_corpus",
                  "arrow_grouped_seq",
-                 "window_range_time", "lm_bigram_score",
+                 "window_range_time", "quality_lr_score_fixed",
                  "rerank_topk", "join_null_safe",
                  "sql_correlated_subqueries",
                  "agg_grouping_sets", "gopher_repetition",

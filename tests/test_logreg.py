@@ -195,3 +195,18 @@ def test_lr_train_raises_on_null_rows(spark):
     with pytest.raises(ValueError, match="NULL label/feature"):
         lr_train(null_label, ["f_bias", "f_x"], label_col="y",
                  n_iter=2)
+
+
+def test_quality_lr_score_fixed_is_shuffle_free_scan(spark,
+                                                     sf_oracle_dir):
+    """The serving expression must stay a pure narrow map: no
+    Exchange of any kind in the executed plan — at 100 TB this query
+    is a storage-bandwidth scan, nothing else."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["quality_lr_score_fixed"](spark, sf_oracle_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    # executedPlan toString marks codegen stages with a "*(n)" prefix
+    assert plan.lstrip().startswith("*("), plan[:300]
