@@ -57,6 +57,10 @@ _DRIVER_ORDER = [
     # Displaced: variant_funcs / bm25_topk / hybrid_rrf (green r6+r7;
     # relational keeps ansi_try_funcs, retrieval keeps rerank_topk).
     "knn_binary", "knn_matryoshka", "multivec_maxsim",
+    # r9: batch-of-queries binary retrieval (oracle-backed, new —
+    # rotated in; out goes agg_grouping_sets, green r7+r8, the
+    # aggregates family keeps agg_percentile + agg_unpivot)
+    "knn_binary_batch",
     # r7 addition: persisted-index serving with manifest-driven
     # planning (oracle-backed, new -> top-50 for its first driver row;
     # out goes scan_orc_roundtrip, green r6, scan family keeps the
@@ -98,7 +102,7 @@ _DRIVER_ORDER = [
     # representatives: scd2_history+table_diff, kfold_split+
     # mixture_realize, agg_percentile+agg_unpivot, corrupt-tolerant +
     # schema-evolution scans).
-    "agg_grouping_sets", "gopher_repetition", "set_ops_all",
+    "gopher_repetition", "set_ops_all",
     "source_mixture_weights", "udtf_dynamic_schema", "vocab_topk",
     "window_ntile",
     # lake / table maintenance (merge_upsert rotated to the tail in
@@ -189,8 +193,8 @@ _DRIVER_ORDER = [
     # grouped_map_order_seq, green r5)
     "join_null_safe", "sql_correlated_subqueries",
     # --- 50 ---
-    # r9 tail rotation (green r6-judge + r8 driver rows; see head)
-    "lm_bigram_score",
+    # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
+    "lm_bigram_score", "agg_grouping_sets",
     # r8 tail rotations (green r6+r7 driver rows; see head notes)
     "variant_funcs", "bm25_topk", "hybrid_rrf", "funnel_conversion",
     "sessionize",

@@ -1024,6 +1024,149 @@ def knn_binary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rescored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(5)
 
 
+_KNN_BINARY_BATCH_ORACLE = """
+WITH dims AS (SELECT max(len(embedding)) AS d FROM embeddings),
+bits AS (
+    SELECT u.vec_id,
+           CAST((u.i - 1) // 32 AS INT) AS w,
+           SUM(CASE WHEN CAST(u.x AS DOUBLE) > 0
+                    THEN 1::BIGINT << CAST((u.i - 1) % 32 AS INT)
+                    ELSE 0 END) AS word
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) u
+    GROUP BY u.vec_id, w
+),
+ham AS (
+    SELECT q.vec_id AS query_id, b.vec_id,
+           CAST(d.d - SUM(bit_count(xor(b.word, q.word))) AS INT)
+               AS matches
+    FROM bits b
+    JOIN (SELECT vec_id, w, word FROM bits WHERE vec_id < 5) q
+         USING (w)
+    CROSS JOIN dims d
+    WHERE b.vec_id >= 5
+    GROUP BY q.vec_id, b.vec_id, d.d
+),
+sl AS (
+    SELECT query_id, vec_id, matches FROM (
+        SELECT query_id, vec_id, matches,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY matches DESC, vec_id ASC) AS rn
+        FROM ham) WHERE rn <= 50
+),
+exact AS (
+    SELECT q.query_id, e.vec_id,
+           ROUND(
+               SUM(CAST(e.x AS DOUBLE) * CAST(q.y AS DOUBLE))
+               / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(q.y AS DOUBLE) * CAST(q.y AS DOUBLE)))),
+               6) AS sim
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings
+          WHERE vec_id IN (SELECT DISTINCT vec_id FROM sl)) e
+    JOIN (SELECT vec_id AS query_id, unnest(embedding) AS y,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id < 5) q USING (i)
+    GROUP BY q.query_id, e.vec_id
+)
+SELECT query_id, vec_id, matches, sim FROM (
+    SELECT s.query_id, s.vec_id, s.matches, x.sim,
+           row_number() OVER (PARTITION BY s.query_id
+               ORDER BY x.sim DESC, s.vec_id ASC) AS rk
+    FROM sl s
+    JOIN exact x ON s.query_id = x.query_id AND s.vec_id = x.vec_id)
+WHERE rk <= 3
+"""
+
+
+@register(
+    "knn_binary_batch", oracle=_KNN_BINARY_BATCH_ORACLE,
+    tags=("vector",),
+)
+def knn_binary_batch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-of-queries form of `knn_binary` (r8 verdict #6):
+    production retrieval amortizes the corpus scan over a QUERY BATCH
+    rather than re-scanning per query. Vectors vec_id<5 act as the
+    query batch, the rest as the corpus; per query: Hamming top-50
+    shortlist on the packed sign bits, exact float rescore, top-3.
+
+    Scale shape, in order:
+    1. ONE corpus scan computes the packed codes and XOR+POPCNT
+       Hamming matches against all Q broadcast query codes (corpus ×
+       Q candidate rows, but only the 3-integer projection
+       (query_id, vec_id, matches) leaves the scan stage);
+    2. the per-query top-50 window shuffles ONLY that integer
+       projection — ~20 bytes × N × Q, never the packed or float
+       columns (the "window top-k on the integer key" the batch form
+       needs; the single-query form's TakeOrdered has no multi-query
+       analog);
+    3. the Q×50-row shortlist is BROADCAST back onto the embeddings
+       table for the exact rescore — the corpus-side relation never
+       hash-shuffles (plan-pinned in tests/test_vector.py), exactly
+       like knn_matryoshka's refine stage;
+    4. the final per-query top-3 window runs over ≤ Q×50 rows.
+    """
+    from pyspark.sql import Window
+
+    from conversadocs_spark.operators.quant import (
+        binarize_sign,
+        hamming_matches,
+    )
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    packed = binarize_sign(emb).select("vec_id", "embedding", "bwords")
+    queries = packed.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bwords").alias("_qw"),
+    )
+    cand = (
+        packed.where(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "vec_id",
+            hamming_matches(
+                F.col("bwords"), F.col("_qw"), F.size("embedding")
+            ).alias("matches"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.desc("matches"), F.asc("vec_id")
+    )
+    shortlist = (
+        cand.withColumn("rn", F.row_number().over(w_short))
+        .where(F.col("rn") <= 50)
+        .select("query_id", "vec_id", "matches")
+    )
+    qv = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+    )
+    rescored = (
+        F.broadcast(shortlist)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "matches",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("_qv")), 6
+            ).alias("sim"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w_final))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "vec_id", "matches", "sim")
+    )
+
+
 # --------------------------------------------------------------------------
 # matryoshka (prefix-dimension) retrieval: coarse rank + full refine
 # --------------------------------------------------------------------------

@@ -29,8 +29,10 @@ Bounds, per file (reviewed r9):
 - plans/retrieval.py 3: 1-row corpus stats, k-row RRF shortlists.
 - plans/streamqueries.py 1: event_type dim.
 - plans/text.py 2: vocab df table (bounded by vocab), 1-row N.
-- plans/vector.py 9: 1-row query vectors, 50-row shortlists,
-  provenance top-k (flipped small side per ADVICE r8).
+- plans/vector.py 12: 1-row query vectors, 50-row shortlists,
+  provenance top-k (flipped small side per ADVICE r8); r9 batch
+  retrieval adds a Q-row packed-query batch, a Q×50 shortlist, and a
+  Q-row float query table (all bounded by the query batch).
 - streaming/cdc.py 1: per-micro-batch CDC delta.
 - functions/zorder.py 1: 1-row min/max bounds aggregate.
 - operators/incremental.py 1: O(batch) new-doc signatures.
@@ -62,6 +64,6 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/retrieval.py": 3,
     "plans/streamqueries.py": 1,
     "plans/text.py": 2,
-    "plans/vector.py": 9,
+    "plans/vector.py": 12,
     "streaming/cdc.py": 1,
 }

@@ -62,7 +62,7 @@ def test_driver_order_covers_registry_exactly():
                  "window_range_time", "quality_lr_score_fixed",
                  "rerank_topk", "join_null_safe",
                  "sql_correlated_subqueries",
-                 "agg_grouping_sets", "gopher_repetition",
+                 "knn_binary_batch", "gopher_repetition",
                  "set_ops_all", "source_mixture_weights",
                  "udtf_dynamic_schema", "vocab_topk", "window_ntile"):
         assert must in head

@@ -812,3 +812,60 @@ def test_multivec_maxsim_matches_numpy(spark, sf_oracle_dir):
     # descending, doc-id tie-broken
     sims = [r.maxsim for r in got]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_binary_batch_corpus_never_shuffles(spark, sf_oracle_dir):
+    """Batch-form scale pins: (a) the corpus-sized relation never
+    hash-shuffles — every join touching the embedding column is a
+    broadcast join (no SMJ/shuffled-hash anywhere); (b) the only hash
+    exchanges partition the 3-integer candidate projection by
+    query_id; (c) the per-query top-k is map-side pruned (partial
+    WindowGroupLimit below the exchange), so the shuffle moves at
+    most partitions x Q x 50 skinny rows, not corpus x Q."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["knn_binary_batch"](spark, sf_oracle_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    for line in final.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "hashpartitioning(query_id" in line, line
+    assert "WindowGroupLimit" in final and "Partial" in final
+
+
+def test_knn_binary_batch_recall_floor(spark, sf_oracle_dir):
+    """Recall sanity on the fixture: the Hamming-shortlisted top-3
+    must recover >= 2/3 of the exact brute-force cosine top-3 for
+    EVERY query (binary sign codes are a coarse 1-bit rank — the
+    50-deep shortlist can legitimately miss a near-tie neighbour, so
+    exact equality is not the contract; oracle parity is checked
+    separately by the hash gate)."""
+    import math
+
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    got = {}
+    for r in QUERIES["knn_binary_batch"](spark, sf_oracle_dir).collect():
+        got.setdefault(r.query_id, []).append(r.vec_id)
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in io.table(spark, sf_oracle_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return round(
+            dot / (math.sqrt(sum(x * x for x in a))
+                   * math.sqrt(sum(y * y for y in b))), 6)
+
+    for q in range(5):
+        sims = sorted(
+            ((cos(emb[v], emb[q]), -v) for v in emb if v >= 5),
+            reverse=True,
+        )
+        want = {-s[1] for s in sims[:3]}
+        hit = len(want & set(got[q]))
+        assert hit >= 2, (q, got[q], sorted(want))
