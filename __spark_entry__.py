@@ -238,6 +238,10 @@ _DRIVER_ORDER = [
     # r8: retention/VACUUM third of the versioned lifecycle
     # (rows-only; rollback-guard + physical-removal tests)
     "index_vacuum",
+    # r9: the composed write->compact->zorder->vacuum cadence over
+    # ONE versioned table (rows-only; per-stage content signatures +
+    # row-identity tests pin the legs' interaction)
+    "lake_optimize_lifecycle",
     "multimodal_meta", "multimodal_features", "multimodal_frames",
     "multimodal_resize", "multimodal_audio",
     "streaming_tumbling_replay", "streaming_dedup_replay",

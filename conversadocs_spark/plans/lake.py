@@ -425,3 +425,159 @@ def lake_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(compacted)
     )
     return spark.read.parquet(compacted)
+
+
+# --------------------------------------------------------------------------
+# composed OPTIMIZE lifecycle: write -> compact -> zorder -> vacuum
+# --------------------------------------------------------------------------
+
+
+@register("lake_optimize_lifecycle", tags=("lake", "rows-only"))
+def lake_optimize_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real table-maintenance cadence as ONE composed query (r8
+    verdict #8): the three legs — versioned write, bin-packing
+    compaction, Z-order clustering — plus VACUUM exist as separate
+    registry entries; this query runs them against a SINGLE versioned
+    table so their interaction is pinned, not just each leg.
+
+    Lifecycle (sources/sink.py write_versioned gives each stage an
+    immutable snapshot + atomic marker flip):
+
+      v1  fragmented ingest  — the micro-batch landing layout
+          (64 round-robin shards of a lineitem slice);
+      v2  OPTIMIZE bin-pack  — one keyed repartition of v1, file
+          count collapses 64 -> 4;
+      v3  OPTIMIZE ZORDER    — v2 rewritten along the Morton curve of
+          (l_partkey, l_extendedprice) (functions/zorder.py: bounds
+          from a broadcast 1-row aggregate, one range shuffle), so
+          2-D predicates prune at the file level;
+      VACUUM keep_last=2     — v1's files physically removed; v2/v3
+          (and the marker's target) retained.
+
+    Output: one row per stage (stage, version, n_rows, content_sig,
+    n_files) where content_sig is an order-insensitive row signature
+    (sum of bounded xxhash64 over all columns). Every stage must
+    carry the SAME n_rows/content_sig — OPTIMIZE must never change
+    table contents — and the test additionally asserts exact row-set
+    equality source vs final, the 64->4 file collapse, and that v1's
+    directory is gone while time travel to v2 still works. v1's
+    signature row is eagerly localCheckpoint'ed BEFORE the vacuum
+    (reading it later would fail — that ordering is the point).
+
+    Rows-only: the lifecycle is imperative multi-version I/O; DuckDB
+    has no analog. Scale: every data-plane step is one shuffle over
+    the affected partitions; VACUUM is driver-side metadata work
+    proportional to version count, never rows.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from conversadocs_spark.functions.zorder import (
+        _scale_to_bits,
+        z_value,
+    )
+    from conversadocs_spark.plans.ingestion import _SCRATCH
+    from conversadocs_spark.sources.sink import (
+        read_versioned,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    table = _os.path.join(_SCRATCH, f"lifecycle_{tag}")
+    _shutil.rmtree(table, ignore_errors=True)
+
+    cols = [
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+        "l_extendedprice",
+    ]
+    src = (
+        io.table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 13 == 0)
+        .select(*cols)
+    )
+
+    def sig(df: DataFrame, stage: str, version: int) -> DataFrame:
+        h = F.xxhash64(*cols) % F.lit(1_000_000_007)
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(h).cast("bigint").alias("content_sig"),
+        ).select(
+            F.lit(stage).alias("stage"),
+            F.lit(version).cast("int").alias("version"),
+            "n_rows",
+            "content_sig",
+        )
+
+    def n_files(version: int) -> int:
+        vdir = _os.path.join(table, f"v={version}")
+        total = 0
+        for root, _dirs, files in _os.walk(vdir):
+            total += sum(f.endswith(".parquet") for f in files)
+        return total
+
+    # v1: fragmented micro-batch landing layout
+    write_versioned(src.repartition(64), table)
+    # v2: OPTIMIZE bin-pack (content-preserving keyed repartition)
+    write_versioned(
+        read_versioned(spark, table, 1).repartition(4, "l_orderkey"),
+        table,
+    )
+    # v3: OPTIMIZE ZORDER on (l_partkey, l_extendedprice)
+    v2df = read_versioned(spark, table, 2)
+    bounds = v2df.agg(
+        F.min("l_partkey").alias("_xlo"),
+        F.max("l_partkey").alias("_xhi"),
+        F.min("l_extendedprice").alias("_ylo"),
+        F.max("l_extendedprice").alias("_yhi"),
+    )
+    zdf = (
+        v2df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_z",
+            z_value(
+                _scale_to_bits(
+                    F.col("l_partkey"), F.col("_xlo"), F.col("_xhi"),
+                    10,
+                ),
+                _scale_to_bits(
+                    F.col("l_extendedprice"), F.col("_ylo"),
+                    F.col("_yhi"), 10,
+                ),
+                10,
+            ),
+        )
+        .repartitionByRange(4, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_xlo", "_xhi", "_ylo", "_yhi")
+    )
+    write_versioned(zdf, table)
+
+    files_per_v = {v: n_files(v) for v in (1, 2, 3)}
+    # v1's signature must be captured BEFORE vacuum removes its files
+    staged = (
+        sig(src, "source", 0)
+        .unionByName(sig(read_versioned(spark, table, 1),
+                         "v1_fragmented", 1))
+        .unionByName(sig(read_versioned(spark, table, 2),
+                         "v2_compacted", 2))
+        .unionByName(sig(read_versioned(spark, table, 3),
+                         "v3_zordered", 3))
+        .localCheckpoint(eager=True)
+    )
+    vacuum_versions(table, keep_last=2)
+    after = sig(
+        read_versioned(spark, table, None), "after_vacuum_latest", 3
+    )
+    out = staged.unionByName(after)
+    nf = F.create_map(
+        *[x for v, c in files_per_v.items()
+          for x in (F.lit(v), F.lit(c))]
+    )
+    return out.select(
+        "stage", "version", "n_rows", "content_sig",
+        F.coalesce(
+            F.element_at(nf, F.col("version")),
+            F.lit(None).cast("int"),
+        ).alias("n_files"),
+    )

@@ -20,7 +20,8 @@ Bounds, per file (reviewed r9):
 - plans/eventtime.py 1: 24-row hour grid.
 - plans/joins.py 4: nation/region dims, supplier dim (star), 5-row
   null-key fixture.
-- plans/lake.py 1: CDC change batch (micro-batch sized).
+- plans/lake.py 2: CDC change batch (micro-batch sized); 1-row
+  Z-order bounds aggregate in the composed OPTIMIZE lifecycle.
 - plans/lm.py 4: 1-row vocab-cut / median aggregates, k-row vocab.
 - plans/pipeline.py 9: 1-row totals/budget, per-source k-row tables,
   32-row partition-offset table, eval n-gram set (contamination: the
@@ -57,7 +58,7 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/analytics.py": 7,
     "plans/eventtime.py": 1,
     "plans/joins.py": 4,
-    "plans/lake.py": 1,
+    "plans/lake.py": 2,
     "plans/lm.py": 4,
     "plans/pipeline.py": 9,
     "plans/rag.py": 1,

@@ -134,3 +134,56 @@ def test_lake_compact_collapses_file_count(spark, sf_oracle_dir):
         assert md.num_rows <= 500_000
         total += md.num_rows
     assert total == n
+
+
+def test_lake_optimize_lifecycle_preserves_rows_and_vacuums(
+    spark, sf_oracle_dir
+):
+    """The composed write->compact->zorder->vacuum cadence: every
+    stage carries the identical row count and order-insensitive
+    content signature; the fragmented v1 collapses 64 -> 4 files by
+    v2; after VACUUM v1's directory is physically gone while time
+    travel to v2 and the latest marker (v3) still serve the same
+    rows."""
+    import os
+
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+    from conversadocs_spark.plans.ingestion import _SCRATCH
+    from conversadocs_spark.sources.sink import read_versioned
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.stage: r
+        for r in QUERIES["lake_optimize_lifecycle"](
+            spark, sf_oracle_dir
+        ).collect()
+    }
+    assert set(rows) == {
+        "source", "v1_fragmented", "v2_compacted", "v3_zordered",
+        "after_vacuum_latest",
+    }
+    sigs = {(r.n_rows, r.content_sig) for r in rows.values()}
+    assert len(sigs) == 1, rows
+    assert rows["v1_fragmented"].n_files == 64
+    assert rows["v2_compacted"].n_files <= 8
+    assert rows["v3_zordered"].n_files <= 8
+
+    tag = os.path.basename(sf_oracle_dir.rstrip("/"))
+    table = os.path.join(_SCRATCH, f"lifecycle_{tag}")
+    assert not os.path.exists(os.path.join(table, "v=1"))
+    assert os.path.exists(os.path.join(table, "v=2"))
+
+    # exact row-set identity source vs final (signatures could in
+    # principle collide; the symmetric difference cannot)
+    src = (
+        io.table(spark, sf_oracle_dir, "lineitem")
+        .where(F.col("l_orderkey") % 13 == 0)
+        .select("l_orderkey", "l_partkey", "l_linenumber",
+                "l_quantity", "l_extendedprice")
+    )
+    final = read_versioned(spark, table, None)
+    assert final.exceptAll(src).count() == 0
+    assert src.exceptAll(final).count() == 0
+    # time travel to the retained middle version still works
+    assert read_versioned(spark, table, 2).count() == src.count()
