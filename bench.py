@@ -45,6 +45,8 @@ HEADLINE = (
     # added r8:
     "knn_binary",       # 1-bit quantized tier: packed Hamming + rescore
     "token_budget_select",  # quality-ordered budget fill, bucket plan
+    # added r9:
+    "knn_binary_batch",  # batch retrieval: map-side-pruned per-query topk
 )
 
 
