@@ -465,13 +465,24 @@ def audit_bpe_batched_jobs(spark, sf_dir) -> list[str]:
     """r7 (VERDICT r6 #2): BPE training must batch non-interacting
     merges so a vocab-size merge budget is NOT a vocab-size sequence
     of Spark jobs. Records merges/jobs at this scale; fails if the
-    batching stops engaging (jobs >= merges)."""
+    batching stops engaging (jobs >= merges).
+
+    r9 (VERDICT r8 #4): also runs mode='auto' — the driver-side heap
+    trainer over the one-job (word, freq) aggregate — and fails
+    unless it (a) engages the local path at this scale, (b) produces
+    the BIT-IDENTICAL merge sequence, and (c) costs exactly 1 Spark
+    job. Records both wall-clocks so the gate file shows the
+    job-count/wall-clock collapse."""
+    import time as _time
+
     from conversadocs_spark import io
     from conversadocs_spark.operators.bpe import bpe_train
 
     docs = io.table(spark, sf_dir, "documents")
     stats: dict = {}
+    t0 = _time.time()
     merges = bpe_train(docs, n_merges=40, min_pair_count=2, stats=stats)
+    t_batched = _time.time() - t0
     ok = (
         len(merges) > 0
         and stats["jobs"] < stats["merges"]
@@ -480,10 +491,33 @@ def audit_bpe_batched_jobs(spark, sf_dir) -> list[str]:
     print(
         f"audit bpe_batched_jobs: merges={stats['merges']} "
         f"jobs={stats['jobs']} merges/job={ratio:.1f} "
+        f"wall={t_batched:.1f}s "
         f"{'OK' if ok else 'FAIL'}",
         flush=True,
     )
-    return [] if ok else ["bpe_batched_jobs"]
+    a_stats: dict = {}
+    t0 = _time.time()
+    auto = bpe_train(
+        docs, n_merges=40, min_pair_count=2, mode="auto",
+        stats=a_stats,
+    )
+    t_auto = _time.time() - t0
+    auto_ok = (
+        auto == merges
+        and a_stats.get("mode") == "local"
+        and a_stats.get("jobs") == 1
+    )
+    print(
+        f"audit bpe_local_mode: mode={a_stats.get('mode')} "
+        f"jobs={a_stats.get('jobs')} identical={auto == merges} "
+        f"wall={t_auto:.1f}s (vs batched {t_batched:.1f}s) "
+        f"{'OK' if auto_ok else 'FAIL'}",
+        flush=True,
+    )
+    out = [] if ok else ["bpe_batched_jobs"]
+    if not auto_ok:
+        out.append("bpe_local_mode")
+    return out
 
 
 def audit_hot_bucket_cap(spark) -> list[str]:

@@ -461,3 +461,64 @@ def test_bpe_train_local_budget_guard(spark, sf_dir):
                      driver_vocab_budget=3, stats=auto_stats)
     assert auto == bat
     assert auto_stats["mode"] == "batched"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet=st.sampled_from("abcd"), min_size=1,
+                    max_size=6),
+            st.integers(1, 9),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    n_merges=st.integers(1, 20),
+)
+def test_bpe_local_trainer_fuzz_matches_sequential_reference(
+    words, n_merges
+):
+    """Property pin for the r9 driver-side heap trainer: on ANY small
+    weighted vocabulary, _train_merges_local must reproduce the
+    classic sequential Sennrich loop exactly — same pairs, same
+    order, same counts (incremental pair-count deltas + lazy heap
+    must be unobservable)."""
+    from collections import Counter
+
+    from conversadocs_spark.operators.bpe import _train_merges_local
+
+    freqs = dict(words)
+    vocab = {w: list(w) + ["</w>"] for w in freqs}
+    want = []
+    for step in range(n_merges):
+        stats = Counter()
+        for w, syms in vocab.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        if not stats:
+            break
+        (left, right), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        want.append((step, left, right, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    got = _train_merges_local(list(words), n_merges, min_pair_count=2)
+    assert got == want, (words, n_merges, got, want)
