@@ -1107,6 +1107,12 @@ def knn_binary_batch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
        hash-shuffles (plan-pinned in tests/test_vector.py), exactly
        like knn_matryoshka's refine stage;
     4. the final per-query top-3 window runs over ≤ Q×50 rows.
+
+    Q bound: the Hamming pass is O(N×Q) integer ops with Q codes in
+    executor memory (48 bytes/query at 384 dims) — fine into the
+    thousands of queries per pass; a larger serving batch splits into
+    Q-sized chunks over the SAME corpus scan cadence rather than
+    growing the broadcast.
     """
     from pyspark.sql import Window
 
