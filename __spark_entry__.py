@@ -139,10 +139,12 @@ _DRIVER_ORDER = [
     # rotated in; out goes funnel_conversion, green r6+r7;
     # cohort_retention keeps the event-analytics pair's row)
     "outlier_mad",
-    # training-data pipeline (all oracle-checked; span_dedup new in r6
-    # — never driver-recorded, so it takes agg_rollup's slot per the
-    # COVERAGE.md rotation policy)
-    "span_dedup",
+    # training-data pipeline (all oracle-checked; span_dedup rotated
+    # to the tail in r9 — green r6-r8 driver rows — so the new
+    # ExactSubstr stride-1 duplication profile gets its first row;
+    # the dedup family keeps dedup_incremental /
+    # dedup_semantic_clusters plus this slot)
+    "dedup_substring",
     "sample_group_topk", "length_histogram", "quality_filter_stack",
     # k-fold CV assignment + scalable row ids (oracle-backed, new —
     # rotated in; out go agg_grouped and join_star, green r1-r5)
@@ -194,7 +196,7 @@ _DRIVER_ORDER = [
     "join_null_safe", "sql_correlated_subqueries",
     # --- 50 ---
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
-    "lm_bigram_score", "agg_grouping_sets",
+    "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     # r8 tail rotations (green r6+r7 driver rows; see head notes)
     "variant_funcs", "bm25_topk", "hybrid_rrf", "funnel_conversion",
     "sessionize",

@@ -583,6 +583,128 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# exact-substring duplication profile — stride-1 window dedup telemetry
+# --------------------------------------------------------------------------
+
+_SUBSTR_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+w AS (
+    SELECT doc_id, len(t) AS n_tok,
+           unnest(range(1, len(t) - 6)) AS pos,
+           unnest(list_transform(
+               range(1, len(t) - 6),
+               i -> array_to_string(list_slice(t, i, i + 7), ' ')))
+               AS span
+    FROM toks
+    WHERE len(t) >= 8
+),
+dup AS (
+    SELECT span FROM w GROUP BY span HAVING count(*) >= 2
+),
+dw AS (
+    SELECT doc_id, n_tok, pos,
+           lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM w WHERE span IN (SELECT span FROM dup)
+)
+SELECT doc_id, n_dup_windows, dup_tokens,
+       ROUND(dup_tokens * 1.0 / n_tok, 6) AS dup_ratio,
+       ROUND(dup_tokens * 1.0 / n_tok, 6) < 0.5 AS keep
+FROM (
+    SELECT doc_id, max(n_tok) AS n_tok,
+           CAST(count(*) AS BIGINT) AS n_dup_windows,
+           CAST(sum(least(8, coalesce(nxt - pos, 8))) AS BIGINT)
+               AS dup_tokens
+    FROM dw GROUP BY doc_id
+)
+"""
+
+
+@register("dedup_substring", oracle=_SUBSTR_ORACLE,
+          tags=("pipeline", "dedup"))
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    STRIDE-1 8-token window is checked against the corpus-wide window
+    multiset; a window occurring >= 2 times anywhere (including
+    self-repetition inside one document) is a duplicated span. Per
+    document the query reports the duplicated-window count, the number
+    of token positions covered by at least one duplicated window
+    (union of the overlapping [p, p+7] intervals), the covered
+    fraction, and the ExactSubstr-style curation verdict
+    (``keep`` = rounded covered fraction < 0.5). This closes the dedup
+    family's last gap: exact / MinHash / SimHash / n-gram / embedding /
+    span-block (C4) existed, the suffix-array-equivalent *substring*
+    profile did not. The reference corpus loader (bones.py:34-60)
+    ingests documents verbatim with no dedup — this is engine-added
+    curation surface.
+
+    Scale shape (linear, not suffix-array): the stride-1 explode is
+    O(total tokens) slim rows; duplicate detection is a
+    groupBy(span).count() HAVING >= 2 — partial counts combine
+    map-side, so a boilerplate span with 10^9 occurrences contributes
+    one row per input partition to the shuffle, and the survivors come
+    back via a left-semi join (AQE skew-splits a hot span's join
+    bucket; no sort touches the full occurrence list). Interval-union
+    coverage runs under a PER-DOCUMENT window (lead over pos), bounded
+    by document length — never corpus-wide. At 100 TB the span strings
+    themselves dominate the shuffle; swap the join/group key for
+    xxhash64(span) to shrink it 10x (same plan, 64-bit keys) — kept as
+    raw text here so the oracle semantics are hash-free.
+    """
+    from pyspark.sql import Window
+
+    d = io.table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 8
+    )
+    spans = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 7),
+                lambda i: F.array_join(F.slice("t", i, 8), " "),
+            )
+        ).alias("pos0", "span"),
+    ).select("doc_id", "n_tok", (F.col("pos0") + 1).alias("pos"), "span")
+    dups = (
+        spans.groupBy("span")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+        .select("span")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    cov = spans.join(dups, "span", "left_semi").withColumn(
+        "nxt", F.lead("pos").over(w_doc)
+    )
+    ratio = F.round(F.col("dup_tokens") / F.col("_n_tok"), 6)
+    return (
+        cov.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dup_windows"),
+            F.sum(
+                F.least(
+                    F.lit(8),
+                    F.coalesce(F.col("nxt") - F.col("pos"), F.lit(8)),
+                )
+            )
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.max("n_tok").alias("_n_tok"),
+        )
+        .select(
+            "doc_id",
+            "n_dup_windows",
+            "dup_tokens",
+            ratio.alias("dup_ratio"),
+            (ratio < 0.5).alias("keep"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # incremental dedup (daily-increment lifecycle, operators/incremental.py)
 # --------------------------------------------------------------------------
 

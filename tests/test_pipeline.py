@@ -171,6 +171,36 @@ def test_span_dedup_matches_oracle(spark):
     assert_query_matches_oracle(spark, "span_dedup", SF_ORACLE)
 
 
+def test_dedup_substring_matches_oracle(spark):
+    assert_query_matches_oracle(spark, "dedup_substring", SF_ORACLE)
+
+
+def test_dedup_substring_interval_union_merges(spark):
+    """The covered-token count must be the UNION of overlapping
+    [p, p+7] intervals, not 8 x window count: on the near-dup-heavy
+    fixture the flagged docs carry runs of consecutive duplicated
+    windows, so dup_tokens < 8 * n_dup_windows for at least one doc
+    while never dropping below the per-window floor
+    (dup_tokens >= n_dup_windows when windows overlap at stride 1,
+    and dup_tokens <= n_dup_windows + 7 for one contiguous run)."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark.plans import QUERIES
+
+    out = QUERIES["dedup_substring"](spark, SF_ORACLE)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert any(r["dup_tokens"] < 8 * r["n_dup_windows"] for r in rows)
+    for r in rows:
+        assert 1 <= r["dup_tokens"] <= 8 * r["n_dup_windows"]
+        assert 0.0 < r["dup_ratio"] <= 1.0
+        assert r["keep"] == (r["dup_ratio"] < 0.5)
+    # flagged docs are a strict subset of the corpus
+    from conversadocs_spark import io
+
+    assert len(rows) < io.table(spark, SF_ORACLE, "documents").count()
+
+
 def test_rep_level_clusters_equal_pair_level(spark):
     """The representative-level shortcut in dedup_clusters must yield
     exactly the clusters of connected components over the fully

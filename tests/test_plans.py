@@ -136,6 +136,19 @@ def test_span_dedup_first_pick_is_aggregate_not_window(spark):
     assert "LeftSemi" in plan
 
 
+def test_dedup_substring_window_is_per_doc_only(spark):
+    """Duplicate detection must be a map-side-reducible count
+    aggregate + semi join; the ONLY window in the plan is the
+    per-document interval-union lead(), never one partitioned by
+    span (a boilerplate span's occurrence list would sort in one
+    task at corpus scale)."""
+    plan = _plan(spark, "dedup_substring")
+    assert "partial_count" in plan  # map-side combine on dup spans
+    assert "LeftSemi" in plan
+    assert plan.count("windowspecdefinition(doc_id") == 1
+    assert "windowspecdefinition(span" not in plan
+
+
 @pytest.mark.parametrize(
     "name",
     [
