@@ -61,14 +61,13 @@ _DRIVER_ORDER = [
     # rotated in; out goes agg_grouping_sets, green r7+r8, the
     # aggregates family keeps agg_percentile + agg_unpivot)
     "knn_binary_batch",
-    # r7 addition: persisted-index serving with manifest-driven
-    # planning (oracle-backed, new -> top-50 for its first driver row;
-    # out goes scan_orc_roundtrip, green r6, scan family keeps the
-    # corrupt-tolerant + schema-evolution head rows)
-    "knn_auto_indexed",
     # semantic duplicate clusters (oracle-backed, new — rotated in;
     # out goes knn_per_query, green r1-r5)
     "dedup_semantic_clusters",
+    # r9: SemDeDup cluster-partitioned semantic pruning (oracle-backed,
+    # new — rotated in; out goes knn_auto_indexed, green r7+r8, the
+    # vector family keeps five other head rows)
+    "semdedup_prune",
     # retrieval family row (bm25_topk / hybrid_rrf rotated to the
     # tail in r8 with green r6+r7 rows)
     "rerank_topk",
@@ -110,10 +109,11 @@ _DRIVER_ORDER = [
     # r6 — so the new OPTIMIZE-ZORDER lifecycle gets its first row;
     # table_diff + lake_zorder_scan carry the family)
     "lake_zorder_scan",
-    # event analytics (r6 continuation: ordered funnel + cohort
-    # retention — new, rotated in; displacing corpus_split_shuffle
-    # and stratified_sample, green driver rows in r5)
-    "cohort_retention",
+    # r9: DSIR hashed-ngram importance resampling (oracle-backed, new
+    # — rotated in; out goes cohort_retention, green r6+r7+r8, the
+    # event-analytics family keeps event_transitions + anomaly_zscore
+    # + window_range_time)
+    "dsir_select",
     # r6 continuation wave 2: RANGE-frame rolling window, Markov
     # transition matrix, and the Deequ-style rule sweep — all new
     # (dq_audit rotated to the tail late-r7 with its green r6 row so
@@ -197,6 +197,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
+    "knn_auto_indexed", "cohort_retention",
     # r8 tail rotations (green r6+r7 driver rows; see head notes)
     "variant_funcs", "bm25_topk", "hybrid_rrf", "funnel_conversion",
     "sessionize",

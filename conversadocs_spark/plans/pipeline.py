@@ -1478,3 +1478,158 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         kept_boundary.select("doc_id", "quality_score", "n_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (hashed n-gram domain selection)
+# --------------------------------------------------------------------------
+
+_DSIR_B = 64
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+),
+toks2 AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+               % {_DSIR_B} AS b
+    FROM toks WHERE term <> ''
+),
+p AS (
+    SELECT b, count(*) AS p_cnt FROM toks2
+    WHERE source = 'src0' GROUP BY b
+),
+qt AS (
+    SELECT b, count(*) AS q_cnt FROM toks2
+    WHERE source <> 'src0' GROUP BY b
+),
+tot AS (
+    SELECT (SELECT count(*) FROM toks2 WHERE source = 'src0')
+               AS t_total,
+           (SELECT count(*) FROM toks2 WHERE source <> 'src0')
+               AS q_total
+),
+w AS (
+    SELECT qt.b,
+           CAST(round(
+               (ln((COALESCE(p.p_cnt, 0) + 1.0)
+                   / (tot.t_total + {_DSIR_B}.0))
+                - ln((qt.q_cnt + 1.0) / (tot.q_total + {_DSIR_B}.0)))
+               * 1000000, 0) AS BIGINT) AS lwf
+    FROM qt LEFT JOIN p USING (b), tot
+),
+scored AS (
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(w.lwf) AS DOUBLE) / 1000000.0, 6)
+               AS log_weight
+    FROM toks2 t JOIN w USING (b)
+    WHERE t.source <> 'src0'
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, log_weight
+FROM scored
+ORDER BY log_weight DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+@register("dsir_select", oracle=_DSIR_ORACLE, tags=("pipeline",))
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): pick the raw-pool documents whose hashed
+    n-gram distribution looks most like a target domain. Features are
+    unigrams hashed into B=64 buckets (the md5-prefix arithmetic both
+    engines evaluate identically — the cms_term_freq idiom); the
+    target LM p is add-one-smoothed bucket frequencies over the
+    'src0' documents, the raw LM q the same over everything else; a
+    pool document's importance is sum_tokens(log p[b] - log q[b]).
+    The paper resamples with Gumbel noise; this query pins the
+    deterministic top-k variant (highest importance first, doc_id
+    tie-break) so the whole selection is oracle-checkable.
+
+    Fixed-point BIGINT log-ratios (round(ln*1e6) BEFORE summation, the
+    lm_bigram_score trick) make the per-document sum exact and
+    partition-order independent — cross-engine float drift cannot
+    flip the top-50 cut.
+
+    Scale shape: the bucket tables are B rows however big the corpus
+    (two map-side-combined aggregates over one token explode); the
+    totals are 1-row aggregates; the weight table broadcast back is
+    B rows. Scoring is ONE groupBy(doc_id) over the token stream with
+    the B-row weight table broadcast-joined in — no shuffle keyed on
+    anything wider than doc_id — and the final cut is a
+    TakeOrderedAndProject, never a global sort. At 100 TB the paper's
+    B=10k bucket table is still bytes; the only corpus-sized work is
+    the token explode, shared via one persisted relation (the
+    lm_bigram_score cache-the-shared-pass move, same documented
+    LRU-eviction caveat)."""
+    d = io.table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("term").cast("binary")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % _DSIR_B
+            ).alias("b"),
+        )
+        .persist()
+    )
+    tgt = toks.where(F.col("source") == "src0")
+    pool = toks.where(F.col("source") != "src0")
+    p_tab = tgt.groupBy("b").agg(F.count("*").alias("p_cnt"))
+    q_tab = pool.groupBy("b").agg(F.count("*").alias("q_cnt"))
+    totals = tgt.agg(F.count("*").alias("t_total")).crossJoin(
+        F.broadcast(pool.agg(F.count("*").alias("q_total")))
+    )
+    weights = (
+        q_tab.join(p_tab, "b", "left")
+        .na.fill({"p_cnt": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.col("p_cnt") + F.lit(1.0))
+                        / (F.col("t_total") + F.lit(float(_DSIR_B)))
+                    )
+                    - F.log(
+                        (F.col("q_cnt") + F.lit(1.0))
+                        / (F.col("q_total") + F.lit(float(_DSIR_B)))
+                    )
+                )
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("bigint")
+            .alias("lwf"),
+        )
+    )
+    scored = (
+        pool.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("lwf").cast("double") / F.lit(1000000.0), 6
+            ).alias("log_weight"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("log_weight"), F.asc("doc_id")
+    ).limit(50)

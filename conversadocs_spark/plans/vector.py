@@ -693,6 +693,189 @@ def dedup_semantic_clusters(spark, sf_dir):
     )
 
 
+_SEMDEDUP_ORACLE = (
+    """
+WITH csims AS (
+    SELECT v.vec_id, s.cid,
+           ROUND(
+               SUM(CAST(v.x AS DOUBLE) * CAST(s.y AS DOUBLE))
+               / (SQRT(SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(s.y AS DOUBLE) * CAST(s.y AS DOUBLE)))),
+               6) AS csim
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id < 500) v
+    JOIN (SELECT vec_id AS cid, unnest(embedding) AS y,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings
+          WHERE vec_id < 500 AND vec_id % 250 = 0) s USING (i)
+    GROUP BY v.vec_id, s.cid
+),
+assigned AS (
+    SELECT vec_id, cid AS cluster_id, csim AS centroid_sim
+    FROM (SELECT vec_id, cid, csim,
+                 row_number() OVER (PARTITION BY vec_id
+                     ORDER BY csim DESC, cid ASC) AS rn
+          FROM csims) r
+    WHERE rn = 1
+),
+pairs AS (
+    SELECT p.id1, p.id2
+    FROM (
+"""
+    + _SQL_COSINE_PAIRS.format(
+        id1="id1",
+        id2="id2",
+        filter_a="WHERE vec_id < 500",
+        filter_b="WHERE vec_id < 500",
+        pair_pred="WHERE a.vec_id < b.vec_id",
+    )
+    + """
+    ) p
+    JOIN assigned a1 ON a1.vec_id = p.id1
+    JOIN assigned a2 ON a2.vec_id = p.id2
+    WHERE a1.cluster_id = a2.cluster_id AND round(p.sim, 6) >= 0.3
+),
+edges AS (
+    SELECT id1 AS pid, id2 AS qid FROM pairs
+    UNION ALL
+    SELECT id2, id1 FROM pairs
+),
+pruned AS (
+    SELECT DISTINCT e.pid
+    FROM edges e
+    JOIN assigned p ON p.vec_id = e.pid
+    JOIN assigned q ON q.vec_id = e.qid
+    WHERE q.centroid_sim < p.centroid_sim
+       OR (q.centroid_sim = p.centroid_sim AND q.vec_id < p.vec_id)
+)
+SELECT a.vec_id, a.cluster_id, a.centroid_sim,
+       pr.pid IS NULL AS is_kept
+FROM assigned a
+LEFT JOIN pruned pr ON pr.pid = a.vec_id
+"""
+)
+
+
+@register(
+    "semdedup_prune",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("vector", "dedup"),
+)
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster-partitioned semantic pruning — the SCALE-correct
+    complement to `dedup_semantic_clusters`' transitive collapse.
+    Assign every vector to its nearest centroid, compare pairs ONLY
+    within a cluster, and inside each duplicate neighborhood keep the
+    point LEAST similar to its centroid (the paper's rule: the most
+    prototypical copies are redundant with the centroid itself).
+
+    Semantics pinned here: centroids are the deterministic seed rows
+    (vec_id % 250 == 0 — fixed seeds rather than k-means iterations so
+    DuckDB can replay the assignment exactly); a point is pruned iff
+    some same-cluster neighbor with pair-cosine >= 0.3 has a strictly
+    lower (centroid_sim, vec_id) key. Non-recursive by design — each
+    point consults only its direct tau-neighbors, so the decision is
+    one join, not an iterative closure (that form is
+    `dedup_semantic_clusters`).
+
+    Scale shape (the reason SemDeDup exists at 100 TB): assignment is
+    the zero-shuffle packed-broadcast argmax from operators/ivf.py
+    (K x dim doubles in ONE broadcast row, no Exchange between scan
+    and argmax); the quadratic pair join is equi-keyed on cluster_id,
+    so candidate count drops from n^2 to sum_k(n_k^2) — with K sized
+    ~sqrt(n/avg_cluster), orders of magnitude below all-pairs — and
+    the survivor rule is one more equi-join plus a left anti lookup.
+    The vec_id < 500 bound keeps the DuckDB oracle's all-pairs
+    verification constant-cost at every gate scale; the Spark plan
+    never materializes cross-cluster pairs at any scale.
+    """
+    emb = io.table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 500
+    )
+    seeds = emb.where(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("centroid"),
+    )
+    packed = seeds.agg(
+        F.collect_list(F.struct("cid", "centroid")).alias("cents")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(
+                    cosine_similarity(F.col("embedding"), c["centroid"]),
+                    6,
+                ).alias("csim"),
+                (-c["cid"]).alias("neg_cid"),
+            ),
+        )
+    )
+    assigned = emb.crossJoin(F.broadcast(packed)).select(
+        "vec_id",
+        "embedding",
+        (-best["neg_cid"]).alias("cluster_id"),
+        best["csim"].alias("centroid_sim"),
+    )
+    a = assigned.select(
+        "cluster_id",
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("emb1"),
+        F.col("centroid_sim").alias("sim1"),
+    )
+    b = assigned.select(
+        "cluster_id",
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("emb2"),
+        F.col("centroid_sim").alias("sim2"),
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .where(F.col("id1") < F.col("id2"))
+        .where(
+            F.round(
+                cosine_similarity(F.col("emb1"), F.col("emb2")), 6
+            )
+            >= 0.3
+        )
+        .select("id1", "id2", "sim1", "sim2")
+    )
+    edges = pairs.select(
+        F.col("id1").alias("pid"),
+        F.col("sim1").alias("psim"),
+        F.col("id2").alias("qid"),
+        F.col("sim2").alias("qsim"),
+    ).unionAll(
+        pairs.select(
+            F.col("id2").alias("pid"),
+            F.col("sim2").alias("psim"),
+            F.col("id1").alias("qid"),
+            F.col("sim1").alias("qsim"),
+        )
+    )
+    pruned = (
+        edges.where(
+            (F.col("qsim") < F.col("psim"))
+            | (
+                (F.col("qsim") == F.col("psim"))
+                & (F.col("qid") < F.col("pid"))
+            )
+        )
+        .select("pid")
+        .distinct()
+    )
+    return assigned.join(
+        pruned, assigned["vec_id"] == pruned["pid"], "left"
+    ).select(
+        "vec_id",
+        "cluster_id",
+        "centroid_sim",
+        F.col("pid").isNull().alias("is_kept"),
+    )
+
+
 @register("ann_ivfpq", tags=("vector", "rows-only"))
 def ann_ivfpq(spark, sf_dir):
     """IVF-PQ — the canonical billion-scale pairing (coarse cell

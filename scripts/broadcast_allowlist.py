@@ -23,17 +23,22 @@ Bounds, per file (reviewed r9):
 - plans/lake.py 2: CDC change batch (micro-batch sized); 1-row
   Z-order bounds aggregate in the composed OPTIMIZE lifecycle.
 - plans/lm.py 4: 1-row vocab-cut / median aggregates, k-row vocab.
-- plans/pipeline.py 9: 1-row totals/budget, per-source k-row tables,
+- plans/pipeline.py 12: 1-row totals/budget, per-source k-row tables,
   32-row partition-offset table, eval n-gram set (contamination: the
-  held-out eval set is small by definition).
+  held-out eval set is small by definition); r9 dsir_select adds two
+  1-row token totals and the B=64-row bucket weight table (B is a
+  constant however big the corpus).
 - plans/rag.py 1: k-row retrieved-context shortlist.
 - plans/retrieval.py 3: 1-row corpus stats, k-row RRF shortlists.
 - plans/streamqueries.py 1: event_type dim.
 - plans/text.py 2: vocab df table (bounded by vocab), 1-row N.
-- plans/vector.py 12: 1-row query vectors, 50-row shortlists,
+- plans/vector.py 13: 1-row query vectors, 50-row shortlists,
   provenance top-k (flipped small side per ADVICE r8); r9 batch
   retrieval adds a Q-row packed-query batch, a Q×50 shortlist, and a
-  Q-row float query table (all bounded by the query batch).
+  Q-row float query table (all bounded by the query batch); r9
+  semdedup_prune adds the 1-row packed seed-centroid side (K x dim
+  doubles folded into one row, the operators/ivf.py assignment
+  idiom).
 - streaming/cdc.py 1: per-micro-batch CDC delta.
 - functions/zorder.py 1: 1-row min/max bounds aggregate.
 - operators/incremental.py 1: O(batch) new-doc signatures.
@@ -60,11 +65,11 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/joins.py": 4,
     "plans/lake.py": 2,
     "plans/lm.py": 4,
-    "plans/pipeline.py": 9,
+    "plans/pipeline.py": 12,
     "plans/rag.py": 1,
     "plans/retrieval.py": 3,
     "plans/streamqueries.py": 1,
     "plans/text.py": 2,
-    "plans/vector.py": 12,
+    "plans/vector.py": 13,
     "streaming/cdc.py": 1,
 }

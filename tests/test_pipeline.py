@@ -25,6 +25,7 @@ ORACLE_CHECKED = [
     "length_histogram",
     "lm_bigram_score",
     "quality_filter_stack",
+    "dsir_select",
 ]
 
 
@@ -742,3 +743,46 @@ def test_token_budget_select_no_global_sort_of_corpus(
         "corpus-wide sort crept in — the bucket decomposition is gone"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_select_selects_target_like_pool_docs(
+    spark, sf_oracle_dir
+):
+    """DSIR invariants beyond the oracle hash: exactly 50 rows, every
+    selected doc comes from the raw POOL (never the 'src0' target
+    itself), weights arrive sorted descending with doc_id tie-break,
+    and the scores are non-degenerate (the fixtures' sources differ
+    enough that not every weight is identical)."""
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["dsir_select"](spark, sf_oracle_dir).collect()
+    assert len(rows) == 50
+    target_ids = {
+        r.doc_id
+        for r in io.table(spark, sf_oracle_dir, "documents")
+        .where(F.col("source") == "src0")
+        .select("doc_id")
+        .collect()
+    }
+    assert not ({r.doc_id for r in rows} & target_ids)
+    keys = [(-r.log_weight, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    assert len({r.log_weight for r in rows}) > 1
+    assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_dsir_select_scale_plan_shape(spark, sf_oracle_dir):
+    """Scale pins: the B=64 weight table must come back to the token
+    stream as a BROADCAST hash join (never a shuffled join keyed on
+    the bucket), and the top-50 cut must be TakeOrderedAndProject —
+    no global range-partitioned sort of the scored corpus."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["dsir_select"](spark, sf_oracle_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, (
+        "global sort crept in — the top-k cut must stay TakeOrdered"
+    )
+    assert "BroadcastHashJoin [b" in plan, plan

@@ -869,3 +869,44 @@ def test_knn_binary_batch_recall_floor(spark, sf_oracle_dir):
         want = {-s[1] for s in sims[:3]}
         hit = len(want & set(got[q]))
         assert hit >= 2, (q, got[q], sorted(want))
+
+
+def test_semdedup_prune_paper_rule(spark, sf_oracle_dir):
+    """SemDeDup invariants on the sf0.01 fixtures (the value-level
+    check is the DuckDB oracle; this pins the paper's rule shape):
+    every vec_id<500 point gets exactly one row; both seed clusters
+    (0, 250) are populated; the per-cluster argmin of
+    (centroid_sim, vec_id) is ALWAYS kept (nothing can dominate it);
+    and pruning is non-trivial (the fixtures hold tau-duplicates)."""
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["semdedup_prune"](spark, sf_oracle_dir).collect()
+    assert len(rows) == 500
+    assert len({r.vec_id for r in rows}) == 500
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert set(by_cluster) == {0, 250}
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: (r.centroid_sim, r.vec_id))
+        assert lowest.is_kept
+    assert any(not r.is_kept for r in rows)
+    assert any(r.is_kept for r in rows)
+
+
+def test_semdedup_pair_join_is_equi_keyed(spark, sf_oracle_dir):
+    """The within-cluster pair join must reach Catalyst as an
+    equi-join ON cluster_id (hash/merge join), never a nested-loop
+    over all n^2 pairs — SemDeDup's entire scale claim is that
+    cross-cluster pairs are NEVER materialized."""
+    import re
+
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["semdedup_prune"](spark, sf_oracle_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+        r" \[cluster_id",
+        plan,
+    ), plan
