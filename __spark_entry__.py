@@ -118,7 +118,10 @@ _DRIVER_ORDER = [
     # transition matrix, and the Deequ-style rule sweep — all new
     # (dq_audit rotated to the tail late-r7 with its green r6 row so
     # the compaction half of OPTIMIZE gets its first ledger row)
-    "window_range_time", "event_transitions", "lake_compact_files",
+    # (event_transitions rotated to the tail in r9 — green r7+r8 —
+    # so the recursive-CTE SQL surface gets its first driver row; the
+    # event-analytics family keeps window_range_time + anomaly_zscore)
+    "window_range_time", "lake_compact_files",
     # (window_ignore_nulls rotated to the tail late-r7 with its green
     # r6 row so the CMS sketch — oracle-backed, unusually for a
     # sketch — gets its first ledger row)
@@ -194,10 +197,13 @@ _DRIVER_ORDER = [
     # backed, new — rotated in; out go contamination_ngram and
     # grouped_map_order_seq, green r5)
     "join_null_safe", "sql_correlated_subqueries",
+    # r9: ANSI WITH RECURSIVE run verbatim on both engines (Spark 4
+    # front door; oracle-backed, new — see event_transitions note)
+    "sql_recursive_cte",
     # --- 50 ---
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
-    "knn_auto_indexed", "cohort_retention",
+    "knn_auto_indexed", "cohort_retention", "event_transitions",
     # r8 tail rotations (green r6+r7 driver rows; see head notes)
     "variant_funcs", "bm25_topk", "hybrid_rrf", "funnel_conversion",
     "sessionize",

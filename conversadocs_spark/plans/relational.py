@@ -485,3 +485,51 @@ def ansi_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9223372036854775807), F.col("l_partkey")
         ).alias("safe_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# recursive CTE (ANSI WITH RECURSIVE, Spark 4 front door)
+# --------------------------------------------------------------------------
+
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE walk(custkey, node, depth) AS (
+    SELECT c_custkey, c_custkey, 0 FROM customer
+    UNION ALL
+    SELECT custkey, CAST(floor(node / 10.0) AS BIGINT), depth + 1
+    FROM walk WHERE node >= 10
+)
+SELECT custkey,
+       CAST(min(node) AS BIGINT) AS root_key,
+       CAST(max(depth) AS BIGINT) AS depth
+FROM walk
+GROUP BY custkey
+"""
+
+
+@register(
+    "sql_recursive_cte", oracle=_RECURSIVE_CTE_SQL, tags=("relational",)
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``WITH RECURSIVE`` executed VERBATIM on both engines (the
+    oracle string IS the Spark SQL string, the
+    sql_correlated_subqueries pattern): walk every customer's ancestor
+    chain in the synthetic decimal-shift hierarchy parent(k) =
+    floor(k/10) down to its root, then aggregate (root id, depth) per
+    customer AFTER the recursion — the org-chart / BOM / category-tree
+    query shape, newly expressible since Spark 4's recursive CTE
+    support (SPARK-24497).
+
+    Scale shape: each recursion level is one linear pass over the
+    frontier (rows still holding node >= 10), and the depth bound is
+    log10(max key) — 5 levels at sf0.01, 8 at a trillion keys — so
+    total work is O(n log key), never O(n^2); the terminal aggregation
+    is an ordinary map-side-combinable min/max on the walk output.
+    Divergence guard: the iterative-operator twin of this shape is
+    operators/components.py (which raises on non-convergence); here
+    the frontier predicate strictly shrinks node by 10x per level, and
+    Spark's cteRecursionLevelLimit (default 100) backstops runaway
+    recursion at the engine level."""
+    io.table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    return spark.sql(_RECURSIVE_CTE_SQL)

@@ -214,3 +214,23 @@ def test_new_oracle_queries_match(spark, sf_oracle_dir):
         "kfold_split", "scan_orc_roundtrip",
     ):
         assert_query_matches_oracle(spark, name, sf_oracle_dir)
+
+
+def test_recursive_cte_walk_semantics(spark, sf_oracle_dir):
+    """The recursive ancestor walk must agree with the closed form of
+    the decimal-shift hierarchy: depth(k) = number-of-digits(k) - 1
+    and root(k) = leading digit (k=0 is its own root at depth 0) —
+    i.e. the recursion really iterated to the fixpoint rather than
+    stopping after one level."""
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["sql_recursive_cte"](spark, sf_oracle_dir).collect()
+    assert len(rows) == 1500
+    for r in rows:
+        if r.custkey == 0:
+            assert (r.root_key, r.depth) == (0, 0)
+        else:
+            digits = str(r.custkey)
+            assert r.depth == len(digits) - 1, r
+            assert r.root_key == int(digits[0]), r
+    assert max(r.depth for r in rows) >= 3
