@@ -135,9 +135,11 @@ _DRIVER_ORDER = [
     # r8: token-budget corpus curation (oracle-backed, new — the
     # global-cumsum semantics served by the bucket decomposition)
     "token_budget_select",
-    # wave 4: trailing-baseline anomaly scoring + market-basket lift
-    # (displacing vocab_topk / gopher_repetition — green rows r6)
-    "anomaly_zscore", "basket_lift",
+    # wave 4: trailing-baseline anomaly scoring (+ market-basket lift,
+    # rotated to the tail in r9 — green r7+r8 — so the LATERAL top-k
+    # SQL surface gets its first driver row; analytics keeps
+    # anomaly_zscore + outlier_mad)
+    "anomaly_zscore",
     # r8: robust median/MAD outlier flagging (oracle-backed, new —
     # rotated in; out goes funnel_conversion, green r6+r7;
     # cohort_retention keeps the event-analytics pair's row)
@@ -197,13 +199,15 @@ _DRIVER_ORDER = [
     # backed, new — rotated in; out go contamination_ngram and
     # grouped_map_order_seq, green r5)
     "join_null_safe", "sql_correlated_subqueries",
-    # r9: ANSI WITH RECURSIVE run verbatim on both engines (Spark 4
-    # front door; oracle-backed, new — see event_transitions note)
-    "sql_recursive_cte",
+    # r9: ANSI WITH RECURSIVE + LATERAL correlated top-k, both run
+    # verbatim on both engines (Spark 4 SQL front door; oracle-backed,
+    # new — see event_transitions / basket_lift notes)
+    "sql_recursive_cte", "sql_lateral_topk",
     # --- 50 ---
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
+    "basket_lift",
     # r8 tail rotations (green r6+r7 driver rows; see head notes)
     "variant_funcs", "bm25_topk", "hybrid_rrf", "funnel_conversion",
     "sessionize",

@@ -546,3 +546,46 @@ def sql_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         io.table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SUBQUERY_SQL)
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated top-k (ANSI lateral subquery, Spark 4 front door)
+# --------------------------------------------------------------------------
+
+_LATERAL_TOPK_SQL = """
+SELECT o.o_orderkey, t.l_partkey, t.l_extendedprice
+FROM orders o,
+LATERAL (
+    SELECT l_partkey, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey = o.o_orderkey
+    ORDER BY l_extendedprice DESC, l_partkey ASC
+    LIMIT 2
+) t
+WHERE o.o_orderkey < 100
+"""
+
+
+@register(
+    "sql_lateral_topk", oracle=_LATERAL_TOPK_SQL, tags=("join",)
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LATERAL subquery with correlated ORDER BY + LIMIT — the
+    "top 2 line items per order" form users write directly — executed
+    VERBATIM on both engines (the oracle string IS the Spark SQL
+    string, like sql_correlated_subqueries / sql_recursive_cte).
+
+    The point is the REWRITE: a lateral correlated LIMIT is the
+    classic per-row-re-execution trap, and Catalyst instead
+    de-correlates it into WindowGroupLimit (map-side PARTIAL top-k
+    BEFORE the shuffle, final after) + row_number + a hash join back
+    to the outer side, with the outer predicate transitively pushed
+    into the inner scan (the executed plan shows
+    `Filter (l_orderkey < 100)` on the lineitem side, derived from
+    the join key). Per-group state is k rows at every stage — the
+    same plan you'd hand-write with window_rank, reached through the
+    SQL front door; tests pin WindowGroupLimit presence so a Spark
+    upgrade can't silently regress this into a loop."""
+    for t in ("orders", "lineitem"):
+        io.table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOPK_SQL)

@@ -494,6 +494,7 @@ def ansi_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECURSIVE_CTE_SQL = """
 WITH RECURSIVE walk(custkey, node, depth) AS (
     SELECT c_custkey, c_custkey, 0 FROM customer
+    WHERE c_custkey < 100000
     UNION ALL
     SELECT custkey, CAST(floor(node / 10.0) AS BIGINT), depth + 1
     FROM walk WHERE node >= 10
@@ -528,7 +529,16 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/components.py (which raises on non-convergence); here
     the frontier predicate strictly shrinks node by 10x per level, and
     Spark's cteRecursionLevelLimit (default 100) backstops runaway
-    recursion at the engine level."""
+    recursion at the engine level.
+
+    Engine limit, found by the sf1 scale gate: Spark also caps TOTAL
+    rows emitted across the recursion (spark.sql.cteRecursionRowLimit,
+    default 1M) and an unbounded walk over 150k+ customers (n x depth
+    rows) trips it. The base is bounded to c_custkey < 100000 (<= 600k
+    walk rows at any sf — constant gate cost, same reasoning as
+    semdedup_prune's vec_id bound); a production hierarchy walk raises
+    the conf explicitly rather than having this engine silently weaken
+    the backstop session-wide."""
     io.table(spark, sf_dir, "customer").createOrReplaceTempView(
         "customer"
     )
