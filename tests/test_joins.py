@@ -1,3 +1,9 @@
+"""LATERAL correlated top-k: de-correlation plan pin + closed-form
+recheck (plans/joins.py sql_lateral_topk)."""
+
+from __future__ import annotations
+
+
 
 
 def test_lateral_topk_decorrelates_to_window_group_limit(
