@@ -131,7 +131,10 @@ _DRIVER_ORDER = [
     # rows r5 or earlier; sessionize rotated to the tail in r8 with
     # green r6+r7 rows so the token-budget selection gets its first
     # driver row — event analytics keeps five other head entries)
-    "agg_unpivot", "latest_per_key",
+    # (latest_per_key rotated to the tail in r9 — green r7+r8 — so
+    # the Bloom contamination screen gets its first driver row; the
+    # lake family keeps table_diff + zorder + compact head rows)
+    "agg_unpivot", "contamination_bloom",
     # r8: token-budget corpus curation (oracle-backed, new — the
     # global-cumsum semantics served by the bucket decomposition)
     "token_budget_select",
@@ -207,7 +210,7 @@ _DRIVER_ORDER = [
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
-    "basket_lift",
+    "basket_lift", "latest_per_key",
     # r8 tail rotations (green r6+r7 driver rows; see head notes)
     "variant_funcs", "bm25_topk", "hybrid_rrf", "funnel_conversion",
     "sessionize",

@@ -1633,3 +1633,156 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("log_weight"), F.asc("doc_id")
     ).limit(50)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter contamination screen (bounded-state membership)
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 65536
+_BLOOM_K = 3
+
+_CONTAM_BLOOM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(t) >= {_CONTAM_N}
+                  THEN [array_to_string(t[i:i+{_CONTAM_N - 1}], ' ')
+                        for i in range(1, len(t) - {_CONTAM_N - 2})]
+                  ELSE [array_to_string(t, ' ')]
+             END) AS grams
+    FROM toks
+),
+ev AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20
+),
+ks AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS r),
+bloom AS (
+    SELECT DISTINCT ks.r,
+           CAST(('0x' || substr(
+               md5(CAST(ks.r AS VARCHAR) || ':' || e.gram), 1, 8))
+               AS BIGINT) % {_BLOOM_M} AS pos
+    FROM ev e CROSS JOIN ks
+),
+tr AS (
+    SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+    FROM g WHERE doc_id >= 20
+),
+probe AS (
+    SELECT t.doc_id, t.n_grams, t.gram, ks.r,
+           CAST(('0x' || substr(
+               md5(CAST(ks.r AS VARCHAR) || ':' || t.gram), 1, 8))
+               AS BIGINT) % {_BLOOM_M} AS pos
+    FROM tr t CROSS JOIN ks
+),
+hits AS (
+    SELECT p.doc_id, p.n_grams, p.gram, count(b.r) AS k_hits
+    FROM probe p
+    LEFT JOIN bloom b ON b.r = p.r AND b.pos = p.pos
+    GROUP BY p.doc_id, p.n_grams, p.gram
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(count(CASE WHEN k_hits = {_BLOOM_K} THEN 1 END) AS BIGINT)
+           AS n_flagged,
+       round(CAST(count(CASE WHEN k_hits = {_BLOOM_K} THEN 1 END)
+                  AS DOUBLE) / n_grams, 6) AS flagged_frac
+FROM hits
+GROUP BY doc_id, n_grams
+"""
+
+
+@register(
+    "contamination_bloom",
+    oracle=_CONTAM_BLOOM_ORACLE,
+    tags=("pipeline", "sketch"),
+)
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen — contamination_ngram's
+    bounded-state sibling. The exact screen broadcasts the eval set's
+    DISTINCT 5-grams, which is O(eval corpus bytes); this one
+    broadcasts an m=65536-slot, k=3-hash Bloom filter — O(m)
+    CONSTANT state however large the eval suite grows — and
+    flags a training gram when all k probed bits are set. Bloom
+    guarantee (pinned by test against the exact screen): NO false
+    negatives (n_flagged >= n_shared per doc), false positives
+    bounded by (1 - e^(-kn/m))^k.
+
+    The filter itself is oracle-checkable — the same md5-prefix
+    arithmetic trick as cms_term_freq: bit positions are
+    md5('<r>:<gram>') hex-prefix integers mod m, evaluated
+    byte-identically by both engines, and the "bitset" is the
+    DISTINCT (r, pos) table (<= k*m rows — 24 KB packed — the thing
+    you'd ship as a literal bit array in a production deployment).
+
+    Scale shape: eval side collapses to <= k*m broadcast rows no
+    matter how many benchmark suites feed it; the training side
+    explodes each gram to k probe rows that hash-join the broadcast
+    bloom and immediately re-aggregate — two map-side-combinable
+    groupBys keyed on (doc, gram) then doc, nothing shuffled wider
+    than the training doc ids. The k-times row explosion is the
+    classic Bloom probe trade: k x rows through a tiny broadcast
+    join beats 1 x rows through a giant one.
+    """
+    d = io.table(spark, sf_dir, "documents")
+    g = shingle_docs(d, "text", "doc_id", _CONTAM_N)
+    ks = F.array(*[F.lit(r) for r in range(_BLOOM_K)])
+
+    def pos(gram_col: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            gram_col,
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    ev = (
+        g.where(F.col("id") < 20)
+        .select(F.explode_outer("shingles").alias("gram"))
+        .distinct()
+        .select("gram", F.explode(ks).alias("r"))
+        .select("r", pos(F.col("gram")).alias("pos"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probe = (
+        g.where(F.col("id") >= 20)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.size("shingles").cast("long").alias("n_grams"),
+            F.explode_outer("shingles").alias("gram"),
+        )
+        .select(
+            "doc_id", "n_grams", "gram", F.explode(ks).alias("r")
+        )
+        .withColumn("pos", pos(F.col("gram")))
+    )
+    hits = (
+        probe.join(F.broadcast(ev), ["r", "pos"], "left")
+        .groupBy("doc_id", "n_grams", "gram")
+        .agg(F.count("_hit").alias("k_hits"))
+    )
+    flagged = F.sum(
+        F.when(F.col("k_hits") == _BLOOM_K, 1).otherwise(0)
+    ).cast("long")
+    return hits.groupBy("doc_id", "n_grams").agg(
+        flagged.alias("n_flagged"),
+        F.round(
+            flagged.cast("double") / F.col("n_grams"), 6
+        ).alias("flagged_frac"),
+    )

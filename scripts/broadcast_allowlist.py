@@ -27,7 +27,9 @@ Bounds, per file (reviewed r9):
   32-row partition-offset table, eval n-gram set (contamination: the
   held-out eval set is small by definition); r9 dsir_select adds two
   1-row token totals and the B=64-row bucket weight table (B is a
-  constant however big the corpus).
+  constant however big the corpus); r9 contamination_bloom adds the
+  <= k*m-row (r, pos) Bloom table — O(m) constant state whatever the
+  eval suite size.
 - plans/rag.py 1: k-row retrieved-context shortlist.
 - plans/retrieval.py 3: 1-row corpus stats, k-row RRF shortlists.
 - plans/streamqueries.py 1: event_type dim.
@@ -65,7 +67,7 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/joins.py": 4,
     "plans/lake.py": 2,
     "plans/lm.py": 4,
-    "plans/pipeline.py": 12,
+    "plans/pipeline.py": 13,
     "plans/rag.py": 1,
     "plans/retrieval.py": 3,
     "plans/streamqueries.py": 1,

@@ -786,3 +786,31 @@ def test_dsir_select_scale_plan_shape(spark, sf_oracle_dir):
         "global sort crept in — the top-k cut must stay TakeOrdered"
     )
     assert "BroadcastHashJoin [b" in plan, plan
+
+
+def test_contamination_bloom_no_false_negatives(spark, sf_oracle_dir):
+    """The Bloom screen must dominate the exact screen per document
+    (a set bit can only over-report, never under-report), and the
+    false-positive mass must stay under the (1 - e^(-kn/m))^k
+    envelope's practical budget on the fixtures (<5% of clean
+    grams)."""
+    from conversadocs_spark.plans import QUERIES
+
+    exact = {
+        r.doc_id: r.n_shared
+        for r in QUERIES["contamination_ngram"](
+            spark, sf_oracle_dir
+        ).collect()
+    }
+    bloom_rows = QUERIES["contamination_bloom"](
+        spark, sf_oracle_dir
+    ).collect()
+    assert set(exact) == {r.doc_id for r in bloom_rows}
+    fp = clean = 0
+    for r in bloom_rows:
+        assert r.n_flagged >= exact[r.doc_id], r.doc_id
+        fp += r.n_flagged - exact[r.doc_id]
+        clean += r.n_grams - exact[r.doc_id]
+    assert fp / clean < 0.05, (fp, clean)
+    # the screen provably fires on the planted near-dups
+    assert any(r.n_flagged > 0 for r in bloom_rows)
