@@ -780,3 +780,88 @@ def simhash_near_dups(
     # sig-pair dedup happened BEFORE expansion, so no final
     # output-sized dropDuplicates shuffle is needed.
     return cross.unionByName(intra)
+
+
+def ppjoin_prefix_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT set-similarity join (Xiao et
+    al. 2008, "Efficient Similarity Joins for Near Duplicate
+    Detection"): all (id1 < id2) shingle-set pairs with Jaccard >=
+    threshold, WITHOUT the all-pairs join and WITHOUT LSH's
+    probabilistic recall.
+
+    Prefix-filter theorem: order every document's shingles by one
+    global total order (ascending document frequency, ties by token —
+    rarest first) and keep only the first |x| - ceil(t*|x|) + 1 as its
+    prefix; any pair with J(x,y) >= t MUST share a prefix token. So
+    candidates = pairs sharing >= 1 prefix token (an equi self-join on
+    the token key), then each candidate is verified with the exact
+    intersection/union — recall is 1 by theorem, precision 1 by
+    verification.
+
+    Scale shape vs the alternatives: dedup_ngram_pairs is O(n^2)
+    always; dedup_minhash trades exactness for banding. This join's
+    candidate volume is driven by the RAREST tokens (the prefix is
+    taken from the ascending-frequency end), so the token-key self
+    join's buckets are small by construction — stopword-sized hot
+    buckets never enter the prefix at t >= 0.5. Cost centers: one
+    groupBy(token) for frequencies, one shuffle to re-sort each doc's
+    shingles under the global order, the prefix-token equi-join, and
+    a verify join that touches only candidates."""
+    sh = shingle_docs(df, text_col, id_col, n)
+    tok = sh.select("id", F.explode("shingles").alias("s"))
+    freq = tok.groupBy("s").agg(F.count("*").alias("df_s"))
+    ordered = (
+        tok.join(freq, "s")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_s", "s"))),
+                lambda x: x.getField("s"),
+            ).alias("ordered")
+        )
+    )
+    prefix_len = (
+        F.size("ordered")
+        - F.ceil(F.lit(threshold) * F.size("ordered"))
+        + 1
+    ).cast("int")
+    ptok = ordered.select(
+        "id", F.explode(F.slice("ordered", 1, prefix_len)).alias("s")
+    )
+    cands = (
+        ptok.alias("a")
+        .join(
+            ptok.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"), F.col("b.id").alias("id2")
+        )
+        .distinct()
+    )
+    sim = jaccard(F.col("sh1"), F.col("sh2"))
+    return (
+        cands.join(
+            sh.select(
+                F.col("id").alias("id1"), F.col("shingles").alias("sh1")
+            ),
+            "id1",
+        )
+        .join(
+            sh.select(
+                F.col("id").alias("id2"), F.col("shingles").alias("sh2")
+            ),
+            "id2",
+        )
+        .where(sim >= threshold)
+        .select(
+            "id1", "id2", F.round(sim, 6).alias("jaccard_sim")
+        )
+    )

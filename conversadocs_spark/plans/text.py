@@ -18,6 +18,7 @@ from conversadocs_spark.operators.dedup import (
     dedup_ngram_pairs,
     minhash_near_dups,
     normalize_text,
+    ppjoin_prefix_pairs,
     simhash_near_dups,
 )
 from conversadocs_spark.plans.registry import register
@@ -1051,3 +1052,53 @@ def cms_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("term", "true_n", "est_n")
     )
+
+
+# --------------------------------------------------------------------------
+# PPJoin prefix-filtered exact similarity join
+# --------------------------------------------------------------------------
+
+_DEDUP_PPJOIN_ORACLE = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]
+                  ELSE [text]
+             END) AS shingles
+    FROM documents
+    WHERE doc_id < 300
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+           AS jaccard_sim
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+"""
+
+
+@register(
+    "dedup_ppjoin", oracle=_DEDUP_PPJOIN_ORACLE, tags=("text", "dedup")
+)
+def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filtered EXACT similarity join (operators/
+    dedup.py:ppjoin_prefix_pairs) — the third point in the dedup
+    design space: dedup_ngram_jaccard is brute-force-exact (O(n^2)),
+    dedup_minhash is scalable-probabilistic (LSH banding), this one
+    is scalable-EXACT — the prefix-filter theorem bounds candidates
+    without losing a single qualifying pair, so the ORACLE here is
+    the plain brute-force join and equality is guaranteed by
+    construction, not by a recall argument.
+
+    The doc_id < 300 bound keeps the DuckDB all-pairs oracle
+    constant-cost at every gate scale (the Spark plan itself never
+    builds all pairs at any scale); tests additionally pin candidate
+    count << all-pairs and plan shape (token-key equi-join, no
+    cross)."""
+    d = io.table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    return ppjoin_prefix_pairs(d, threshold=0.5, n=3)

@@ -421,3 +421,81 @@ def test_hot_bucket_cap_bounds_candidates_and_keeps_recall(spark):
     assert hits / len(true_pairs) >= 0.8
     # and no below-threshold boilerplate pair leaks through re-check
     assert all(a >= 10000 and b >= 10000 for a, b in found)
+
+
+def test_ppjoin_equals_brute_force(spark, sf_oracle_dir):
+    """Prefix filtering must be EXACT: the PPJoin result equals the
+    all-pairs Jaccard join at the same threshold, pair for pair,
+    value for value (recall 1 by theorem, precision 1 by verify)."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.dedup import (
+        dedup_ngram_pairs,
+        ppjoin_prefix_pairs,
+    )
+
+    d = io.table(spark, sf_oracle_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    got = {
+        (r.id1, r.id2, r.jaccard_sim)
+        for r in ppjoin_prefix_pairs(d, threshold=0.5, n=3).collect()
+    }
+    want = {
+        (r.id1, r.id2, r.jaccard_sim)
+        for r in dedup_ngram_pairs(d, threshold=0.5, n=3).collect()
+    }
+    assert got == want
+    assert got, "fixtures must contain >= 1 qualifying pair"
+
+
+def test_ppjoin_prunes_candidates(spark, sf_oracle_dir):
+    """The point of the prefix filter: candidate pairs (sharing a
+    rare prefix token) must be far fewer than all pairs — pin a 10x
+    reduction on the fixtures — and the candidate join must reach
+    Catalyst as a token-key equi-join, never a nested loop."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.dedup import shingle_docs
+
+    d = io.table(spark, sf_oracle_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    threshold = 0.5
+    sh = shingle_docs(d, "text", "doc_id", 3)
+    tok = sh.select("id", F.explode("shingles").alias("s"))
+    freq = tok.groupBy("s").agg(F.count("*").alias("df_s"))
+    ordered = (
+        tok.join(freq, "s")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_s", "s"))),
+                lambda x: x.getField("s"),
+            ).alias("ordered")
+        )
+    )
+    prefix_len = (
+        F.size("ordered")
+        - F.ceil(F.lit(threshold) * F.size("ordered"))
+        + 1
+    ).cast("int")
+    ptok = ordered.select(
+        "id", F.explode(F.slice("ordered", 1, prefix_len)).alias("s")
+    )
+    cands = (
+        ptok.alias("a")
+        .join(
+            ptok.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    n_docs = d.count()
+    n_cands = cands.count()
+    assert n_cands * 10 < n_docs * (n_docs - 1) / 2, (
+        n_cands,
+        n_docs,
+    )
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
