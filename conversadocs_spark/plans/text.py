@@ -1068,7 +1068,7 @@ WITH sh AS (
                   ELSE [text]
              END) AS shingles
     FROM documents
-    WHERE doc_id < 300
+    WHERE doc_id < 1000
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -1093,12 +1093,14 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain brute-force join and equality is guaranteed by
     construction, not by a recall argument.
 
-    The doc_id < 300 bound keeps the DuckDB all-pairs oracle
+    The doc_id < 1000 bound keeps the DuckDB all-pairs oracle
     constant-cost at every gate scale (the Spark plan itself never
-    builds all pairs at any scale); tests additionally pin candidate
-    count << all-pairs and plan shape (token-key equi-join, no
-    cross)."""
+    builds all pairs at any scale) while staying wide enough that the
+    sf0.1-derived gate datasets contribute real qualifying pairs (a
+    300-doc bound was a vacuous 0-row MATCH at sf1); tests
+    additionally pin candidate count << all-pairs and plan shape
+    (token-key equi-join, no cross)."""
     d = io.table(spark, sf_dir, "documents").where(
-        F.col("doc_id") < 300
+        F.col("doc_id") < 1000
     )
     return ppjoin_prefix_pairs(d, threshold=0.5, n=3)

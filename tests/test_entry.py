@@ -64,7 +64,15 @@ def test_driver_order_covers_registry_exactly():
                  "sql_correlated_subqueries",
                  "knn_binary_batch", "gopher_repetition",
                  "set_ops_all", "source_mixture_weights",
-                 "udtf_dynamic_schema", "vocab_topk", "window_ntile"):
+                 "udtf_dynamic_schema", "vocab_topk", "window_ntile",
+                 # r9: six new oracle-backed queries take head-50
+                 # slots from knn_auto_indexed / cohort_retention /
+                 # event_transitions / basket_lift / latest_per_key /
+                 # sample_group_topk (each green r7+r8 or r6-r8;
+                 # every displaced family keeps head representatives)
+                 "semdedup_prune", "dsir_select", "sql_recursive_cte",
+                 "sql_lateral_topk", "contamination_bloom",
+                 "dedup_ppjoin"):
         assert must in head
 
 
