@@ -68,6 +68,18 @@ def main() -> int:
     else:
         check(False, "COVERAGE.md count header found")
 
+    readme = open(os.path.join(REPO, "README.md")).read()
+    mr = re.search(
+        r"`COVERAGE\.md` \((\d+) registered queries, (\d+)\s*\n?"
+        r"oracle-checked\)", readme)
+    if mr:
+        check(int(mr.group(1)) == len(q)
+              and int(mr.group(2)) == len(ORACLES),
+              f"README.md counts {mr.groups()} match live registry "
+              f"({len(q)}, {len(ORACLES)})")
+    else:
+        check(False, "README.md count line found")
+
     # .collect( lint — keep in sync with tests/test_plans.py
     collect_allowed = {
         "operators/bpe.py", "operators/logreg.py",
