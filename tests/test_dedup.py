@@ -499,3 +499,43 @@ def test_ppjoin_prunes_candidates(spark, sf_oracle_dir):
     )
     plan = cands._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
+
+
+def test_ppjoin_edge_corpora_equal_brute_force(spark):
+    """Prefix-filter exactness on crafted edge cases, merged into ONE
+    corpus with block-disjoint vocabularies (cross-block Jaccard is 0,
+    so blocks can't interact): identical documents (J=1), documents
+    shorter than the shingle width (the 1-element fallback array),
+    all-ties frequency order, a pair exactly AT the threshold, and a
+    disjoint block (0 pairs). Must match brute force pair-for-pair."""
+    from conversadocs_spark.operators.dedup import (
+        dedup_ngram_pairs,
+        ppjoin_prefix_pairs,
+    )
+
+    docs = [
+        # identical (J=1)
+        (0, "i1 i2 i3 i4 i5 i6"), (1, "i1 i2 i3 i4 i5 i6"),
+        (2, "i1 i2 i3 i4 i5 i6"),
+        # shorter than shingle width (1-element fallback)
+        (10, "hi"), (11, "hi"), (12, "yo"), (13, "s1 s2"),
+        # all-ties frequency order
+        (20, "p q r s"), (21, "q r s t"), (22, "r s t u"),
+        (23, "x y z w"),
+        # exactly at threshold: 3-gram sets of size 3 sharing 2 -> 0.5
+        (30, "a b c d e"), (31, "a b c d f"),
+        # disjoint
+        (40, "d1 d2 d3 d4"), (41, "e1 e2 e3 e4"),
+    ]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id1, r.id2, r.jaccard_sim)
+        for r in ppjoin_prefix_pairs(d, threshold=0.5, n=3).collect()
+    }
+    want = {
+        (r.id1, r.id2, r.jaccard_sim)
+        for r in dedup_ngram_pairs(d, threshold=0.5, n=3).collect()
+    }
+    assert got == want, (got, want)
+    assert {(0, 1), (0, 2), (1, 2)} <= {(a, b) for a, b, _ in got}
+    assert (30, 31, 0.5) in got
