@@ -157,7 +157,11 @@ _DRIVER_ORDER = [
     # new — rotated in; out goes sample_group_topk, green r7+r8, the
     # sampling family keeps kfold_split/stable_row_ids/mixture_realize)
     "dedup_ppjoin",
-    "length_histogram", "quality_filter_stack",
+    # r9: fixed-point character-entropy quality signal (oracle-backed,
+    # new — rotated in; out goes length_histogram, green r7+r8, the
+    # text-stats family keeps quality_filter_stack + arrow_text_stats)
+    "quality_char_entropy",
+    "quality_filter_stack",
     # k-fold CV assignment + scalable row ids (oracle-backed, new —
     # rotated in; out go agg_grouped and join_star, green r1-r5)
     "kfold_split", "stable_row_ids",
@@ -215,6 +219,7 @@ _DRIVER_ORDER = [
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
     "basket_lift", "latest_per_key", "sample_group_topk",
+    "length_histogram",
     # r8 tail rotations (green r6+r7 driver rows; see head notes)
     "variant_funcs", "bm25_topk", "hybrid_rrf", "funnel_conversion",
     "sessionize",

@@ -1104,3 +1104,90 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 1000
     )
     return ppjoin_prefix_pairs(d, threshold=0.5, n=3)
+
+
+# --------------------------------------------------------------------------
+# character-entropy quality signal (gibberish / encoding-junk screen)
+# --------------------------------------------------------------------------
+
+_CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch
+    FROM documents
+),
+cnt AS (
+    SELECT doc_id, ch, count(*) AS n_c
+    FROM chars GROUP BY doc_id, ch
+),
+agg AS (
+    SELECT doc_id,
+           CAST(sum(n_c) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS distinct_chars,
+           CAST(sum(n_c * CAST(round(ln(n_c) * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS s_fixed
+    FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_chars, distinct_chars,
+       round(CAST(CAST(round(ln(n_chars) * 1000000, 0) AS BIGINT)
+                  * n_chars - s_fixed AS DOUBLE)
+             / (n_chars * 1000000.0), 6) AS char_entropy
+FROM agg
+"""
+
+
+@register(
+    "quality_char_entropy",
+    oracle=_CHAR_ENTROPY_ORACLE,
+    tags=("text", "quality"),
+)
+def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the CHARACTER distribution —
+    the cheap gibberish/encoding-junk screen (base64 blobs and
+    mojibake sit far above natural-language entropy, repeated-char
+    spam far below; natural prose clusters tightly). Complements the
+    word-level stack: text_quality is token-shaped, gopher_repetition
+    is n-gram-shaped, this is byte-shaped.
+
+    Entirely FIXED-POINT so both engines agree bit-for-bit (the
+    lm_bigram_score discipline, taken one step further): with
+    L(x) = round(ln(x)*1e6) as BIGINT,
+    H = (L(N)*N - sum_c n_c*L(n_c)) / (N*1e6) — the numerator is
+    exact integer arithmetic, the single final division is a double
+    op on identical ints, and no raw float ever enters a sum or a
+    comparison. A 1-ulp ln() disagreement between engines moves one
+    L by at most 1, shifting H by 1e-6/N — rounded away at any N>2.
+
+    Scale shape: one character explode (the only corpus-sized pass),
+    a (doc, char)-keyed count with map-side combine (alphabet-bounded
+    fan-in per doc), then a doc-keyed re-aggregate; nothing is
+    shuffled wider than doc ids and no state exceeds
+    |alphabet| x docs-per-partition."""
+    d = io.table(spark, sf_dir, "documents")
+    ln_fixed = lambda c: (  # noqa: E731 — L(x): exact BIGINT log
+        F.round(F.log(c) * F.lit(1000000.0), 0).cast("bigint")
+    )
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("n_c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("n_c").cast("bigint").alias("n_chars"),
+        F.count("*").cast("bigint").alias("distinct_chars"),
+        F.sum(F.col("n_c") * ln_fixed(F.col("n_c")))
+        .cast("bigint")
+        .alias("s_fixed"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "distinct_chars",
+        F.round(
+            (
+                ln_fixed(F.col("n_chars")) * F.col("n_chars")
+                - F.col("s_fixed")
+            ).cast("double")
+            / (F.col("n_chars") * F.lit(1000000.0)),
+            6,
+        ).alias("char_entropy"),
+    )

@@ -522,3 +522,37 @@ def test_bpe_local_trainer_fuzz_matches_sequential_reference(
             vocab[w] = out
     got = _train_merges_local(list(words), n_merges, min_pair_count=2)
     assert got == want, (words, n_merges, got, want)
+
+
+def test_char_entropy_closed_forms(spark):
+    """Entropy invariants on constructed docs: a constant string has
+    H=0; a string of k equally-frequent characters has H=ln(k); and
+    entropy never exceeds ln(distinct_chars)."""
+    import math
+
+    from conversadocs_spark.plans.text import quality_char_entropy
+    from conversadocs_spark import io  # noqa: F401 (query reads views)
+
+    docs = [
+        (0, "aaaaaaaa"),            # H = 0
+        (1, "abcdabcdabcdabcd"),    # 4 chars equal freq -> ln(4)
+        (2, "abcdefgh"),            # 8 chars equal freq -> ln(8)
+        (3, "aab"),                 # mixed
+    ]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs, ["doc_id", "text"]
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {
+            r.doc_id: r
+            for r in quality_char_entropy(spark, td).collect()
+        }
+    assert rows[0].char_entropy == 0.0
+    assert abs(rows[1].char_entropy - round(math.log(4), 6)) < 2e-6
+    assert abs(rows[2].char_entropy - round(math.log(8), 6)) < 2e-6
+    for r in rows.values():
+        # fixed-point quantization can overshoot ln(k) by ~1e-6
+        assert r.char_entropy <= round(
+            math.log(max(r.distinct_chars, 2)), 6
+        ) + 2e-6
