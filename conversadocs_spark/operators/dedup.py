@@ -813,7 +813,14 @@ def ppjoin_prefix_pairs(
     groupBy(token) for frequencies, one shuffle to re-sort each doc's
     shingles under the global order, the prefix-token equi-join, and
     a verify join that touches only candidates."""
-    sh = shingle_docs(df, text_col, id_col, n)
+    # The shingle relation feeds the token stream AND both verify-join
+    # sides; unpersisted, Catalyst re-runs the shingle projection from
+    # the source scan per branch (9 document scans in the executed
+    # plan). Persist it once — the lm_bigram_score shared-pass move
+    # with the same documented LRU caveat; at 100 TB this is the
+    # relation you'd checkpoint between the candidate and verify
+    # stages.
+    sh = shingle_docs(df, text_col, id_col, n).persist()
     tok = sh.select("id", F.explode("shingles").alias("s"))
     freq = tok.groupBy("s").agg(F.count("*").alias("df_s"))
     ordered = (
