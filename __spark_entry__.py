@@ -162,9 +162,10 @@ _DRIVER_ORDER = [
     # text-stats family keeps quality_filter_stack + arrow_text_stats)
     "quality_char_entropy",
     "quality_filter_stack",
-    # k-fold CV assignment + scalable row ids (oracle-backed, new —
-    # rotated in; out go agg_grouped and join_star, green r1-r5)
-    "kfold_split", "stable_row_ids",
+    # k-fold CV assignment rotated to the tail in r9 (green r7+r8)
+    # so the Gumbel-top-k DSIR resample gets its first driver row;
+    # the split/sample family keeps stable_row_ids + mixture_realize
+    "dsir_resample", "stable_row_ids",
     # mixture realization (oracle-backed, new — rotated in; out goes
     # grouped_map_partitionwise, green r5, family keeps order_seq)
     "mixture_realize",
@@ -219,7 +220,7 @@ _DRIVER_ORDER = [
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
     "basket_lift", "latest_per_key", "sample_group_topk",
-    "length_histogram",
+    "length_histogram", "kfold_split",
     # r8 tail rotations (green r6+r7 driver rows; see head notes)
     "variant_funcs", "bm25_topk", "hybrid_rrf", "funnel_conversion",
     "sessionize",

@@ -1567,6 +1567,23 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token explode, shared via one persisted relation (the
     lm_bigram_score cache-the-shared-pass move, same documented
     LRU-eviction caveat)."""
+    scored = _dsir_scored_pool(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("w_fixed").cast("double") / F.lit(1000000.0), 6
+        ).alias("log_weight"),
+    )
+    return scored.orderBy(
+        F.desc("log_weight"), F.asc("doc_id")
+    ).limit(50)
+
+
+def _dsir_scored_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR scoring: (doc_id, n_tokens, w_fixed) for every
+    pool document, where w_fixed is the EXACT BIGINT fixed-point
+    importance sum — both the deterministic top-k (dsir_select) and
+    the Gumbel resample (dsir_resample) derive from it."""
     d = io.table(spark, sf_dir, "documents")
     toks = (
         d.select(
@@ -1620,19 +1637,14 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lwf"),
         )
     )
-    scored = (
+    return (
         pool.join(F.broadcast(weights), "b")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum("lwf").cast("double") / F.lit(1000000.0), 6
-            ).alias("log_weight"),
+            F.sum("lwf").cast("bigint").alias("w_fixed"),
         )
     )
-    return scored.orderBy(
-        F.desc("log_weight"), F.asc("doc_id")
-    ).limit(50)
 
 
 # --------------------------------------------------------------------------
@@ -1786,3 +1798,116 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             flagged.cast("double") / F.col("n_grams"), 6
         ).alias("flagged_frac"),
     )
+
+
+_DSIR_RESAMPLE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+),
+toks2 AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+               % {_DSIR_B} AS b
+    FROM toks WHERE term <> ''
+),
+p AS (
+    SELECT b, count(*) AS p_cnt FROM toks2
+    WHERE source = 'src0' GROUP BY b
+),
+qt AS (
+    SELECT b, count(*) AS q_cnt FROM toks2
+    WHERE source <> 'src0' GROUP BY b
+),
+tot AS (
+    SELECT (SELECT count(*) FROM toks2 WHERE source = 'src0')
+               AS t_total,
+           (SELECT count(*) FROM toks2 WHERE source <> 'src0')
+               AS q_total
+),
+w AS (
+    SELECT qt.b,
+           CAST(round(
+               (ln((COALESCE(p.p_cnt, 0) + 1.0)
+                   / (tot.t_total + {_DSIR_B}.0))
+                - ln((qt.q_cnt + 1.0) / (tot.q_total + {_DSIR_B}.0)))
+               * 1000000, 0) AS BIGINT) AS lwf
+    FROM qt LEFT JOIN p USING (b), tot
+),
+scored AS (
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w.lwf) AS BIGINT) AS w_fixed
+    FROM toks2 t JOIN w USING (b)
+    WHERE t.source <> 'src0'
+    GROUP BY t.doc_id
+),
+keyed AS (
+    SELECT doc_id, n_tokens,
+           round(CAST(w_fixed AS DOUBLE) / 1000000.0
+                 + (-ln(-ln(
+                     (CAST(('0x' || substr(
+                          md5('g:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) + 0.5) / 4294967296.0))),
+                 6) AS gumbel_key
+    FROM scored
+)
+SELECT doc_id, n_tokens, gumbel_key
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+@register(
+    "dsir_resample", oracle=_DSIR_RESAMPLE_ORACLE, tags=("pipeline",)
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection rule — importance RESAMPLING, not
+    top-k: the paper samples without replacement proportionally to
+    exp(importance), which the Gumbel-top-k identity (Vieira 2014)
+    turns into a deterministic sort: add an independent Gumbel(0,1)
+    perturbation to each log-weight and take the k largest. The
+    "randomness" here is a SEEDED md5-uniform per doc_id
+    (u = (hexprefix + 0.5) / 2^32, strictly inside (0,1)), so the
+    draw is reproducible, retry-safe, and replayable in DuckDB —
+    the same determinism rule as every sampled query in this module
+    (no rand(), ever).
+
+    dsir_select answers "the k most target-like docs"; this answers
+    "k docs DISTRIBUTED like the importance weights" — the form that
+    preserves corpus diversity instead of concentrating on one mode.
+    Shares _dsir_scored_pool (exact BIGINT fixed-point importance
+    sums), so the only float entering the sort key is one Gumbel
+    transform of an exact rational — rounded to 6 with a doc_id
+    tie-break before the TakeOrderedAndProject cut (no global
+    sort)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("g:"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = _dsir_scored_pool(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("w_fixed").cast("double") / F.lit(1000000.0)
+            + (-F.log(-F.log(u))),
+            6,
+        ).alias("gumbel_key"),
+    )
+    return keyed.orderBy(
+        F.desc("gumbel_key"), F.asc("doc_id")
+    ).limit(50)

@@ -72,7 +72,8 @@ def test_driver_order_covers_registry_exactly():
                  # every displaced family keeps head representatives)
                  "semdedup_prune", "dsir_select", "sql_recursive_cte",
                  "sql_lateral_topk", "contamination_bloom",
-                 "dedup_ppjoin", "quality_char_entropy"):
+                 "dedup_ppjoin", "quality_char_entropy",
+                 "dsir_resample"):
         assert must in head
 
 

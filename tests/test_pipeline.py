@@ -814,3 +814,24 @@ def test_contamination_bloom_no_false_negatives(spark, sf_oracle_dir):
     assert fp / clean < 0.05, (fp, clean)
     # the screen provably fires on the planted near-dups
     assert any(r.n_flagged > 0 for r in bloom_rows)
+
+
+def test_dsir_resample_diversifies_selection(spark, sf_oracle_dir):
+    """Gumbel resampling invariants: 50 rows, pool-only docs, keys
+    sorted descending with doc_id tie-break, and the draw must NOT
+    equal the deterministic top-k (the perturbation is the point) —
+    while still overlapping it (high-importance docs stay likely)."""
+    from conversadocs_spark.plans import QUERIES
+
+    sel = [
+        r.doc_id
+        for r in QUERIES["dsir_select"](spark, sf_oracle_dir).collect()
+    ]
+    res_rows = QUERIES["dsir_resample"](spark, sf_oracle_dir).collect()
+    res = [r.doc_id for r in res_rows]
+    assert len(res) == 50 and len(set(res)) == 50
+    assert min(res) >= 0
+    keys = [(-r.gumbel_key, r.doc_id) for r in res_rows]
+    assert keys == sorted(keys)
+    assert set(res) != set(sel)
+    assert len(set(res) & set(sel)) >= 5
