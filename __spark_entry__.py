@@ -166,9 +166,10 @@ _DRIVER_ORDER = [
     # so the Gumbel-top-k DSIR resample gets its first driver row;
     # the split/sample family keeps stable_row_ids + mixture_realize
     "dsir_resample", "stable_row_ids",
-    # mixture realization (oracle-backed, new — rotated in; out goes
-    # grouped_map_partitionwise, green r5, family keeps order_seq)
-    "mixture_realize",
+    # r9: degree-ordered triangle counting (oracle-backed, new —
+    # rotated in; out goes mixture_realize, green r7+r8, the
+    # split/sample family keeps stable_row_ids + dsir_resample)
+    "graph_triangles",
     # python kernels (udf_token_count rotated to the tail: green rows
     # r1-r5; udtf_chunk_fixed too — green r5/r6-judge, chunk family
     # covered by the sweep; in comes the applyInArrow grouped map,
@@ -220,7 +221,7 @@ _DRIVER_ORDER = [
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
     "basket_lift", "latest_per_key", "sample_group_topk",
-    "length_histogram", "kfold_split",
+    "length_histogram", "kfold_split", "mixture_realize",
     # r8 tail rotations (green r6+r7 driver rows; see head notes)
     "variant_funcs", "bm25_topk", "hybrid_rrf", "funnel_conversion",
     "sessionize",

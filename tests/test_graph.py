@@ -86,3 +86,44 @@ def test_misra_gries_guarantee(spark, sf_dir):
     for t, e in est.items():
         assert e <= exact[t]
         assert e >= exact[t] - budget
+
+
+def test_triangles_total_and_plan(spark, sf_oracle_dir):
+    """The per-node counts must sum to 3x the global triangle count
+    (every triangle has exactly 3 corners) measured independently by
+    the naive id-ordered join, and the executed plan must hold no
+    nested-loop join — the degree-ordered iterator is equi-keyed
+    end to end."""
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    li = (
+        io.table(spark, sf_oracle_dir, "lineitem")
+        .where(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+    )
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = e.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    e2 = e.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    e3 = e.select(F.col("x").alias("a"), F.col("y").alias("c"))
+    n_tri = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    assert n_tri == 19928
+
+    df = QUERIES["graph_triangles"](spark, sf_oracle_dir)
+    rows = df.collect()
+    assert len(rows) == 20
+    assert rows == sorted(
+        rows, key=lambda r: (-r.n_triangles, r.part_id)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
