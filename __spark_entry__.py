@@ -191,11 +191,10 @@ _DRIVER_ORDER = [
     # rotated in; out go join_asof and dedup_exact, green r1/r2-r5,
     # both families keep other driver rows)
     "scan_schema_evolution", "table_diff",
-    # text normalization + the mapInArrow fast path (oracle-backed,
-    # new in this continuation — never driver-recorded, rotated in;
-    # out go join_skew_salted / agg_skew_distinct /
-    # rag_answer_pipeline, each green r2/r4/r5)
-    "text_normalize", "arrow_text_stats",
+    # text normalization rotated to the tail in r9 (green r7+r8) so
+    # the temperature-scaled mixture gets its first driver row; the
+    # text family keeps arrow_text_stats + quality_char_entropy
+    "mixture_temperature", "arrow_text_stats",
     # ANSI try_* safety family (oracle-backed, new — rotated in; out
     # goes dedup_clusters: green r5 driver row, oracle-swept every
     # gate run, and bench-tracked per round regardless)
@@ -222,6 +221,7 @@ _DRIVER_ORDER = [
     "knn_auto_indexed", "cohort_retention", "event_transitions",
     "basket_lift", "latest_per_key", "sample_group_topk",
     "length_histogram", "kfold_split", "mixture_realize",
+    "text_normalize",
     # r8 tail rotations (green r6+r7 driver rows; see head notes)
     "variant_funcs", "bm25_topk", "hybrid_rrf", "funnel_conversion",
     "sessionize",

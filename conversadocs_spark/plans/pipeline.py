@@ -1911,3 +1911,79 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy(
         F.desc("gumbel_key"), F.asc("doc_id")
     ).limit(50)
+
+
+_MIXTURE_TEMP_ORACLE = """
+WITH per_src AS (
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens
+    FROM documents GROUP BY source
+),
+fx AS (
+    SELECT source, n_tokens,
+           CAST(round(pow(n_tokens, 0.3) * 1000000, 0) AS BIGINT)
+               AS t_fixed
+    FROM per_src
+),
+tot AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+           CAST(sum(t_fixed) AS BIGINT) AS st
+    FROM fx
+)
+SELECT f.source, f.n_tokens,
+       round(CAST(f.n_tokens AS DOUBLE) / tot.t, 6) AS actual_share,
+       round(CAST(f.t_fixed AS DOUBLE) / tot.st, 6) AS temp_share,
+       round((CAST(f.t_fixed AS DOUBLE) / tot.st)
+             / (CAST(f.n_tokens AS DOUBLE) / tot.t), 6) AS boost
+FROM fx f, tot
+"""
+
+
+@register(
+    "mixture_temperature", oracle=_MIXTURE_TEMP_ORACLE, tags=("pipeline",)
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the XLM-R / UniMax recipe):
+    sampling share w_s proportional to (token mass)^tau with tau=0.3 —
+    between natural sampling (tau=1, head domains dominate) and
+    uniform (tau=0, tail domains overfit via repetition). `boost` is
+    the up/down-sampling multiplier vs the natural share — the number
+    that multiplies each source's rate in stratified_sample, exactly
+    as source_mixture_weights' `epochs` does for the uniform target.
+
+    Fixed-point discipline: pow(n, 0.3) is rounded to BIGINT
+    micro-units BEFORE the normalizing sum, so the denominator is an
+    exact integer in both engines and every share is one double
+    division of identical ints (a 1-ulp cross-engine pow()
+    disagreement moves one t_fixed by at most 1 micro-unit —
+    invisible after round 6).
+
+    Plan: one map-side-combined aggregate to K source rows, a
+    broadcast 1-row total, done — constant cost past the single
+    corpus pass, like every mixture query here."""
+    d = io.table(spark, sf_dir, "documents")
+    fx = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.round(F.pow("n_tokens", F.lit(0.3)) * F.lit(1000000.0), 0)
+        .cast("bigint")
+        .alias("t_fixed"),
+    )
+    tot = fx.agg(
+        F.sum("n_tokens").cast("bigint").alias("t"),
+        F.sum("t_fixed").cast("bigint").alias("st"),
+    )
+    actual = F.col("n_tokens").cast("double") / F.col("t")
+    temp = F.col("t_fixed").cast("double") / F.col("st")
+    return fx.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.round(temp / actual, 6).alias("boost"),
+    )

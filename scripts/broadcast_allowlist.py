@@ -29,7 +29,8 @@ Bounds, per file (reviewed r9):
   1-row token totals and the B=64-row bucket weight table (B is a
   constant however big the corpus); r9 contamination_bloom adds the
   <= k*m-row (r, pos) Bloom table — O(m) constant state whatever the
-  eval suite size.
+  eval suite size; r9 mixture_temperature adds one more 1-row totals
+  broadcast (K-source aggregate).
 - plans/rag.py 1: k-row retrieved-context shortlist.
 - plans/retrieval.py 3: 1-row corpus stats, k-row RRF shortlists.
 - plans/streamqueries.py 1: event_type dim.
@@ -67,7 +68,7 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/joins.py": 4,
     "plans/lake.py": 2,
     "plans/lm.py": 4,
-    "plans/pipeline.py": 13,
+    "plans/pipeline.py": 14,
     "plans/rag.py": 1,
     "plans/retrieval.py": 3,
     "plans/streamqueries.py": 1,

@@ -73,7 +73,8 @@ def test_driver_order_covers_registry_exactly():
                  "semdedup_prune", "dsir_select", "sql_recursive_cte",
                  "sql_lateral_topk", "contamination_bloom",
                  "dedup_ppjoin", "quality_char_entropy",
-                 "dsir_resample", "graph_triangles"):
+                 "dsir_resample", "graph_triangles",
+                 "mixture_temperature"):
         assert must in head
 
 

@@ -835,3 +835,29 @@ def test_dsir_resample_diversifies_selection(spark, sf_oracle_dir):
     assert keys == sorted(keys)
     assert set(res) != set(sel)
     assert len(set(res) & set(sel)) >= 5
+
+
+def test_mixture_temperature_flattens_toward_uniform(
+    spark, sf_oracle_dir
+):
+    """Temperature tau=0.3 must sit BETWEEN natural and uniform:
+    shares sum to 1, every head source (above-average token mass) is
+    down-boosted (<1) and every tail source up-boosted (>1), and the
+    temp_share ordering preserves the n_tokens ordering (pow is
+    monotonic)."""
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["mixture_temperature"](
+        spark, sf_oracle_dir
+    ).collect()
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.actual_share for r in rows) - 1.0) < 1e-4
+    mean_tokens = sum(r.n_tokens for r in rows) / len(rows)
+    for r in rows:
+        if r.n_tokens > mean_tokens * 1.05:
+            assert r.boost < 1.0, r
+        if r.n_tokens < mean_tokens * 0.95:
+            assert r.boost > 1.0, r
+    by_tokens = sorted(rows, key=lambda r: r.n_tokens)
+    shares = [r.temp_share for r in by_tokens]
+    assert shares == sorted(shares)
