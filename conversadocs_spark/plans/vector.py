@@ -1546,3 +1546,99 @@ def multivec_maxsim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxsim"), F.asc("doc_id"))
         .limit(5)
     )
+
+
+_KNN_INT8_BATCH_ORACLE = """
+WITH deq AS (
+    SELECT e.vec_id,
+           e.i,
+           CASE WHEN b.qscale = 0 THEN b.qmin
+                ELSE b.qmin + (floor((CAST(e.x AS DOUBLE) - b.qmin)
+                                     / b.qscale + 0.5) - 128 + 128.0)
+                              * b.qscale
+           END AS xh
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) e
+    JOIN (SELECT vec_id,
+                 CAST(list_min(embedding) AS DOUBLE) AS qmin,
+                 (CAST(list_max(embedding) AS DOUBLE)
+                  - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+                     AS qscale
+          FROM embeddings) b USING (vec_id)
+),
+sims AS (
+    SELECT q.vec_id AS query_id, d.vec_id,
+           ROUND(
+               SUM(d.xh * q.xh)
+               / (SQRT(SUM(d.xh * d.xh)) * SQRT(SUM(q.xh * q.xh))),
+               6) AS sim_q
+    FROM deq d
+    JOIN (SELECT vec_id, i, xh FROM deq WHERE vec_id < 5) q USING (i)
+    WHERE d.vec_id >= 5
+    GROUP BY q.vec_id, d.vec_id
+)
+SELECT query_id, vec_id, sim_q,
+       CAST(rk AS INTEGER) AS rank
+FROM (
+    SELECT query_id, vec_id, sim_q,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY sim_q DESC, vec_id ASC) AS rk
+    FROM sims)
+WHERE rk <= 5
+"""
+
+
+@register(
+    "knn_int8_batch", oracle=_KNN_INT8_BATCH_ORACLE, tags=("vector",)
+)
+def knn_int8_batch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-of-queries form of `knn_int8` — completing the quantized
+    serving matrix (knn_binary_batch covers the 32x tier; this is the
+    4x SQ8 tier). Vectors vec_id<5 are the query batch, the rest the
+    corpus; per query, top-5 by cosine over the int8-dequantized
+    representation. No rescore stage: SQ8 IS the scoring tier (its
+    error is the quantization's, not a shortlist's), which keeps the
+    batch form to exactly two stages.
+
+    Scale shape: one corpus scan computes the dequantized codes in
+    codegen and scores all Q broadcast queries; only the 3-column
+    integer/double projection (query_id, vec_id, sim_q) reaches the
+    per-query top-5 window — the corpus floats never shuffle, same
+    contract as knn_binary_batch's stage 2 (plan-pinned). Q bound:
+    Q x dim dequantized doubles in the broadcast — thousands of
+    queries per pass at 384 dims; bigger batches chunk over the same
+    scan cadence."""
+    from pyspark.sql import Window
+
+    from conversadocs_spark.operators.quant import (
+        dequantized,
+        quantize_int8,
+    )
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    deq = quantize_int8(emb).select(
+        "vec_id", dequantized().alias("xh")
+    )
+    queries = deq.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("xh").alias("_qh")
+    )
+    sims = (
+        deq.where(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("xh"), F.col("_qh")), 6
+            ).alias("sim_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_q"), F.asc("vec_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "sim_q", "rank")
+    )

@@ -74,7 +74,7 @@ def test_driver_order_covers_registry_exactly():
                  "sql_lateral_topk", "contamination_bloom",
                  "dedup_ppjoin", "quality_char_entropy",
                  "dsir_resample", "graph_triangles",
-                 "mixture_temperature"):
+                 "mixture_temperature", "knn_int8_batch"):
         assert must in head
 
 

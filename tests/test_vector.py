@@ -910,3 +910,21 @@ def test_semdedup_pair_join_is_equi_keyed(spark, sf_oracle_dir):
         r" \[cluster_id",
         plan,
     ), plan
+
+
+def test_knn_int8_batch_corpus_never_shuffles(spark, sf_oracle_dir):
+    """SQ8 batch-form scale pins, mirroring knn_binary_batch's: no
+    SMJ/shuffled-hash join anywhere, every hash exchange partitions
+    the skinny (query_id, vec_id, sim_q) projection by query_id, and
+    the per-query top-5 is map-side pruned below the exchange."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["knn_int8_batch"](spark, sf_oracle_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    for line in final.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "hashpartitioning(query_id" in line, line
+    assert "WindowGroupLimit" in final and "Partial" in final
