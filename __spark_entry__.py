@@ -62,6 +62,11 @@ _DRIVER_ORDER = [
     # r7+r8, the join family keeps null_safe/correlated/interval/
     # lateral/gapfill head rows)
     "knn_int8_batch",
+    # r9: Matryoshka batch retrieval, third cell of the serving
+    # matrix (oracle-backed, new — rotated in; out goes
+    # resample_gapfill, green r7+r8, the time-series family keeps
+    # window_range_time + join_interval_attrib)
+    "knn_matryoshka_batch",
     # r9: batch-of-queries binary retrieval (oracle-backed, new —
     # rotated in; out goes agg_grouping_sets, green r7+r8, the
     # aggregates family keeps agg_percentile + agg_unpivot)
@@ -211,7 +216,6 @@ _DRIVER_ORDER = [
     # (join_range rotated to the tail: green rows r2/r4/r5;
     # join_interval_attrib = new stream-stream batch twin, rotated in)
     "join_interval_attrib",
-    "resample_gapfill",
     # null-safe join + correlated-subquery de-correlation (oracle-
     # backed, new — rotated in; out go contamination_ngram and
     # grouped_map_order_seq, green r5)
@@ -223,7 +227,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
-    "join_fuzzy",
+    "join_fuzzy", "resample_gapfill",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
     "basket_lift", "latest_per_key", "sample_group_topk",
     "length_histogram", "kfold_split", "mixture_realize",

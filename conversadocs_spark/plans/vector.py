@@ -1642,3 +1642,130 @@ def knn_int8_batch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "vec_id", "sim_q", "rank")
     )
+
+
+_KNN_MRL_BATCH_ORACLE = """
+WITH coarse AS (
+    SELECT q.q_id AS query_id, e.vec_id,
+           ROUND(
+               SUM(CAST(e.x AS DOUBLE) * CAST(q.y AS DOUBLE))
+               / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(q.y AS DOUBLE) * CAST(q.y AS DOUBLE)))),
+               6) AS sim_coarse
+    FROM (SELECT vec_id, unnest(embedding[1:16]) AS x,
+                 generate_subscripts(embedding[1:16], 1) AS i
+          FROM embeddings WHERE vec_id >= 5) e
+    JOIN (SELECT vec_id AS q_id, unnest(embedding[1:16]) AS y,
+                 generate_subscripts(embedding[1:16], 1) AS i
+          FROM embeddings WHERE vec_id < 5) q USING (i)
+    GROUP BY q.q_id, e.vec_id
+),
+sl AS (
+    SELECT query_id, vec_id, sim_coarse FROM (
+        SELECT query_id, vec_id, sim_coarse,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim_coarse DESC, vec_id ASC) AS rn
+        FROM coarse) WHERE rn <= 50
+),
+exact AS (
+    SELECT q.q_id AS query_id, e.vec_id,
+           ROUND(
+               SUM(CAST(e.x AS DOUBLE) * CAST(q.y AS DOUBLE))
+               / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(q.y AS DOUBLE) * CAST(q.y AS DOUBLE)))),
+               6) AS sim
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings
+          WHERE vec_id IN (SELECT DISTINCT vec_id FROM sl)) e
+    JOIN (SELECT vec_id AS q_id, unnest(embedding) AS y,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id < 5) q USING (i)
+    GROUP BY q.q_id, e.vec_id
+)
+SELECT query_id, vec_id, sim_coarse, sim FROM (
+    SELECT s.query_id, s.vec_id, s.sim_coarse, x.sim,
+           row_number() OVER (PARTITION BY s.query_id
+               ORDER BY x.sim DESC, s.vec_id ASC) AS rk
+    FROM sl s
+    JOIN exact x ON s.query_id = x.query_id AND s.vec_id = x.vec_id)
+WHERE rk <= 3
+"""
+
+
+@register(
+    "knn_matryoshka_batch", oracle=_KNN_MRL_BATCH_ORACLE,
+    tags=("vector",),
+)
+def knn_matryoshka_batch_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch-of-queries Matryoshka retrieval — third cell of the
+    quantized/reduced serving matrix (binary and SQ8 batch forms
+    above): per query, coarse top-50 on the 16-dim prefix, exact
+    full-dimension rescore, top-3 with both scores.
+
+    Scale shape mirrors knn_binary_batch stage for stage: one corpus
+    scan computes the prefix cosine against all Q broadcast prefix
+    queries and emits only the skinny (query_id, vec_id, sim_coarse)
+    projection; the per-query top-50 window is map-side pruned; the
+    Q x 50 shortlist is broadcast back into the full-width table for
+    the rescore (the corpus never shuffles — plan-pinned); the final
+    top-3 window runs over <= Q x 50 rows. The coarse pass reads a
+    quarter of the vector bytes, and in a real deployment the prefix
+    lives in its own subcolumn so the batch scan cost is
+    dim-proportional."""
+    from pyspark.sql import Window
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    qc = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.slice("embedding", 1, _MRL_DIMS).alias("_qc"),
+    )
+    coarse = (
+        emb.where(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(qc))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(
+                    F.slice("embedding", 1, _MRL_DIMS), F.col("_qc")
+                ),
+                6,
+            ).alias("sim_coarse"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_coarse"), F.asc("vec_id")
+    )
+    shortlist = (
+        coarse.withColumn("rn", F.row_number().over(w_short))
+        .where(F.col("rn") <= 50)
+        .select("query_id", "vec_id", "sim_coarse")
+    )
+    qv = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+    )
+    rescored = (
+        F.broadcast(shortlist)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "sim_coarse",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("_qv")), 6
+            ).alias("sim"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w_final))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "vec_id", "sim_coarse", "sim")
+    )

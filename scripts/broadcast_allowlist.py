@@ -41,7 +41,9 @@ Bounds, per file (reviewed r9):
   Q-row float query table (all bounded by the query batch); r9
   semdedup_prune adds the 1-row packed seed-centroid side (K x dim
   doubles folded into one row, the operators/ivf.py assignment
-  idiom); r9 knn_int8_batch adds the Q-row dequantized query batch.
+  idiom); r9 knn_int8_batch adds the Q-row dequantized query batch;
+  r9 knn_matryoshka_batch adds the Q-row prefix batch, the Q x 50
+  shortlist, and the Q-row full-width query table.
 - streaming/cdc.py 1: per-micro-batch CDC delta.
 - functions/zorder.py 1: 1-row min/max bounds aggregate.
 - operators/incremental.py 1: O(batch) new-doc signatures.
@@ -73,6 +75,6 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/retrieval.py": 3,
     "plans/streamqueries.py": 1,
     "plans/text.py": 2,
-    "plans/vector.py": 14,
+    "plans/vector.py": 17,
     "streaming/cdc.py": 1,
 }

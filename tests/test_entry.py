@@ -74,7 +74,8 @@ def test_driver_order_covers_registry_exactly():
                  "sql_lateral_topk", "contamination_bloom",
                  "dedup_ppjoin", "quality_char_entropy",
                  "dsir_resample", "graph_triangles",
-                 "mixture_temperature", "knn_int8_batch"):
+                 "mixture_temperature", "knn_int8_batch",
+                 "knn_matryoshka_batch"):
         assert must in head
 
 

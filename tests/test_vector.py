@@ -928,3 +928,21 @@ def test_knn_int8_batch_corpus_never_shuffles(spark, sf_oracle_dir):
         if "Exchange hashpartitioning" in line:
             assert "hashpartitioning(query_id" in line, line
     assert "WindowGroupLimit" in final and "Partial" in final
+
+
+def test_knn_mrl_batch_corpus_never_shuffles(spark, sf_oracle_dir):
+    """Matryoshka batch-form scale pins (same contract as the binary
+    and SQ8 batch cells): no SMJ/shuffled-hash join, every hash
+    exchange keyed on query_id over the skinny coarse projection, and
+    the per-query windows map-side pruned."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["knn_matryoshka_batch"](spark, sf_oracle_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    for line in final.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "hashpartitioning(query_id" in line, line
+    assert "WindowGroupLimit" in final and "Partial" in final
