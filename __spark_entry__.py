@@ -67,6 +67,11 @@ _DRIVER_ORDER = [
     # resample_gapfill, green r7+r8, the time-series family keeps
     # window_range_time + join_interval_attrib)
     "knn_matryoshka_batch",
+    # r9: MaxSim batch — fourth and last serving-matrix cell
+    # (oracle-backed, new — rotated in; out goes
+    # scan_json_corrupt_tolerant, green r7+r8, the scan family keeps
+    # scan_schema_evolution)
+    "multivec_maxsim_batch",
     # r9: batch-of-queries binary retrieval (oracle-backed, new —
     # rotated in; out goes agg_grouping_sets, green r7+r8, the
     # aggregates family keeps agg_percentile + agg_unpivot)
@@ -196,7 +201,6 @@ _DRIVER_ORDER = [
     # structured sources (csv/json/orc round-trips rotated to the
     # tail in r7 with green r6 rows; the corrupt-tolerant + evolution
     # scans keep the family's head-50 rows)
-    "scan_json_corrupt_tolerant",
     # schema-evolution read + snapshot diff (oracle-backed, new —
     # rotated in; out go join_asof and dedup_exact, green r1/r2-r5,
     # both families keep other driver rows)
@@ -227,7 +231,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
-    "join_fuzzy", "resample_gapfill",
+    "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
     "basket_lift", "latest_per_key", "sample_group_topk",
     "length_histogram", "kfold_split", "mixture_realize",

@@ -1769,3 +1769,97 @@ def knn_matryoshka_batch_query(
         .where(F.col("rk") <= 3)
         .select("query_id", "vec_id", "sim_coarse", "sim")
     )
+
+
+_MULTIVEC_BATCH_ORACLE = """
+WITH pairs AS (
+    SELECT CAST(e.vec_id // 10 AS BIGINT) AS doc_id,
+           CAST(q.vec_id // 10 AS BIGINT) AS query_id,
+           e.vec_id, q.vec_id AS q_tok,
+           ROUND(
+               SUM(CAST(e.x AS DOUBLE) * CAST(q.y AS DOUBLE))
+               / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(q.y AS DOUBLE) * CAST(q.y AS DOUBLE)))),
+               6) AS s
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id // 10 >= 3) e
+    JOIN (SELECT vec_id, unnest(embedding) AS y,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id // 10 < 3) q USING (i)
+    GROUP BY 1, 2, 3, 4
+),
+per_q AS (
+    SELECT query_id, doc_id, q_tok, MAX(s) AS m
+    FROM pairs GROUP BY 1, 2, 3
+),
+scores AS (
+    SELECT query_id, doc_id, ROUND(SUM(m), 6) AS maxsim
+    FROM per_q GROUP BY 1, 2
+)
+SELECT query_id, doc_id, maxsim FROM (
+    SELECT query_id, doc_id, maxsim,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY maxsim DESC, doc_id ASC) AS rk
+    FROM scores)
+WHERE rk <= 3
+"""
+
+
+@register(
+    "multivec_maxsim_batch", oracle=_MULTIVEC_BATCH_ORACLE,
+    tags=("vector",),
+)
+def multivec_maxsim_batch_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch-of-queries ColBERT MaxSim — the fourth and last cell of
+    the serving matrix (binary, SQ8, Matryoshka batch forms above):
+    THREE multi-vector queries (doc bags 0-2, 10 token vectors each)
+    scored against the rest of the corpus bags, top-3 docs per query.
+
+    Scale shape: all Q query bags broadcast together (Q x 10 x dim
+    doubles); ONE pass over the corpus token table computes every
+    (corpus token x query token) cosine inside codegen; then the same
+    two MAP-SIDE-COMBINABLE aggregations as the single-query form —
+    max per (query, doc, query-token), sum per (query, doc) — so the
+    only shuffled relations are doc-count-sized per query, never the
+    token table. Per-token cosines round to 6 BEFORE the max (both
+    engines pick the same argmax) and the sum rounds again before
+    the per-query rank."""
+    from pyspark.sql import Window
+
+    emb = io.table(spark, sf_dir, "embeddings").withColumn(
+        "doc_id", F.expr("CAST(vec_id DIV 10 AS BIGINT)")
+    )
+    qv = emb.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("vec_id").alias("q_tok"),
+        F.col("embedding").alias("_qv"),
+    )
+    pairs = (
+        emb.where(F.col("doc_id") >= 3)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "query_id",
+            "doc_id",
+            "q_tok",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("_qv")), 6
+            ).alias("s"),
+        )
+    )
+    per_q = pairs.groupBy("query_id", "doc_id", "q_tok").agg(
+        F.max("s").alias("m")
+    )
+    scores = per_q.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("m"), 6).alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("maxsim"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "doc_id", "maxsim")
+    )

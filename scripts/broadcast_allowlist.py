@@ -43,7 +43,9 @@ Bounds, per file (reviewed r9):
   doubles folded into one row, the operators/ivf.py assignment
   idiom); r9 knn_int8_batch adds the Q-row dequantized query batch;
   r9 knn_matryoshka_batch adds the Q-row prefix batch, the Q x 50
-  shortlist, and the Q-row full-width query table.
+  shortlist, and the Q-row full-width query table; r9
+  multivec_maxsim_batch adds the Q x 10-row query token-bag
+  broadcast.
 - streaming/cdc.py 1: per-micro-batch CDC delta.
 - functions/zorder.py 1: 1-row min/max bounds aggregate.
 - operators/incremental.py 1: O(batch) new-doc signatures.
@@ -75,6 +77,6 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/retrieval.py": 3,
     "plans/streamqueries.py": 1,
     "plans/text.py": 2,
-    "plans/vector.py": 17,
+    "plans/vector.py": 18,
     "streaming/cdc.py": 1,
 }

@@ -75,7 +75,7 @@ def test_driver_order_covers_registry_exactly():
                  "dedup_ppjoin", "quality_char_entropy",
                  "dsir_resample", "graph_triangles",
                  "mixture_temperature", "knn_int8_batch",
-                 "knn_matryoshka_batch"):
+                 "knn_matryoshka_batch", "multivec_maxsim_batch"):
         assert must in head
 
 

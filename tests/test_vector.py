@@ -946,3 +946,34 @@ def test_knn_mrl_batch_corpus_never_shuffles(spark, sf_oracle_dir):
         if "Exchange hashpartitioning" in line:
             assert "hashpartitioning(query_id" in line, line
     assert "WindowGroupLimit" in final and "Partial" in final
+
+
+def test_multivec_batch_token_table_never_sort_merges(
+    spark, sf_oracle_dir
+):
+    """MaxSim batch scale pins: the corpus token table reaches the
+    query bags through a broadcast (no SMJ/shuffled-hash), the
+    per-query top-3 is map-side pruned, and every query group gets
+    exactly 3 docs agreeing with the single-query form's semantics
+    (query 0's ranking must equal multivec_maxsim's top-3 restricted
+    to docs >= 3)."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["multivec_maxsim_batch"](spark, sf_oracle_dir)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    assert "WindowGroupLimit" in final and "Partial" in final
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.maxsim))
+    assert set(by_q) == {0, 1, 2}
+    assert all(len(v) == 3 for v in by_q.values())
+    single = [
+        (r.doc_id, r.maxsim)
+        for r in QUERIES["multivec_maxsim"](spark, sf_oracle_dir)
+        .collect()
+        if r.doc_id >= 3
+    ][:3]
+    assert by_q[0] == single
