@@ -204,7 +204,10 @@ _DRIVER_ORDER = [
     # schema-evolution read + snapshot diff (oracle-backed, new —
     # rotated in; out go join_asof and dedup_exact, green r1/r2-r5,
     # both families keep other driver rows)
-    "scan_schema_evolution", "table_diff",
+    # (table_diff rotated to the tail in r9 — green r7+r8 — so the
+    # skyline/Pareto operator gets its first driver row; the lake
+    # family keeps lake_zorder_scan + lake_compact_files)
+    "scan_schema_evolution", "pareto_frontier",
     # text normalization rotated to the tail in r9 (green r7+r8) so
     # the temperature-scaled mixture gets its first driver row; the
     # text family keeps arrow_text_stats + quality_char_entropy
@@ -232,6 +235,7 @@ _DRIVER_ORDER = [
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",
+    "table_diff",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
     "basket_lift", "latest_per_key", "sample_group_topk",
     "length_histogram", "kfold_split", "mixture_realize",

@@ -700,3 +700,67 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("robust_z"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# skyline / Pareto frontier (dominance filtering)
+# --------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+SELECT r.p_partkey, r.p_retailprice, r.p_size
+FROM part r
+WHERE NOT EXISTS (
+    SELECT 1 FROM part s
+    WHERE s.p_retailprice <= r.p_retailprice
+      AND s.p_size >= r.p_size
+      AND (s.p_retailprice < r.p_retailprice
+           OR s.p_size > r.p_size)
+)
+ORDER BY r.p_retailprice ASC, r.p_partkey ASC
+"""
+
+
+@register("pareto_frontier", oracle=_PARETO_ORACLE, tags=("analytics",))
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query (Borzsonyi et al., ICDE 2001): the parts no other
+    part strictly dominates on (cheaper price, bigger size) — the
+    "best tradeoffs" operator behind product search, plan selection,
+    and multi-objective data pruning.
+
+    The oracle is the textbook O(n^2) NOT EXISTS; the Spark plan is
+    the O(n log n) 2-D rewrite: collapse to one row per distinct
+    price (groupBy price -> max size, a map-side-combined aggregate),
+    take the running max of size over strictly-cheaper prices with
+    ONE window over that collapsed table, and keep a row iff it tops
+    its own price group (no same-price row is strictly taller) and
+    beats every cheaper group's best (prev_max < size).
+
+    Scale shape: the only corpus-sized work is one aggregate; the
+    window is SinglePartition but runs over the DISTINCT-PRICE table
+    (1000 rows here, bounded by the attribute's cardinality — the
+    token_budget_select "global semantics over the bucket table only"
+    pattern); the verdict joins back on the price key as an ordinary
+    hash join, corpus never broadcast. Dominance semantics are pure
+    integer/decimal comparisons — no float ambiguity anywhere."""
+    part = io.table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    grp = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("gm")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bounds = grp.withColumn("prev_max", F.max("gm").over(w))
+    return (
+        part.join(bounds, "p_retailprice")
+        .where(
+            (F.col("p_size") == F.col("gm"))
+            & (
+                F.col("prev_max").isNull()
+                | (F.col("prev_max") < F.col("p_size"))
+            )
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
+    )

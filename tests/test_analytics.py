@@ -321,3 +321,36 @@ def test_outlier_mad_stats_broadcast_not_corpus(spark, sf_oracle_dir):
     df = QUERIES["outlier_mad"](spark, sf_oracle_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pareto_frontier_equals_brute_force(spark, sf_oracle_dir):
+    """The windowed O(n log n) skyline must equal a driver-side brute
+    force over the full (price, size) set, and no skyline member may
+    dominate another."""
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+
+    pts = [
+        (r.p_partkey, float(r.p_retailprice), r.p_size)
+        for r in io.table(spark, sf_oracle_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(r):
+        return any(
+            s[1] <= r[1] and s[2] >= r[2]
+            and (s[1] < r[1] or s[2] > r[2])
+            for s in pts
+        )
+
+    want = {p[0] for p in pts if not dominated(p)}
+    rows = QUERIES["pareto_frontier"](spark, sf_oracle_dir).collect()
+    got = {r.p_partkey for r in rows}
+    assert got == want
+    sky = [(float(r.p_retailprice), r.p_size) for r in rows]
+    for a in sky:
+        for b in sky:
+            assert not (
+                a[0] <= b[0] and a[1] >= b[1] and a != b
+            ), (a, b)

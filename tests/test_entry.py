@@ -75,7 +75,8 @@ def test_driver_order_covers_registry_exactly():
                  "dedup_ppjoin", "quality_char_entropy",
                  "dsir_resample", "graph_triangles",
                  "mixture_temperature", "knn_int8_batch",
-                 "knn_matryoshka_batch", "multivec_maxsim_batch"):
+                 "knn_matryoshka_batch", "multivec_maxsim_batch",
+                 "pareto_frontier"):
         assert must in head
 
 
