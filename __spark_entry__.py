@@ -149,7 +149,10 @@ _DRIVER_ORDER = [
     # (latest_per_key rotated to the tail in r9 — green r7+r8 — so
     # the Bloom contamination screen gets its first driver row; the
     # lake family keeps table_diff + zorder + compact head rows)
-    "agg_unpivot", "contamination_bloom",
+    # (agg_unpivot rotated to the tail in r9 — green r7+r8 — so the
+    # sweep-line concurrency kernel gets its first driver row; the
+    # aggregates family keeps agg_percentile)
+    "interval_concurrency", "contamination_bloom",
     # r8: token-budget corpus curation (oracle-backed, new — the
     # global-cumsum semantics served by the bucket decomposition)
     "token_budget_select",
@@ -235,7 +238,7 @@ _DRIVER_ORDER = [
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",
-    "table_diff",
+    "table_diff", "agg_unpivot",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
     "basket_lift", "latest_per_key", "sample_group_topk",
     "length_histogram", "kfold_split", "mixture_realize",

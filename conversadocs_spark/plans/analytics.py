@@ -771,3 +771,95 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
     )
+
+
+# --------------------------------------------------------------------------
+# interval concurrency (sweep-line peak load)
+# --------------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = """
+WITH bounds AS (
+    SELECT event_type, ts, 1 AS delta FROM events
+    UNION ALL
+    SELECT event_type, ts + INTERVAL 5 MINUTE, -1 FROM events
+),
+running AS (
+    SELECT event_type, ts, delta,
+           SUM(delta) OVER (PARTITION BY event_type
+               ORDER BY ts, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS load
+    FROM bounds
+),
+peaks AS (
+    SELECT event_type,
+           CAST(MAX(load) AS BIGINT) AS peak_concurrency
+    FROM running GROUP BY event_type
+)
+SELECT p.event_type, p.peak_concurrency,
+       MIN(r.ts) AS peak_at
+FROM peaks p
+JOIN running r
+  ON r.event_type = p.event_type AND r.load = p.peak_concurrency
+GROUP BY p.event_type, p.peak_concurrency
+"""
+
+
+@register(
+    "interval_concurrency", oracle=_CONCURRENCY_ORACLE,
+    tags=("analytics",),
+)
+def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent load per event type — the sweep-line kernel
+    behind capacity planning, license-seat counting, and max-parallel-
+    sessions dashboards: each event occupies [ts, ts+5min); emit a +1
+    boundary at start and a -1 at end, running-sum the boundary
+    stream, and the max of that sum IS the peak concurrency (with the
+    first instant it was reached).
+
+    Determinism under ties: boundaries order by (ts, delta), so an
+    interval ending exactly when another starts closes FIRST
+    (half-open semantics), and permutations within an equal-(ts,
+    delta) group cannot change any per-instant maximum — the peak
+    and its first timestamp are well-defined in both engines without
+    any float involved.
+
+    Scale shape: the boundary stream is 2 rows per event, the window
+    partitions by event_type (never a global order), and the peak
+    extraction is a map-side-combinable max + a small self-join on
+    the (type, peak) key. At 100 TB the same query shards further by
+    day via the usual partition pruning — the sweep only ever needs
+    one type-partition ordered in memory at a time."""
+    ev = io.table(spark, sf_dir, "events").select("event_type", "ts")
+    bounds = ev.select(
+        "event_type", "ts", F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = bounds.withColumn("load", F.sum("delta").over(w))
+    peaks = running.groupBy("event_type").agg(
+        F.max("load").cast("bigint").alias("peak_concurrency")
+    )
+    r = running.select(
+        F.col("event_type").alias("r_type"),
+        F.col("ts").alias("r_ts"),
+        F.col("load").alias("r_load"),
+    )
+    return (
+        r.join(
+            peaks,
+            (F.col("r_type") == F.col("event_type"))
+            & (F.col("r_load") == F.col("peak_concurrency")),
+        )
+        .groupBy("event_type", "peak_concurrency")
+        .agg(F.min("r_ts").alias("peak_at"))
+    )

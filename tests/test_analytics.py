@@ -354,3 +354,42 @@ def test_pareto_frontier_equals_brute_force(spark, sf_oracle_dir):
             assert not (
                 a[0] <= b[0] and a[1] >= b[1] and a != b
             ), (a, b)
+
+
+def test_interval_concurrency_closed_form(spark):
+    """Sweep-line invariants on a constructed stream: three
+    overlapping 5-minute intervals peak at 3 exactly at the third
+    start; an interval starting exactly when another ends does NOT
+    overlap it (half-open semantics — the (ts, delta) tie order)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from conversadocs_spark.plans.analytics import (
+        interval_concurrency,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, typ):
+        return (i, t0 + dt.timedelta(minutes=minutes), 1, typ,
+                0.0, "{}")
+
+    rows = [
+        # type a: starts at 0, 1, 2 -> peak 3 at minute 2
+        ev(0, 0, "a"), ev(1, 1, "a"), ev(2, 2, "a"),
+        # type b: back-to-back (0 and exactly +5) -> peak 1 at 0
+        ev(3, 0, "b"), ev(4, 5, "b"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value",
+             "props"],
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.event_type: (r.peak_concurrency, r.peak_at)
+            for r in interval_concurrency(spark, td).collect()
+        }
+    assert got["a"] == (3, t0 + dt.timedelta(minutes=2))
+    assert got["b"] == (1, t0)

@@ -76,7 +76,7 @@ def test_driver_order_covers_registry_exactly():
                  "dsir_resample", "graph_triangles",
                  "mixture_temperature", "knn_int8_batch",
                  "knn_matryoshka_batch", "multivec_maxsim_batch",
-                 "pareto_frontier"):
+                 "pareto_frontier", "interval_concurrency"):
         assert must in head
 
 
