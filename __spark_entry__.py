@@ -183,7 +183,10 @@ _DRIVER_ORDER = [
     # k-fold CV assignment rotated to the tail in r9 (green r7+r8)
     # so the Gumbel-top-k DSIR resample gets its first driver row;
     # the split/sample family keeps stable_row_ids + mixture_realize
-    "dsir_resample", "stable_row_ids",
+    # (stable_row_ids rotated to the tail in r9 — green r7+r8 — so
+    # the journey-mining query gets its first driver row; the
+    # pipeline family keeps a dozen other head rows)
+    "dsir_resample", "path_mining_3step",
     # r9: degree-ordered triangle counting (oracle-backed, new —
     # rotated in; out goes mixture_realize, green r7+r8, the
     # split/sample family keeps stable_row_ids + dsir_resample)
@@ -238,7 +241,7 @@ _DRIVER_ORDER = [
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",
-    "table_diff", "agg_unpivot",
+    "table_diff", "agg_unpivot", "stable_row_ids",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
     "basket_lift", "latest_per_key", "sample_group_topk",
     "length_histogram", "kfold_split", "mixture_realize",

@@ -863,3 +863,64 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "peak_concurrency")
         .agg(F.min("r_ts").alias("peak_at"))
     )
+
+
+# --------------------------------------------------------------------------
+# path mining (top event trigram journeys)
+# --------------------------------------------------------------------------
+
+_PATH_MINING_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS t2,
+           lead(event_type, 2) OVER w AS t3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+    SELECT event_type || '>' || t2 || '>' || t3 AS path
+    FROM ordered WHERE t3 IS NOT NULL
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM paths GROUP BY path
+ORDER BY n DESC, path ASC LIMIT 15
+"""
+
+
+@register(
+    "path_mining_3step", oracle=_PATH_MINING_ORACLE, tags=("analytics",)
+)
+def path_mining_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the 15 most common 3-step event-type paths
+    across all users — the "what do people actually do" query behind
+    funnel discovery (funnel_conversion checks a KNOWN path; this
+    MINES the candidates). Per user, events order by (ts, event_id)
+    — a total order, so the trigram set is deterministic — and two
+    lead() windows assemble each step's successors without a
+    self-join.
+
+    Scale shape: ONE shuffle on the natural user key for the window
+    (each user's history sorts independently — no global order),
+    then a map-side-combinable trigram count and a
+    TakeOrderedAndProject(15). The path alphabet is event-type-
+    cubed-bounded, so the count table is tiny however large the
+    event log; at 100 TB this is the same plan with the window's
+    sort spilling per user-partition."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = io.table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    paths = ordered.where(F.col("t3").isNotNull()).select(
+        F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(15)
+    )

@@ -393,3 +393,39 @@ def test_interval_concurrency_closed_form(spark):
         }
     assert got["a"] == (3, t0 + dt.timedelta(minutes=2))
     assert got["b"] == (1, t0)
+
+
+def test_path_mining_closed_form(spark):
+    """Journey extraction on a constructed log: user 1's four ordered
+    events yield exactly two trigrams; a two-event user yields none;
+    same-timestamp events order by event_id (the total-order pin)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from conversadocs_spark.plans.analytics import path_mining_3step
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, minutes, user, typ):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ,
+                0.0, "{}")
+
+    rows = [
+        ev(0, 0, 1, "a"), ev(1, 1, 1, "b"), ev(2, 2, 1, "c"),
+        ev(3, 3, 1, "d"),
+        ev(4, 0, 2, "x"), ev(5, 1, 2, "y"),
+        # user 3: two events at the SAME ts — event_id breaks the tie
+        ev(6, 0, 3, "p"), ev(7, 0, 3, "q"), ev(8, 1, 3, "r"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value",
+             "props"],
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.path: r.n
+            for r in path_mining_3step(spark, td).collect()
+        }
+    assert got == {"a>b>c": 1, "b>c>d": 1, "p>q>r": 1}

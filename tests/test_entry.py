@@ -76,7 +76,8 @@ def test_driver_order_covers_registry_exactly():
                  "dsir_resample", "graph_triangles",
                  "mixture_temperature", "knn_int8_batch",
                  "knn_matryoshka_batch", "multivec_maxsim_batch",
-                 "pareto_frontier", "interval_concurrency"):
+                 "pareto_frontier", "interval_concurrency",
+                 "path_mining_3step"):
         assert must in head
 
 
