@@ -179,7 +179,10 @@ _DRIVER_ORDER = [
     # new — rotated in; out goes length_histogram, green r7+r8, the
     # text-stats family keeps quality_filter_stack + arrow_text_stats)
     "quality_char_entropy",
-    "quality_filter_stack",
+    # (quality_filter_stack rotated to the tail in r9 — green r7+r8
+    # — so the classifier's calibration leg gets its first driver
+    # row; the quality family keeps gopher/entropy/lr rows)
+    "lr_calibration_deciles",
     # k-fold CV assignment rotated to the tail in r9 (green r7+r8)
     # so the Gumbel-top-k DSIR resample gets its first driver row;
     # the split/sample family keeps stable_row_ids + mixture_realize
@@ -242,6 +245,7 @@ _DRIVER_ORDER = [
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",
     "table_diff", "agg_unpivot", "stable_row_ids",
+    "quality_filter_stack",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
     "basket_lift", "latest_per_key", "sample_group_topk",
     "length_histogram", "kfold_split", "mixture_realize",

@@ -517,3 +517,146 @@ def quality_lr_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("lr_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# classifier calibration (decile gains table, bucket-decomposed)
+# --------------------------------------------------------------------------
+
+_LR_CALIBRATION_ORACLE = """
+WITH f AS (
+    SELECT doc_id,
+           least(len(string_split(text,' '))/50.0, 1.0) AS f_lensat,
+           len(list_distinct(string_split(text,' ')))*1.0
+               / len(string_split(text,' ')) AS f_uniq,
+           least(len(regexp_extract_all(text,'[^A-Za-z0-9\\s]'))
+                 *1.0/length(text), 1.0) AS f_punct,
+           len(string_split(text,' ')) AS n_words,
+           len(list_distinct(string_split(text,' ')))*1.0
+               / len(string_split(text,' ')) AS uniq_ratio
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-6.0 + 2.5*f_lensat + 5.0*f_uniq
+                                    - 1.5*f_punct))), 6) AS lr_score,
+           (n_words >= 20 AND uniq_ratio >= 0.6) AS label
+    FROM f
+),
+pos AS (
+    SELECT doc_id, lr_score, label,
+           row_number() OVER (ORDER BY lr_score DESC, doc_id ASC)
+               AS p,
+           count(*) OVER () AS n
+    FROM scored
+)
+SELECT CAST(floor((p - 1) * 10.0 / n) + 1 AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(round(lr_score * 1000000, 0) AS BIGINT))
+                  AS DOUBLE) / (count(*) * 1000000.0), 6)
+           AS mean_score,
+       round(CAST(count(CASE WHEN label THEN 1 END) AS DOUBLE)
+             / count(*), 6) AS pos_rate
+FROM pos
+GROUP BY 1
+ORDER BY decile
+"""
+
+
+@register(
+    "lr_calibration_deciles", oracle=_LR_CALIBRATION_ORACLE,
+    tags=("lm", "pipeline"),
+)
+def lr_calibration_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The classifier lifecycle's third leg — train
+    (quality_lr_train) -> serve (quality_lr_score_fixed) -> EVALUATE:
+    the decile gains/calibration table (per score decile: volume,
+    mean score, positive rate against an independent structural
+    label). A monotone pos_rate across deciles is the standard
+    "does the ranking actually rank" check run before a quality gate
+    ships.
+
+    The ORACLE deciles with a global row_number; the Spark plan
+    serves the same global-order semantics WITHOUT a global sort —
+    the token_budget_select bucket decomposition: scores round to 6,
+    so the bucket table is bounded (<= 1e6 + 1 values); cumulative
+    counts run in ONE window over that bucket table only; each doc's
+    global position is bucket-prefix + a within-bucket rank
+    (partitioned by score value, ordered by doc_id); decile =
+    floor((pos-1)*10/n)+1 — pure integer arithmetic in both engines.
+    Mean scores sum as fixed-point BIGINTs (order-independent), and
+    the label is integer/exact-ratio comparisons only.
+
+    Plan pin (tests): no RangePartitioning anywhere — the corpus
+    never globally sorts; the only SinglePartition window runs over
+    the bounded score-bucket table."""
+    from pyspark.sql import Window
+
+    from conversadocs_spark.plans.registry import QUERIES
+
+    scored_src = QUERIES["quality_lr_score_fixed"](spark, sf_dir)
+    d = io.table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    labels = d.select(
+        "doc_id",
+        (
+            (F.size(words) >= 20)
+            & (
+                F.size(F.array_distinct(words)).cast("double")
+                / F.size(words).cast("double")
+                >= 0.6
+            )
+        ).alias("label"),
+    )
+    scored = scored_src.select("doc_id", "lr_score").join(
+        labels, "doc_id"
+    )
+    buckets = scored.groupBy("lr_score").agg(
+        F.count("*").alias("bn")
+    )
+    w_bucket = Window.orderBy(F.desc("lr_score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = buckets.withColumn(
+        "prefix", F.sum("bn").over(w_bucket) - F.col("bn")
+    )
+    total = scored.agg(F.count("*").alias("n"))
+    w_in = Window.partitionBy("lr_score").orderBy(F.asc("doc_id"))
+    positioned = (
+        scored.join(F.broadcast(pref.select("lr_score", "prefix")),
+                    "lr_score")
+        .withColumn("win", F.row_number().over(w_in))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "decile",
+            (
+                F.floor(
+                    (F.col("prefix") + F.col("win") - 1)
+                    * 10
+                    / F.col("n")
+                )
+                + 1
+            ).cast("bigint"),
+        )
+    )
+    score_f = F.round(F.col("lr_score") * 1000000.0, 0).cast("bigint")
+    return (
+        positioned.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(score_f).cast("double")
+                / (F.count("*") * F.lit(1000000.0)),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.sum(F.when(F.col("label"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("pos_rate"),
+        )
+    )

@@ -22,7 +22,9 @@ Bounds, per file (reviewed r9):
   null-key fixture.
 - plans/lake.py 2: CDC change batch (micro-batch sized); 1-row
   Z-order bounds aggregate in the composed OPTIMIZE lifecycle.
-- plans/lm.py 4: 1-row vocab-cut / median aggregates, k-row vocab.
+- plans/lm.py 6: 1-row vocab-cut / median / total aggregates, k-row
+  vocab; r9 lr_calibration_deciles adds the bounded score-bucket
+  prefix table and the 1-row total.
 - plans/pipeline.py 12: 1-row totals/budget, per-source k-row tables,
   32-row partition-offset table, eval n-gram set (contamination: the
   held-out eval set is small by definition); r9 dsir_select adds two
@@ -71,7 +73,7 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/eventtime.py": 1,
     "plans/joins.py": 4,
     "plans/lake.py": 2,
-    "plans/lm.py": 4,
+    "plans/lm.py": 6,
     "plans/pipeline.py": 14,
     "plans/rag.py": 1,
     "plans/retrieval.py": 3,

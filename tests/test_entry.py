@@ -77,7 +77,8 @@ def test_driver_order_covers_registry_exactly():
                  "mixture_temperature", "knn_int8_batch",
                  "knn_matryoshka_batch", "multivec_maxsim_batch",
                  "pareto_frontier", "interval_concurrency",
-                 "path_mining_3step"):
+                 "path_mining_3step",
+                 "lr_calibration_deciles"):
         assert must in head
 
 
