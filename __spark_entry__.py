@@ -156,11 +156,10 @@ _DRIVER_ORDER = [
     # r8: token-budget corpus curation (oracle-backed, new — the
     # global-cumsum semantics served by the bucket decomposition)
     "token_budget_select",
-    # wave 4: trailing-baseline anomaly scoring (+ market-basket lift,
-    # rotated to the tail in r9 — green r7+r8 — so the LATERAL top-k
-    # SQL surface gets its first driver row; analytics keeps
-    # anomaly_zscore + outlier_mad)
-    "anomaly_zscore",
+    # wave 4's anomaly_zscore and basket_lift both rotated to the
+    # tail in r9 (green r7+r8) for the LATERAL top-k and the per-key
+    # OLS trend; analytics keeps outlier_mad + five r9 head rows
+    "grouped_linreg",
     # r8: robust median/MAD outlier flagging (oracle-backed, new —
     # rotated in; out goes funnel_conversion, green r6+r7;
     # cohort_retention keeps the event-analytics pair's row)
@@ -245,7 +244,7 @@ _DRIVER_ORDER = [
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",
     "table_diff", "agg_unpivot", "stable_row_ids",
-    "quality_filter_stack",
+    "quality_filter_stack", "anomaly_zscore",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
     "basket_lift", "latest_per_key", "sample_group_topk",
     "length_histogram", "kfold_split", "mixture_realize",

@@ -924,3 +924,97 @@ def path_mining_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# grouped closed-form linear regression (per-key OLS trend)
+# --------------------------------------------------------------------------
+
+_GROUPED_LINREG_ORACLE = """
+WITH pts AS (
+    SELECT event_type,
+           CAST(floor((epoch(ts) - 1704067200) / 3600.0) AS BIGINT)
+               AS x,
+           CAST(round(value * 100, 0) AS BIGINT) AS yf
+    FROM events
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE) AS sx,
+           CAST(CAST(sum(yf) AS HUGEINT) AS DOUBLE) AS sy,
+           CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                AS DOUBLE) AS sxx,
+           CAST(CAST(sum(CAST(x AS HUGEINT) * yf) AS HUGEINT)
+                AS DOUBLE) AS sxy
+    FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx)
+             / 100.0 * 24.0, 6) AS slope_per_day,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+             / (n * 100.0), 6) AS intercept
+FROM agg
+"""
+
+
+@register(
+    "grouped_linreg", oracle=_GROUPED_LINREG_ORACLE, tags=("analytics",)
+)
+def grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key closed-form OLS — the trend line every metrics
+    dashboard fits per series, as ONE map-side-combinable aggregate:
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) per event_type over
+    (hours-since-2024, value-in-cents), reported per day, plus the
+    intercept at epoch start.
+
+    Cross-engine float discipline (learned the hard way — the first
+    cut used raw seconds and mismatched in the 6th decimal): every
+    sufficient statistic accumulates in EXACT integer arithmetic
+    (DECIMAL(38)/HUGEINT), and x is bucketed to hours and y
+    fixed-pointed to cents so each statistic stays far below 2^53 —
+    its int->double cast is therefore EXACT, and from identical
+    doubles the identically-parenthesized IEEE expression tree gives
+    bit-identical results in any engine. (Raw seconds pushed
+    n*Sxy past 2^53, where HUGEINT->double and DECIMAL->double
+    casts may round differently.)
+
+    Scale shape: one aggregate with partial combine — the per-key
+    sufficient statistics are 5 numbers however many points stream
+    through; the textbook "model fits that are just aggregates"
+    case."""
+    pts = io.table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(
+            (F.unix_timestamp("ts") - F.lit(1704067200)) / 3600.0
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("yf"),
+    )
+    dec = "decimal(38,0)"
+    agg = pts.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("yf").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x")))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x").cast(dec) * F.col("yf")))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope / 100.0 * 24.0, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx"))
+            / (F.col("n") * F.lit(100.0)),
+            6,
+        ).alias("intercept"),
+    )

@@ -429,3 +429,39 @@ def test_path_mining_closed_form(spark):
             for r in path_mining_3step(spark, td).collect()
         }
     assert got == {"a>b>c": 1, "b>c>d": 1, "p>q>r": 1}
+
+
+def test_grouped_linreg_recovers_exact_line(spark):
+    """OLS closed form on a constructed exact line: value =
+    0.02 * hour + 5.00 (cents-exact at every point) must come back
+    as slope_per_day = 0.48 and intercept = 5.0 exactly; a constant
+    series fits slope 0."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from conversadocs_spark.plans.analytics import grouped_linreg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(48):
+        rows.append(
+            (h, base + dt.timedelta(hours=h, minutes=1), 1,
+             "line", round(0.02 * h + 5.0, 2), "{}")
+        )
+        rows.append(
+            (100 + h, base + dt.timedelta(hours=h), 1,
+             "flat", 7.25, "{}")
+        )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value",
+             "props"],
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.event_type: (r.n, r.slope_per_day, r.intercept)
+            for r in grouped_linreg(spark, td).collect()
+        }
+    assert got["line"] == (48, 0.48, 5.0)
+    assert got["flat"] == (48, 0.0, 7.25)

@@ -78,7 +78,7 @@ def test_driver_order_covers_registry_exactly():
                  "knn_matryoshka_batch", "multivec_maxsim_batch",
                  "pareto_frontier", "interval_concurrency",
                  "path_mining_3step",
-                 "lr_calibration_deciles"):
+                 "lr_calibration_deciles", "grouped_linreg"):
         assert must in head
 
 
