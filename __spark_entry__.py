@@ -136,7 +136,10 @@ _DRIVER_ORDER = [
     # (event_transitions rotated to the tail in r9 — green r7+r8 —
     # so the recursive-CTE SQL surface gets its first driver row; the
     # event-analytics family keeps window_range_time + anomaly_zscore)
-    "window_range_time", "lake_compact_files",
+    # (lake_compact_files rotated to the tail in r9 — green r7+r8 —
+    # so the gaps-and-islands streak pattern gets its first driver
+    # row; the lake family keeps lake_zorder_scan + the lifecycle)
+    "window_range_time", "window_gaps_islands",
     # (window_ignore_nulls rotated to the tail late-r7 with its green
     # r6 row so the CMS sketch — oracle-backed, unusually for a
     # sketch — gets its first ledger row)
@@ -244,7 +247,7 @@ _DRIVER_ORDER = [
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",
     "table_diff", "agg_unpivot", "stable_row_ids",
-    "quality_filter_stack", "anomaly_zscore",
+    "quality_filter_stack", "anomaly_zscore", "lake_compact_files",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
     "basket_lift", "latest_per_key", "sample_group_topk",
     "length_histogram", "kfold_split", "mixture_realize",

@@ -1018,3 +1018,91 @@ def grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# gaps and islands (longest consecutive-day streak)
+# --------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+    FROM events
+),
+islands AS (
+    SELECT user_id, d,
+           CAST(d - CAST('2024-01-01' AS DATE) AS BIGINT)
+               - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS island
+    FROM days
+),
+streaks AS (
+    SELECT user_id, island,
+           CAST(count(*) AS BIGINT) AS len,
+           min(d) AS streak_start
+    FROM islands GROUP BY user_id, island
+),
+best AS (
+    SELECT user_id, len, streak_start,
+           row_number() OVER (PARTITION BY user_id
+               ORDER BY len DESC, streak_start ASC) AS rn
+    FROM streaks
+)
+SELECT user_id, len AS longest_streak, streak_start
+FROM best WHERE rn = 1
+ORDER BY longest_streak DESC, user_id ASC
+LIMIT 25
+"""
+
+
+@register(
+    "window_gaps_islands", oracle=_STREAKS_ORACLE, tags=("analytics",)
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — the canonical consecutive-runs pattern
+    (login streaks, uptime runs, contiguous coverage): collapse each
+    user's event days to a distinct set, and the difference
+    day_ordinal - row_number() is CONSTANT exactly within a
+    consecutive run, so grouping by it materializes the islands
+    without any self-join or iteration. Output: each user's longest
+    streak (earliest start breaking ties), top 25.
+
+    Every quantity is an integer (date ordinals, row numbers,
+    counts), so the result is exactly reproducible in both engines;
+    both windows partition by the natural user key — no global order
+    anywhere except the final TakeOrdered(25).
+
+    Scale shape: one distinct (user, day) aggregate with map-side
+    combine, two user-partitioned windows, a (user, island) count —
+    everything keyed on user; the classic example of turning an
+    "iterate over sorted rows" problem into pure relational algebra.
+    """
+    ev = io.table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    days = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island",
+        F.datediff("d", F.lit("2024-01-01")).cast("bigint")
+        - F.row_number().over(w),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("streak_start")
+    )
+    best = (
+        streaks.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            "streak_start",
+        )
+    )
+    return best.orderBy(
+        F.desc("longest_streak"), F.asc("user_id")
+    ).limit(25)

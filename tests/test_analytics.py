@@ -465,3 +465,39 @@ def test_grouped_linreg_recovers_exact_line(spark):
         }
     assert got["line"] == (48, 0.48, 5.0)
     assert got["flat"] == (48, 0.0, 7.25)
+
+
+def test_gaps_islands_closed_form(spark):
+    """Streak detection on constructed days: user 1 has runs of
+    lengths 3 (Jan 1-3) and 2 (Jan 10-11) -> longest 3 starting
+    Jan 1; user 2 has two length-2 runs -> the EARLIER one wins the
+    tie; duplicate events on one day collapse."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from conversadocs_spark.plans.analytics import (
+        window_gaps_islands,
+    )
+
+    def ev(i, day, user):
+        return (i, dt.datetime(2024, 1, day, 12, 0), user, "x",
+                0.0, "{}")
+
+    rows = [
+        ev(0, 1, 1), ev(1, 1, 1), ev(2, 2, 1), ev(3, 3, 1),
+        ev(4, 10, 1), ev(5, 11, 1),
+        ev(6, 5, 2), ev(7, 6, 2), ev(8, 20, 2), ev(9, 21, 2),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value",
+             "props"],
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.user_id: (r.longest_streak, r.streak_start)
+            for r in window_gaps_islands(spark, td).collect()
+        }
+    assert got[1] == (3, dt.date(2024, 1, 1))
+    assert got[2] == (2, dt.date(2024, 1, 5))

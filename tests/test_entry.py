@@ -78,7 +78,8 @@ def test_driver_order_covers_registry_exactly():
                  "knn_matryoshka_batch", "multivec_maxsim_batch",
                  "pareto_frontier", "interval_concurrency",
                  "path_mining_3step",
-                 "lr_calibration_deciles", "grouped_linreg"):
+                 "lr_calibration_deciles", "grouped_linreg",
+                 "window_gaps_islands"):
         assert must in head
 
 
