@@ -1106,3 +1106,84 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.orderBy(
         F.desc("longest_streak"), F.asc("user_id")
     ).limit(25)
+
+
+# --------------------------------------------------------------------------
+# time-decayed engagement (feature-store scoring)
+# --------------------------------------------------------------------------
+
+_DECAY_ORACLE = """
+WITH ref AS (SELECT max(ts) AS t_ref FROM events),
+per_event AS (
+    SELECT e.user_id,
+           CAST(round(
+               e.value * exp(-(epoch(ref.t_ref) - epoch(e.ts))
+                             / 604800.0)
+               * 1000000, 0) AS BIGINT) AS wf
+    FROM events e, ref
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(wf) AS DOUBLE) / 1000000.0, 6)
+           AS decayed_score
+FROM per_event
+GROUP BY user_id
+ORDER BY decayed_score DESC, user_id ASC
+LIMIT 25
+"""
+
+
+@register(
+    "decayed_engagement", oracle=_DECAY_ORACLE, tags=("analytics",)
+)
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement per user (half-life
+    ~4.85 days via a one-week e-folding): the feature-store staple
+    behind "recent activity counts more" ranking signals —
+    sum(value * exp(-age/tau)) with tau = 604800 s, referenced to
+    the corpus's latest event so the score is a pure function of the
+    data. Top 25 users.
+
+    Float discipline: the per-event decayed weight is rounded to 6
+    and fixed-pointed to a BIGINT BEFORE summation (the
+    lm_bigram_score rule), so the per-user sum is exact integer
+    arithmetic — partition- and retry-order independent — and a
+    1-ulp cross-engine exp() disagreement moves one event's weight
+    by at most one micro-unit. The decay ages are exact integer
+    second differences.
+
+    Scale shape: a 1-row broadcast reference timestamp, one narrow
+    codegen map, one map-side-combinable groupBy(user) —
+    TakeOrdered(25) on top. The incremental form at 100 TB
+    multiplies yesterday's per-user score by exp(-1 day/tau) and
+    adds the new day's partial — the fixed-point representation
+    makes that merge associative."""
+    ev = io.table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("t_ref"))
+    per_event = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.round(
+            F.col("value")
+            * F.exp(
+                -(
+                    F.unix_timestamp("t_ref") - F.unix_timestamp("ts")
+                ).cast("double")
+                / F.lit(604800.0)
+            )
+            * F.lit(1000000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("wf"),
+    )
+    return (
+        per_event.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum("wf").cast("double") / F.lit(1000000.0), 6
+            ).alias("decayed_score"),
+        )
+        .orderBy(F.desc("decayed_score"), F.asc("user_id"))
+        .limit(25)
+    )
