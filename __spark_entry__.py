@@ -49,7 +49,14 @@ _DRIVER_ORDER = [
     # gets its first ledger row; knn_auto (green r6) rotated to the
     # tail late-r7 for the new SQ8 query — knn_filtered / knn_int8 /
     # knn_auto_indexed carry the family)
-    "knn_int8", "knn_filtered",
+    "knn_int8",
+    # r10: the time-decayed engagement score, fixed this round
+    # (integer-microsecond ages on both engines; it was the r9
+    # snapshot's unregistered wrong query) — zero driver rows, so it
+    # takes a head slot per the rotation policy. Displaced:
+    # knn_filtered (green r7/r8 driver rows + r9 head row; the
+    # filtered-retrieval family keeps knn_filtered_int8_batch below).
+    "decayed_engagement",
     # r8 additions, all oracle-backed and never driver-recorded ->
     # head-50 per the COVERAGE.md rotation policy: binary sign-bit
     # retrieval (32x storage tier below SQ8), matryoshka prefix-dim
@@ -243,6 +250,8 @@ _DRIVER_ORDER = [
     # new — see event_transitions / basket_lift notes)
     "sql_recursive_cte", "sql_lateral_topk",
     # --- 50 ---
+    # r10 tail rotations (see head notes)
+    "knn_filtered",
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",

@@ -1117,8 +1117,9 @@ WITH ref AS (SELECT max(ts) AS t_ref FROM events),
 per_event AS (
     SELECT e.user_id,
            CAST(round(
-               e.value * exp(-(epoch(ref.t_ref) - epoch(e.ts))
-                             / 604800.0)
+               e.value * exp(-CAST(epoch_us(ref.t_ref)
+                                   - epoch_us(e.ts) AS DOUBLE)
+                             / 604800000000.0)
                * 1000000, 0) AS BIGINT) AS wf
     FROM events e, ref
 )
@@ -1150,7 +1151,10 @@ def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — partition- and retry-order independent — and a
     1-ulp cross-engine exp() disagreement moves one event's weight
     by at most one micro-unit. The decay ages are exact integer
-    second differences.
+    MICROsecond differences on both engines (Spark ``unix_micros``,
+    DuckDB ``epoch_us``) — whole-second ``unix_timestamp`` vs
+    fractional ``epoch()`` would skew every age by up to 1 s because
+    the fixture timestamps carry microsecond precision.
 
     Scale shape: a 1-row broadcast reference timestamp, one narrow
     codegen map, one map-side-combinable groupBy(user) —
@@ -1166,9 +1170,10 @@ def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value")
             * F.exp(
                 -(
-                    F.unix_timestamp("t_ref") - F.unix_timestamp("ts")
+                    F.unix_micros(F.col("t_ref").cast("timestamp"))
+                    - F.unix_micros(F.col("ts").cast("timestamp"))
                 ).cast("double")
-                / F.lit(604800.0)
+                / F.lit(604800.0e6)
             )
             * F.lit(1000000.0),
             0,

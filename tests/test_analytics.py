@@ -501,3 +501,60 @@ def test_gaps_islands_closed_form(spark):
         }
     assert got[1] == (3, dt.date(2024, 1, 1))
     assert got[2] == (2, dt.date(2024, 1, 5))
+
+
+def test_decayed_engagement_micros_exact(spark):
+    """The r9 regression pin: timestamps carry FRACTIONAL seconds, so
+    a whole-second age (unix_timestamp semantics) would skew every
+    decay weight; the fixed query must reproduce the exact
+    integer-microsecond fixed-point re-derivation, and must NOT match
+    the whole-second formulation."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from conversadocs_spark.plans.analytics import decayed_engagement
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: three events at fractional-second offsets; user 2: one
+    # event exactly at the reference instant (weight == value).
+    offsets_us = [0, 123_456, 86_400_500_000, 604_800_250_000]
+    users = [2, 1, 1, 1]
+    t_ref_us = max(offsets_us)
+    for i, (off, uid) in enumerate(zip(offsets_us, users)):
+        ts = base + dt.timedelta(microseconds=t_ref_us - off)
+        rows.append((i, ts, uid, "view", 10.0 + i, "{}"))
+
+    def score(pairs):
+        tot = 0
+        for off, val in pairs:
+            tot += int(round(
+                val * math.exp(-off / 604800.0e6) * 1e6
+            ))
+        return round(tot / 1e6, 6)
+
+    exact = {
+        1: score([(123_456, 11.0), (86_400_500_000, 12.0),
+                  (604_800_250_000, 13.0)]),
+        2: score([(0, 10.0)]),
+    }
+    whole_sec = {
+        1: score([(0, 11.0), (86_400_000_000, 12.0),
+                  (604_800_000_000, 13.0)]),
+        2: score([(0, 10.0)]),
+    }
+    assert exact[1] != whole_sec[1]  # fixture actually discriminates
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value",
+             "props"],
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.user_id: (r.n_events, r.decayed_score)
+            for r in decayed_engagement(spark, td).collect()
+        }
+    assert got == {1: (3, exact[1]), 2: (1, exact[2])}

@@ -55,8 +55,15 @@ def test_driver_order_covers_registry_exactly():
     # keep those families' rows) — pin them.
     for must in ("knn_binary", "knn_matryoshka", "multivec_maxsim",
                  "outlier_mad", "token_budget_select",
-                 "knn_int8", "knn_filtered", "lake_zorder_scan",
-                 "lake_compact_files", "cms_term_freq",
+                 # r10: knn_filtered rotated to the tail (green
+                 # r7/r8 + r9 head row) so the fixed
+                 # decayed_engagement gets its first driver row.
+                 # (lake_compact_files dropped from the pins: the r9
+                 # rotation moved it to the tail for
+                 # window_gaps_islands, but the stale pin was masked
+                 # by the set-equality assert failing first)
+                 "knn_int8", "decayed_engagement", "lake_zorder_scan",
+                 "cms_term_freq",
                  "dedup_incremental", "pretrain_corpus",
                  "arrow_grouped_seq",
                  "window_range_time", "quality_lr_score_fixed",
