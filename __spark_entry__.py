@@ -49,7 +49,11 @@ _DRIVER_ORDER = [
     # gets its first ledger row; knn_auto (green r6) rotated to the
     # tail late-r7 for the new SQ8 query — knn_filtered / knn_int8 /
     # knn_auto_indexed carry the family)
-    "knn_int8",
+    # r10: the composed serving-matrix query (metadata filter x SQ8
+    # tier x query batch; oracle-backed, new — rotated in; out goes
+    # knn_int8, green r8+r9, the quantized family keeps
+    # knn_int8_batch + binary/matryoshka/maxsim head rows)
+    "knn_filtered_int8_batch",
     # r10: the time-decayed engagement score, fixed this round
     # (integer-microsecond ages on both engines; it was the r9
     # snapshot's unregistered wrong query) — zero driver rows, so it
@@ -251,7 +255,7 @@ _DRIVER_ORDER = [
     "sql_recursive_cte", "sql_lateral_topk",
     # --- 50 ---
     # r10 tail rotations (see head notes)
-    "knn_filtered",
+    "knn_filtered", "knn_int8",
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",

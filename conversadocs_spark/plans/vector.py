@@ -1644,6 +1644,136 @@ def knn_int8_batch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_FILTERED_INT8_BATCH_ORACLE = """
+WITH allowed AS (
+    SELECT doc_id FROM documents
+    WHERE lang = 'en' AND source <> 'src0'
+),
+deq AS (
+    SELECT e.vec_id,
+           e.i,
+           CASE WHEN b.qscale = 0 THEN b.qmin
+                ELSE b.qmin + (floor((CAST(e.x AS DOUBLE) - b.qmin)
+                                     / b.qscale + 0.5) - 128 + 128.0)
+                              * b.qscale
+           END AS xh
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) e
+    JOIN (SELECT vec_id,
+                 CAST(list_min(embedding) AS DOUBLE) AS qmin,
+                 (CAST(list_max(embedding) AS DOUBLE)
+                  - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+                     AS qscale
+          FROM embeddings) b USING (vec_id)
+),
+sims AS (
+    SELECT q.vec_id AS query_id, d.vec_id,
+           ROUND(
+               SUM(d.xh * q.xh)
+               / (SQRT(SUM(d.xh * d.xh)) * SQRT(SUM(q.xh * q.xh))),
+               6) AS sim_q
+    FROM deq d
+    JOIN (SELECT vec_id, i, xh FROM deq WHERE vec_id < 5) q USING (i)
+    WHERE d.vec_id >= 5
+      AND d.vec_id IN (SELECT doc_id FROM allowed)
+    GROUP BY q.vec_id, d.vec_id
+)
+SELECT t.query_id, t.vec_id, t.sim_q,
+       CAST(t.rk AS INTEGER) AS rank, dd.lang, dd.source
+FROM (
+    SELECT query_id, vec_id, sim_q,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY sim_q DESC, vec_id ASC) AS rk
+    FROM sims) t
+JOIN documents dd ON dd.doc_id = t.vec_id
+WHERE t.rk <= 5
+"""
+
+
+@register(
+    "knn_filtered_int8_batch",
+    oracle=_KNN_FILTERED_INT8_BATCH_ORACLE,
+    tags=("vector",),
+)
+def knn_filtered_int8_batch_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production serving composition: tenant/language metadata
+    filter x SQ8 quantized tier x query batch — knn_filtered's
+    PRE-filter strategy fused with knn_int8_batch's one-scan batch
+    scoring (the reference's retriever, bones.py:74, is the
+    unfiltered single-query corner of this matrix). Vectors vec_id<5
+    are the query batch; the corpus is restricted to documents with
+    lang='en' AND source<>'src0'; per query, top-5 by SQ8-dequantized
+    cosine, annotated with provenance.
+
+    Order of operations is the scale contract: the documents
+    predicate is pushed to the documents scan (PushedFilters), the
+    surviving id set semi-joins into the embeddings scan as an
+    UNhinted LEFT SEMI (Catalyst broadcasts it from size stats, and
+    it degrades to a shuffled semi-join only when the tenant set is
+    itself huge) — so out-of-filter vectors are dropped BEFORE any
+    dequantize/score work, and exactness over the filter holds at any
+    selectivity (a post-filtered ANN under-fills k under selective
+    predicates). Then the knn_int8_batch cadence: one scan of the
+    filtered corpus scores all Q broadcast dequantized queries, only
+    the skinny (query_id, vec_id, sim_q) projection reaches the
+    map-side-pruned per-query top-5 window — the corpus floats never
+    shuffle (plan-pinned: semi-join below the window, every hash
+    exchange keyed on query_id). The Q x 5 result — never the
+    unbounded documents side — is the broadcast side of the
+    provenance join."""
+    from pyspark.sql import Window
+
+    from conversadocs_spark.operators.quant import (
+        dequantized,
+        quantize_int8,
+    )
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    docs = io.table(spark, sf_dir, "documents")
+    allowed = docs.where(
+        (F.col("lang") == "en") & (F.col("source") != "src0")
+    ).select(F.col("doc_id").alias("vec_id"))
+    queries = (
+        quantize_int8(emb.where(F.col("vec_id") < 5))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            dequantized().alias("_qh"),
+        )
+    )
+    # Filter FIRST (unhinted semi-join on the raw scan), quantize the
+    # survivors only — the filter reaches the corpus before the
+    # dequantize/score pass.
+    corpus = quantize_int8(
+        emb.where(F.col("vec_id") >= 5).join(
+            allowed, "vec_id", "left_semi"
+        )
+    ).select("vec_id", dequantized().alias("xh"))
+    sims = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine_similarity(F.col("xh"), F.col("_qh")), 6
+        ).alias("sim_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_q"), F.asc("vec_id")
+    )
+    top = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "sim_q", "rank")
+    )
+    prov = docs.select(
+        F.col("doc_id").alias("vec_id"), "lang", "source"
+    )
+    return F.broadcast(top).join(prov, "vec_id").select(
+        "query_id", "vec_id", "sim_q", "rank", "lang", "source"
+    )
+
+
 _KNN_MRL_BATCH_ORACLE = """
 WITH coarse AS (
     SELECT q.q_id AS query_id, e.vec_id,

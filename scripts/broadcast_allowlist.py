@@ -48,7 +48,9 @@ Bounds, per file (reviewed r9):
   r9 knn_matryoshka_batch adds the Q-row prefix batch, the Q x 50
   shortlist, and the Q-row full-width query table; r9
   multivec_maxsim_batch adds the Q x 10-row query token-bag
-  broadcast.
+  broadcast; r10 knn_filtered_int8_batch adds the Q-row dequantized
+  query batch and the Q x 5 provenance shortlist (the allowed-id
+  semi-join side stays deliberately UNhinted, as in knn_filtered).
 - streaming/cdc.py 1: per-micro-batch CDC delta.
 - functions/zorder.py 1: 1-row min/max bounds aggregate.
 - operators/incremental.py 1: O(batch) new-doc signatures.
@@ -80,6 +82,6 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/retrieval.py": 3,
     "plans/streamqueries.py": 1,
     "plans/text.py": 2,
-    "plans/vector.py": 18,
+    "plans/vector.py": 20,
     "streaming/cdc.py": 1,
 }

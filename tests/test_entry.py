@@ -62,7 +62,10 @@ def test_driver_order_covers_registry_exactly():
                  # rotation moved it to the tail for
                  # window_gaps_islands, but the stale pin was masked
                  # by the set-equality assert failing first)
-                 "knn_int8", "decayed_engagement", "lake_zorder_scan",
+                 # r10: knn_int8 rotated to the tail (green r8+r9)
+                 # for the composed filter x SQ8 x batch query.
+                 "knn_filtered_int8_batch",
+                 "decayed_engagement", "lake_zorder_scan",
                  "cms_term_freq",
                  "dedup_incremental", "pretrain_corpus",
                  "arrow_grouped_seq",

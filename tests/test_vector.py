@@ -930,6 +930,40 @@ def test_knn_int8_batch_corpus_never_shuffles(spark, sf_oracle_dir):
     assert "WindowGroupLimit" in final and "Partial" in final
 
 
+def test_knn_filtered_int8_batch_filter_before_score(
+    spark, sf_oracle_dir
+):
+    """Composed serving-matrix pins: (a) the metadata filter enters
+    as a broadcast LEFT SEMI join BELOW the per-query window (filter
+    reaches the corpus scan before the dequantize/score pass — in the
+    top-down plan string the LeftSemi line sits deeper than the last
+    Window line); (b) the knn_int8_batch scale contract holds through
+    the composition — no SMJ/shuffled-hash, every hash exchange keyed
+    on query_id over the skinny projection, window map-side pruned;
+    (c) every returned id satisfies the predicate and each query
+    fills k=5."""
+    from conversadocs_spark.plans import QUERIES
+
+    df = QUERIES["knn_filtered_int8_batch"](spark, sf_oracle_dir)
+    rows = df.collect()
+    assert len(rows) == 25  # 5 queries x top-5
+    assert all(r.lang == "en" and r.source != "src0" for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "ShuffledHashJoin" not in final
+    lines = final.splitlines()
+    semi = [i for i, l in enumerate(lines) if "LeftSemi" in l]
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert semi and wins and min(semi) > max(wins), (
+        "semi-join filter must sit below the scoring window"
+    )
+    for line in lines:
+        if "Exchange hashpartitioning" in line:
+            assert "hashpartitioning(query_id" in line, line
+    assert "WindowGroupLimit" in final and "Partial" in final
+
+
 def test_knn_mrl_batch_corpus_never_shuffles(spark, sf_oracle_dir):
     """Matryoshka batch-form scale pins (same contract as the binary
     and SQ8 batch cells): no SMJ/shuffled-hash join, every hash
