@@ -814,13 +814,18 @@ def ppjoin_prefix_pairs(
     shingles under the global order, the prefix-token equi-join, and
     a verify join that touches only candidates."""
     # The shingle relation feeds the token stream AND both verify-join
-    # sides; unpersisted, Catalyst re-runs the shingle projection from
-    # the source scan per branch (9 document scans in the executed
-    # plan). Persist it once — the lm_bigram_score shared-pass move
-    # with the same documented LRU caveat; at 100 TB this is the
-    # relation you'd checkpoint between the candidate and verify
-    # stages.
-    sh = shingle_docs(df, text_col, id_col, n).persist()
+    # sides; unmaterialized, Catalyst re-runs the shingle projection
+    # from the source scan per branch (9 document scans in the
+    # executed plan). Materialize it once via eager localCheckpoint
+    # (not persist: the returned DataFrame keeps reading the blocks,
+    # so an in-function unpersist is impossible — checkpoint blocks
+    # are freed by the ContextCleaner when the result goes out of
+    # scope instead of pinning cache across a long driver sweep, the
+    # token_budget ADVICE-r8 rule); at 100 TB this is the relation
+    # you'd checkpoint between the candidate and verify stages.
+    sh = shingle_docs(df, text_col, id_col, n).localCheckpoint(
+        eager=True
+    )
     tok = sh.select("id", F.explode("shingles").alias("s"))
     freq = tok.groupBy("s").agg(F.count("*").alias("df_s"))
     ordered = (

@@ -159,11 +159,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_first = F.struct(F.col("dx"), F.col("x")) < F.struct(
         F.col("dy"), F.col("y")
     )
+    # Materialized once via eager localCheckpoint — it feeds both
+    # wedge sides AND the closing-edge probe (three branches), and
+    # the ContextCleaner frees the blocks when the result goes out of
+    # scope (persist would pin them across a long driver sweep — the
+    # token_budget ADVICE-r8 rule, applied here per ADVICE r9).
     oriented = ed.select(
         F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("s"),
         F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("d"),
         F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("dd"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     w1 = oriented.select(
         F.col("s"), F.col("d").alias("a"), F.col("dd").alias("da")
     )

@@ -1604,7 +1604,13 @@ def _dsir_scored_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % _DSIR_B
             ).alias("b"),
         )
-        .persist()
+        # localCheckpoint (not persist): the returned selection keeps
+        # reading these blocks, so an in-function unpersist is
+        # impossible — checkpoint blocks are freed by the
+        # ContextCleaner when the result goes out of scope instead of
+        # pinning cache across a long driver sweep (the token_budget
+        # ADVICE-r8 rule, applied here per ADVICE r9).
+        .localCheckpoint(eager=True)
     )
     tgt = toks.where(F.col("source") == "src0")
     pool = toks.where(F.col("source") != "src0")

@@ -817,16 +817,20 @@ def semdedup_prune(spark, sf_dir):
     # both edge directions via pairs, and the final output); without
     # materialization Catalyst re-derives the broadcast-argmax cosine
     # from the parquet scan per branch (measured: 15 embeddings scans
-    # in the executed plan). Persist it once — the lm_bigram_score
-    # cache-the-shared-pass move; at 100 TB this is the assignment
-    # table you'd write bucketed by cluster_id between stages anyway
-    # (the IVF index shape, operators/ivf.py).
+    # in the executed plan). Materialize it once via eager
+    # localCheckpoint (not persist: the returned DataFrame keeps
+    # reading the blocks, so an in-function unpersist is impossible —
+    # the ContextCleaner frees checkpoint blocks when the result goes
+    # out of scope instead of pinning cache across a long driver
+    # sweep, the token_budget ADVICE-r8 rule); at 100 TB this is the
+    # assignment table you'd write bucketed by cluster_id between
+    # stages anyway (the IVF index shape, operators/ivf.py).
     assigned = emb.crossJoin(F.broadcast(packed)).select(
         "vec_id",
         "embedding",
         (-best["neg_cid"]).alias("cluster_id"),
         best["csim"].alias("centroid_sim"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     a = assigned.select(
         "cluster_id",
         F.col("vec_id").alias("id1"),
