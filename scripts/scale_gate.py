@@ -41,6 +41,209 @@ TABLES = (
 ).split()
 
 
+# --------------------------------------------------------------------------
+# Value-asserting invariant checks for the quadratic-oracle queries
+# (VERDICT r9 #6): their scale runs must assert VALUES, not just
+# completion. Two mechanisms, both engine-portable at any SF:
+#   - full-output structural invariants as Spark aggregates (canonical
+#     ordering, thresholds, label fixed points) — zero driver
+#     materialization beyond one localCheckpoint of the bounded output;
+#   - bounded-subset exact re-derivation: a deterministic md5-ordered
+#     sample of output rows is recomputed INDEPENDENTLY (pure-Python
+#     Jaccard from the raw texts; DuckDB count aggregates restricted
+#     to the sampled part ids) and compared value-for-value. This
+#     checks reported values without the quadratic full oracle;
+#     completeness stays covered by the banding-miss model + recall
+#     audits (hot_bucket_cap, simhash_candidates) and the full hash
+#     compare the sf0.01 driver gate still runs.
+# --------------------------------------------------------------------------
+
+
+def _exact_jaccard_py(text_a: str, text_b: str, n: int = 3):
+    """Independent re-derivation of operators/dedup.py's word-shingle
+    Jaccard: regex \\s+ split, distinct n-gram strings (whole doc as
+    one shingle when shorter than n), set intersection over union."""
+    import re
+
+    def sh(t):
+        toks = re.split(r"\s+", t)
+        if len(toks) >= n:
+            return {
+                " ".join(toks[i : i + n])
+                for i in range(len(toks) - n + 1)
+            }
+        return {" ".join(toks)}
+
+    a, b = sh(text_a), sh(text_b)
+    u = a | b
+    return (len(a & b) / len(u)) if u else None
+
+
+def check_dedup_pairs_values(
+    spark, con, sdf, min_id2: int | None = None, sample_k: int = 200
+):
+    """(id1, id2, jaccard_sim) pair outputs (dedup_minhash,
+    dedup_incremental): full-output shape invariants (canonical
+    id1<id2, jaccard within [threshold, 1], batch-side floor for the
+    incremental form) + exact Python re-derivation of jaccard_sim for
+    a deterministic sample of pairs from the raw texts."""
+    from pyspark.sql import functions as F
+
+    out = sdf.localCheckpoint(eager=True)
+    n = out.count()
+    shape_pred = (
+        (F.col("id1") >= F.col("id2"))
+        | F.col("jaccard_sim").isNull()
+        | (F.col("jaccard_sim") < 0.5)
+        | (F.col("jaccard_sim") > 1.0)
+    )
+    if min_id2 is not None:
+        shape_pred = shape_pred | (F.col("id2") < F.lit(min_id2))
+    shape_viol = out.where(shape_pred).count()
+    sample = (
+        out.orderBy(F.md5(F.concat_ws(",", "id1", "id2")))
+        .limit(sample_k)
+        .collect()
+    )
+    ids = sorted({r.id1 for r in sample} | {r.id2 for r in sample})
+    texts = {}
+    if ids:
+        texts = dict(
+            con.execute(
+                "SELECT doc_id, text FROM documents WHERE doc_id IN ("
+                + ",".join(str(int(i)) for i in ids)
+                + ")"
+            ).fetchall()
+        )
+    bad_vals = 0
+    for r in sample:
+        j = _exact_jaccard_py(texts.get(r.id1), texts.get(r.id2)) if (
+            r.id1 in texts and r.id2 in texts
+        ) else None
+        # Spark rounds HALF_UP to 6 dp: |rounded - true| <= 5e-7
+        if j is None or abs(j - r.jaccard_sim) > 6e-7:
+            bad_vals += 1
+    ok = n > 0 and shape_viol == 0 and bad_vals == 0
+    note = (
+        f"rows={n} shape_violations={shape_viol} "
+        f"jaccard_rederived_mismatches={bad_vals}/{len(sample)}"
+    )
+    return ok, note
+
+
+def check_clusters_fixed_point(spark, con, sdf, **_):
+    """(doc_id, cluster_id, is_survivor): the label-sum fixed point —
+    every cluster_id IS the min doc_id of its member set (min-label
+    propagation converged), every cluster has >= 2 members and exactly
+    one survivor (the min), and no doc carries two labels. All as
+    engine aggregates over the full output."""
+    from pyspark.sql import functions as F
+
+    out = sdf.localCheckpoint(eager=True)
+    n = out.count()
+    agg = out.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("mn"),
+        F.count("*").alias("sz"),
+        F.sum(F.col("is_survivor").cast("long")).alias("surv"),
+    )
+    viol = agg.where(
+        (F.col("mn") != F.col("cluster_id"))
+        | (F.col("sz") < 2)
+        | (F.col("surv") != 1)
+    ).count()
+    dup = (
+        out.groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .count()
+    )
+    ok = n > 0 and viol == 0 and dup == 0
+    note = (
+        f"rows={n} fixed_point_violations={viol} double_labels={dup}"
+    )
+    return ok, note
+
+
+def check_basket_lift_values(spark, con, sdf, sample_k: int = 200, **_):
+    """(part_a, part_b, pair_n, lift): full-output invariants
+    (canonical part_a<part_b, support floor pair_n>=3) + exact DuckDB
+    re-derivation of pair_n AND lift for a deterministic sample —
+    restricted to the sampled part ids, so the verify join is bounded
+    however large lineitem grows."""
+    from pyspark.sql import functions as F
+
+    out = sdf.localCheckpoint(eager=True)
+    n = out.count()
+    viol = out.where(
+        (F.col("part_a") >= F.col("part_b")) | (F.col("pair_n") < 3)
+    ).count()
+    sample = (
+        out.orderBy(F.md5(F.concat_ws(",", "part_a", "part_b")))
+        .limit(sample_k)
+        .collect()
+    )
+    bad_vals = 0
+    if sample:
+        plist = ",".join(
+            str(int(p))
+            for p in sorted(
+                {r.part_a for r in sample} | {r.part_b for r in sample}
+            )
+        )
+        part_counts = dict(
+            con.execute(
+                "SELECT l_partkey, count(DISTINCT l_orderkey) "
+                f"FROM lineitem WHERE l_partkey IN ({plist}) "
+                "GROUP BY l_partkey"
+            ).fetchall()
+        )
+        n_orders = con.execute(
+            "SELECT count(DISTINCT l_orderkey) FROM lineitem"
+        ).fetchone()[0]
+        pair_counts = {
+            (a, b): c
+            for a, b, c in con.execute(
+                "WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey "
+                f"FROM lineitem WHERE l_partkey IN ({plist})) "
+                "SELECT a.l_partkey, b.l_partkey, count(*) FROM bk a "
+                "JOIN bk b ON a.l_orderkey = b.l_orderkey "
+                "AND a.l_partkey < b.l_partkey GROUP BY 1, 2"
+            ).fetchall()
+        }
+        for r in sample:
+            exp_n = pair_counts.get((r.part_a, r.part_b), 0)
+            na = part_counts.get(r.part_a, 0)
+            nb = part_counts.get(r.part_b, 0)
+            exp_lift = (
+                exp_n * n_orders / (na * nb) if na and nb else None
+            )
+            if (
+                exp_n != r.pair_n
+                or exp_lift is None
+                or abs(exp_lift - r.lift) > 6e-7
+            ):
+                bad_vals += 1
+    ok = n > 0 and viol == 0 and bad_vals == 0
+    note = (
+        f"rows={n} shape_violations={viol} "
+        f"lift_rederived_mismatches={bad_vals}/{len(sample)}"
+    )
+    return ok, note
+
+
+#: name -> value-check callable(spark, con, sdf, **kw) -> (ok, note)
+QUADRATIC_CHECKS = {
+    "dedup_minhash": check_dedup_pairs_values,
+    "dedup_incremental": (
+        lambda spark, con, sdf: check_dedup_pairs_values(
+            spark, con, sdf, min_id2=400
+        )
+    ),
+    "dedup_clusters": check_clusters_fixed_point,
+    "basket_lift": check_basket_lift_values,
+}
+
+
 def value_signals(con, sdf, oracle_sql):
     """Engine-side column checksums for outputs too big to collect:
     per column, an aggregate both engines compute over the FULL
@@ -170,10 +373,14 @@ def main() -> None:
         try:
             sdf = qs[name](spark, sf_dir)
             if name in QUADRATIC_ORACLES:
-                n = sdf.count()
+                ok, note = QUADRATIC_CHECKS[name](spark, con, sdf)
+                if not ok:
+                    bad.append(name)
                 print(
-                    f"{name}: spark-only rows={n}"
-                    f" ({time.time() - t0:.1f}s)",
+                    f"{name}: "
+                    f"{'OK' if ok else 'INVARIANT FAIL'} "
+                    f"(spark-only + value invariants, {note};"
+                    f" {time.time() - t0:.1f}s)",
                     flush=True,
                 )
                 continue

@@ -116,3 +116,131 @@ def test_value_signals_midpoint_unambiguous(spark, gate):
     con = _ducksetup(list(reversed(rows)))
     ssig, osig, ok = gate.value_signals(con, sdf, "SELECT * FROM t")
     assert ok, f"midpoint column diverged: {ssig} vs {osig}"
+
+
+# --------------------------------------------------------------------------
+# VERDICT r9 #6: the quadratic-oracle queries' scale runs must assert
+# values. Unit-level: each checker's diverge path on tampered outputs.
+# Integration: every QUADRATIC_CHECKS entry green on its real query at
+# sf0.01 (the same call the gate makes at sf1/sf10).
+# --------------------------------------------------------------------------
+
+
+def test_quadratic_checks_green_on_real_queries(
+    spark, gate, sf_oracle_dir
+):
+    from conversadocs_spark.plans import QUERIES
+
+    con = duckdb.connect()
+    for t in ("documents", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{sf_oracle_dir}/{t}.parquet'"
+        )
+    for name, check in gate.QUADRATIC_CHECKS.items():
+        sdf = QUERIES[name](spark, sf_oracle_dir)
+        ok, note = check(spark, con, sdf)
+        assert ok, f"{name}: {note}"
+
+
+def _doc_con(texts):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(texts.items())
+    )
+    return con
+
+
+def test_pair_checker_catches_wrong_jaccard(spark, gate):
+    texts = {
+        1: "a b c d e f",       # shingles {a b c, b c d, c d e, d e f}
+        2: "a b c d e g",       # true jaccard = 3/5 = 0.6
+    }
+    con = _doc_con(texts)
+    good = spark.createDataFrame(
+        [(1, 2, 0.6)], "id1 long, id2 long, jaccard_sim double"
+    )
+    ok, _ = gate.check_dedup_pairs_values(spark, con, good)
+    assert ok
+    wrong_val = spark.createDataFrame(
+        [(1, 2, 0.75)], "id1 long, id2 long, jaccard_sim double"
+    )
+    ok, note = gate.check_dedup_pairs_values(spark, con, wrong_val)
+    assert not ok and "mismatches=1" in note
+    non_canonical = spark.createDataFrame(
+        [(2, 1, 0.6)], "id1 long, id2 long, jaccard_sim double"
+    )
+    ok, _ = gate.check_dedup_pairs_values(spark, con, non_canonical)
+    assert not ok
+    below_batch_floor = spark.createDataFrame(
+        [(1, 2, 0.6)], "id1 long, id2 long, jaccard_sim double"
+    )
+    ok, _ = gate.check_dedup_pairs_values(
+        spark, con, below_batch_floor, min_id2=400
+    )
+    assert not ok
+
+
+def test_cluster_checker_catches_broken_fixed_point(spark, gate):
+    schema = "doc_id long, cluster_id long, is_survivor boolean"
+    good = spark.createDataFrame(
+        [(1, 1, True), (5, 1, False), (9, 1, False),
+         (2, 2, True), (4, 2, False)],
+        schema,
+    )
+    ok, _ = gate.check_clusters_fixed_point(spark, None, good)
+    assert ok
+    # cluster_id is not the min member id
+    not_min = spark.createDataFrame(
+        [(1, 5, False), (5, 5, True)], schema
+    )
+    ok, _ = gate.check_clusters_fixed_point(spark, None, not_min)
+    assert not ok
+    # singleton cluster
+    single = spark.createDataFrame([(3, 3, True)], schema)
+    ok, _ = gate.check_clusters_fixed_point(spark, None, single)
+    assert not ok
+    # two survivors
+    twosurv = spark.createDataFrame(
+        [(1, 1, True), (5, 1, True)], schema
+    )
+    ok, _ = gate.check_clusters_fixed_point(spark, None, twosurv)
+    assert not ok
+    # one doc labeled twice
+    double = spark.createDataFrame(
+        [(1, 1, True), (5, 1, False), (5, 2, False), (2, 2, True),
+         (7, 2, False)],
+        schema,
+    )
+    ok, _ = gate.check_clusters_fixed_point(spark, None, double)
+    assert not ok
+
+
+def test_basket_checker_catches_wrong_lift(spark, gate):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem (l_orderkey BIGINT, l_partkey BIGINT)"
+    )
+    # 4 orders; parts 10,20 co-occur in orders 1 and 2 and 3
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20),
+            (4, 30)]
+    con.executemany("INSERT INTO lineitem VALUES (?, ?)", rows)
+    # n_orders=4, n10=3, n20=3, pair=3 -> lift = 3*4/(3*3) = 1.333333
+    schema = "part_a long, part_b long, pair_n long, lift double"
+    good = spark.createDataFrame([(10, 20, 3, round(12 / 9, 6))], schema)
+    ok, note = gate.check_basket_lift_values(spark, con, good)
+    assert ok, note
+    wrong_lift = spark.createDataFrame([(10, 20, 3, 1.5)], schema)
+    ok, note = gate.check_basket_lift_values(spark, con, wrong_lift)
+    assert not ok and "mismatches=1" in note
+    wrong_n = spark.createDataFrame(
+        [(10, 20, 4, round(16 / 9, 6))], schema
+    )
+    ok, _ = gate.check_basket_lift_values(spark, con, wrong_n)
+    assert not ok
+    below_support = spark.createDataFrame(
+        [(10, 20, 2, round(8 / 9, 6))], schema
+    )
+    ok, _ = gate.check_basket_lift_values(spark, con, below_support)
+    assert not ok
