@@ -100,7 +100,12 @@ _DRIVER_ORDER = [
     # dedup family (dedup_minhash rotated to the tail in r7: green
     # rows r4/r5/r6 + bench-tracked every round; dedup_incremental /
     # dedup_semantic_clusters / span_dedup keep the family's rows)
-    "dedup_incremental",
+    # r10: first-fit-decreasing packing over bounded shards — the
+    # oracle-checkable packing rule (VERDICT r9 #7; recursive-CTE
+    # oracle replays FFD in lockstep). Displaced: dedup_incremental
+    # (green r8+r9; the dedup family keeps dedup_substring /
+    # dedup_ppjoin / dedup_semantic_clusters / semdedup_prune).
+    "seq_pack_ffd",
     # composed end-to-end pretraining build (oracle-backed, new —
     # rotated in; out goes corpus_clean, green r2-r5, still covered
     # by the sweep + tests)
@@ -255,7 +260,7 @@ _DRIVER_ORDER = [
     "sql_recursive_cte", "sql_lateral_topk",
     # --- 50 ---
     # r10 tail rotations (see head notes)
-    "knn_filtered", "knn_int8",
+    "knn_filtered", "knn_int8", "dedup_incremental",
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",

@@ -98,3 +98,73 @@ def pack_documents(
     return tokens.groupBy("source", "_shard").applyInPandas(
         _pack_group(budget), schema=PACK_SCHEMA
     )
+
+
+FFD_SCHEMA = "doc_id long, shard_id long, n_tokens long, pack_id long"
+
+
+def _pack_group_ffd(budget: int):
+    """Kernel factory: first-fit-DECREASING packer for one shard.
+
+    Docs are processed longest-first (ties: ascending doc_id); each
+    doc lands in the LOWEST-indexed pack with enough remaining budget,
+    else opens a new pack. Fully deterministic given the shard's rows
+    — which is what makes the rule oracle-replayable (a recursive CTE
+    walks the same order and the same first-fit scan). A doc larger
+    than the budget opens its own pack whose remainder goes negative
+    and never fits anything else — the same arithmetic on both sides.
+    O(docs x packs) per shard, bounded because shards are bounded."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        rem: list[int] = []
+        pack_ids = []
+        for n in pdf["n_tokens"]:
+            idx = next(
+                (i for i, r in enumerate(rem) if r >= n), None
+            )
+            if idx is None:
+                rem.append(budget - int(n))
+                idx = len(rem) - 1
+            else:
+                rem[idx] -= int(n)
+            pack_ids.append(idx + 1)
+        pdf["pack_id"] = pack_ids
+        return pdf[["doc_id", "shard_id", "n_tokens", "pack_id"]]
+
+    return pack
+
+
+def pack_documents_ffd(
+    df: DataFrame,
+    budget: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_docs: int = 400,
+) -> DataFrame:
+    """(doc_id, shard_id, n_tokens, pack_id): first-fit-decreasing
+    packing within contiguous ``shard_docs``-sized doc_id shards.
+
+    FFD is the classic 11/9-OPT+1 bin-packing heuristic (Johnson
+    1973) — better fills than arrival-order greedy at the cost of a
+    within-shard sort. The shard IS the determinism and boundedness
+    unit: every pandas group holds <= shard_docs rows whatever the
+    corpus size, shards pack independently in parallel (no cross-
+    shard state), and pack_id is shard-local so no coordination is
+    needed. Token counts use the single-space split shared with the
+    length_histogram/mixture oracles so both engines count
+    identically."""
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) / F.lit(shard_docs)).cast("long").alias(
+            "shard_id"
+        ),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return tokens.groupBy("shard_id").applyInPandas(
+        _pack_group_ffd(budget), schema=FFD_SCHEMA
+    )

@@ -379,6 +379,87 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(d, budget=256)
 
 
+# The FFD oracle replays first-fit-decreasing EXACTLY with a
+# recursive CTE: standard working-table semantics advance every shard
+# in lockstep (iteration t holds one state row per shard: the list of
+# pack remainders), the next doc in the shard's length-descending
+# order probes its first fitting pack with list_position, and the
+# remainder list is rebuilt with that one slot decremented (or
+# appended when nothing fits). Bounded because shards are bounded
+# (<= 400 docs), whatever the corpus size.
+_SEQ_PACK_FFD_ORACLE = """
+WITH RECURSIVE ordered AS (
+    SELECT doc_id,
+           CAST(doc_id // 400 AS BIGINT) AS shard_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id // 400
+               ORDER BY len(string_split(text, ' ')) DESC, doc_id ASC
+           ) AS BIGINT) AS t
+    FROM documents
+),
+steps(shard_id, t, rem, doc_id, n_tokens, pack_id) AS (
+    SELECT shard_id, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM (SELECT DISTINCT shard_id FROM ordered)
+    UNION ALL
+    SELECT o.shard_id, o.t,
+           -- DuckDB list_position returns 0 (not NULL) when no pack
+           -- fits: 0 = open a new pack
+           CASE WHEN coalesce(list_position(
+                    [r >= o.n_tokens for r in s.rem], true), 0) = 0
+                THEN list_append(s.rem, 256 - o.n_tokens)
+                ELSE [CASE WHEN i = list_position(
+                               [r >= o.n_tokens for r in s.rem], true)
+                           THEN s.rem[i] - o.n_tokens
+                           ELSE s.rem[i] END
+                      for i in range(1, len(s.rem) + 1)]
+           END,
+           o.doc_id, o.n_tokens,
+           CAST(CASE WHEN coalesce(list_position(
+                        [r >= o.n_tokens for r in s.rem], true), 0)
+                        = 0
+                     THEN len(s.rem) + 1
+                     ELSE list_position(
+                        [r >= o.n_tokens for r in s.rem], true)
+                END AS BIGINT)
+    FROM steps s
+    JOIN ordered o ON o.shard_id = s.shard_id AND o.t = s.t + 1
+)
+SELECT doc_id, shard_id, n_tokens, pack_id
+FROM steps WHERE doc_id IS NOT NULL
+"""
+
+
+@register(
+    "seq_pack_ffd", oracle=_SEQ_PACK_FFD_ORACLE, tags=("pipeline",)
+)
+def seq_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing into 256-token windows
+    within bounded 400-doc shards (operators/packing.py
+    pack_documents_ffd) — the oracle-checkable packing rule VERDICT
+    r9 #7 asked for. Where `seq_pack`'s arrival-order greedy is
+    rows-only (its bin boundary is a cumsum with data-dependent
+    resets), FFD over a BOUNDED shard is a finite deterministic
+    process a DuckDB recursive CTE replays step for step — so the
+    assignment itself is value-hash-checked, not just
+    invariant-tested.
+
+    Scale shape: the shard (doc_id // 400) is the boundedness AND
+    determinism unit — every applyInPandas group is <= 400 rows at
+    ANY corpus size, shards pack independently in parallel, pack ids
+    are shard-local (no cross-shard coordination), and the one
+    shuffle is the groupBy(shard_id) hash exchange. The oracle's
+    recursion depth is the max shard size (400), never the corpus."""
+    from conversadocs_spark.operators.packing import (
+        pack_documents_ffd,
+    )
+
+    d = io.table(spark, sf_dir, "documents")
+    return pack_documents_ffd(d, budget=256, shard_docs=400)
+
+
 # --------------------------------------------------------------------------
 # dedup cluster resolution (connected components + survivor pick)
 # --------------------------------------------------------------------------

@@ -67,7 +67,9 @@ def test_driver_order_covers_registry_exactly():
                  "knn_filtered_int8_batch",
                  "decayed_engagement", "lake_zorder_scan",
                  "cms_term_freq",
-                 "dedup_incremental", "pretrain_corpus",
+                 # r10: dedup_incremental rotated to the tail (green
+                 # r8+r9) for the FFD packing oracle query.
+                 "seq_pack_ffd", "pretrain_corpus",
                  "arrow_grouped_seq",
                  "window_range_time", "quality_lr_score_fixed",
                  "rerank_topk", "join_null_safe",

@@ -164,6 +164,66 @@ def test_seq_pack_sharding_bounds_groups(spark):
     assert by_doc[0]["pack_id"] != by_doc[2]["pack_id"]
 
 
+def test_seq_pack_ffd_matches_python_replay(spark):
+    """FFD on a crafted shard where first-fit-decreasing and greedy
+    DIVERGE, replayed in pure Python: lengths [150, 120, 100, 80, 50]
+    with budget 256 pack as 150+100 (first fit after the decreasing
+    sort), 120+80+50, i.e. 2 packs — arrival-order greedy (150+100? no:
+    150, then 120 overflows? 150+120 > 256 -> opens) gives a different
+    shape, pinning that the DECREASING order is actually applied."""
+    from conversadocs_spark.operators.packing import pack_documents_ffd
+
+    lens = [150, 120, 100, 80, 50]
+    rows = [(i, "w " * (n - 1)) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["pack_id"], r["n_tokens"])
+        for r in pack_documents_ffd(df, budget=256).collect()
+    }
+    # decreasing order: 150->p1, 120->p1? rem=106 no -> p2? 106<120 ->
+    # new pack p2; 100 -> p1 (rem 106); 80 -> p2 (rem 136); 50 -> p2
+    # (rem 56)
+    assert got == {
+        0: (1, 150), 1: (2, 120), 2: (1, 100), 3: (2, 80), 4: (2, 50)
+    }
+    # independent python replay on the real smoke table
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = pack_documents_ffd(d, budget=256, shard_docs=400).collect()
+    docs = {
+        r["doc_id"]: len(r["text"].split(" "))
+        for r in d.select("doc_id", "text").collect()
+    }
+    assert len(out) == len(docs)
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert r["shard_id"] == r["doc_id"] // 400
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, rows_ in by_shard.items():
+        order = sorted(
+            (r["doc_id"] for r in rows_),
+            key=lambda i: (-docs[i], i),
+        )
+        rem: list[int] = []
+        expect = {}
+        for i in order:
+            n = docs[i]
+            idx = next(
+                (j for j, v in enumerate(rem) if v >= n), None
+            )
+            if idx is None:
+                rem.append(256 - n)
+                idx = len(rem) - 1
+            else:
+                rem[idx] -= n
+            expect[i] = idx + 1
+        got_shard = {r["doc_id"]: r["pack_id"] for r in rows_}
+        assert got_shard == expect
+
+
+def test_seq_pack_ffd_matches_oracle(spark):
+    assert_query_matches_oracle(spark, "seq_pack_ffd", SF_ORACLE)
+
+
 def test_dedup_clusters_matches_oracle(spark):
     assert_query_matches_oracle(spark, "dedup_clusters", SF_ORACLE)
 
