@@ -172,17 +172,18 @@ _DRIVER_ORDER = [
     # sweep-line concurrency kernel gets its first driver row; the
     # aggregates family keeps agg_percentile)
     "interval_concurrency", "contamination_bloom",
-    # r8: token-budget corpus curation (oracle-backed, new — the
-    # global-cumsum semantics served by the bucket decomposition)
-    "token_budget_select",
+    # r10: winnowing fingerprints (oracle-backed, new — rotated in;
+    # out goes token_budget_select, green r8+r9, the pipeline family
+    # keeps a dozen head rows)
+    "fingerprint_winnow",
     # wave 4's anomaly_zscore and basket_lift both rotated to the
     # tail in r9 (green r7+r8) for the LATERAL top-k and the per-key
     # OLS trend; analytics keeps outlier_mad + five r9 head rows
     "grouped_linreg",
-    # r8: robust median/MAD outlier flagging (oracle-backed, new —
-    # rotated in; out goes funnel_conversion, green r6+r7;
-    # cohort_retention keeps the event-analytics pair's row)
-    "outlier_mad",
+    # r10: RFM quintile scoring via three bucket decompositions
+    # (oracle-backed, new — rotated in; out goes outlier_mad, green
+    # r8+r9, analytics keeps grouped_linreg + five r9 head rows)
+    "rfm_scores",
     # training-data pipeline (all oracle-checked; span_dedup rotated
     # to the tail in r9 — green r6-r8 driver rows — so the new
     # ExactSubstr stride-1 duplication profile gets its first row;
@@ -224,7 +225,10 @@ _DRIVER_ORDER = [
     # (agg_distinct, agg_global rotated to the tail: green rows
     # r1/r2/r4/r5)
     # (agg_collect_stuff rotated to the tail: green rows r2-r5)
-    "agg_percentile",
+    # r10: conversion-latency exact percentiles (oracle-backed, new —
+    # rotated in; out goes agg_percentile, green r6-r9, whose exact-
+    # percentile family row this query now carries)
+    "conversion_latency_quantiles",
     # structured sources (csv/json/orc round-trips rotated to the
     # tail in r7 with green r6 rows; the corrupt-tolerant + evolution
     # scans keep the family's head-50 rows)
@@ -261,6 +265,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     # r10 tail rotations (see head notes)
     "knn_filtered", "knn_int8", "dedup_incremental",
+    "token_budget_select", "outlier_mad", "agg_percentile",
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",

@@ -1192,3 +1192,244 @@ def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_score"), F.asc("user_id"))
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer scoring (recency / frequency / monetary quintiles)
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH ref AS (SELECT max(ts) AS t_ref FROM events),
+pu AS (
+    SELECT e.user_id,
+           CAST((max(epoch_us(r.t_ref)) - epoch_us(max(e.ts)))
+                // 86400000000 AS BIGINT)                AS recency_days,
+           CAST(count(*) AS BIGINT)                      AS frequency,
+           CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT))
+                AS BIGINT)                               AS monetary_cents
+    FROM events e CROSS JOIN ref r
+    GROUP BY e.user_id
+),
+n AS (SELECT count(*) AS n_users FROM pu),
+ranked AS (
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           row_number() OVER (ORDER BY recency_days ASC,
+                              user_id ASC)               AS rp,
+           row_number() OVER (ORDER BY frequency DESC,
+                              user_id ASC)               AS fp,
+           row_number() OVER (ORDER BY monetary_cents // 100 DESC,
+                              user_id ASC)               AS mp
+    FROM pu
+)
+SELECT r.user_id, r.recency_days, r.frequency, r.monetary_cents,
+       CAST(5 - ((r.rp - 1) * 5) // n.n_users AS BIGINT) AS r_score,
+       CAST(5 - ((r.fp - 1) * 5) // n.n_users AS BIGINT) AS f_score,
+       CAST(5 - ((r.mp - 1) * 5) // n.n_users AS BIGINT) AS m_score,
+       CAST(5 - ((r.rp - 1) * 5) // n.n_users AS VARCHAR)
+       || CAST(5 - ((r.fp - 1) * 5) // n.n_users AS VARCHAR)
+       || CAST(5 - ((r.mp - 1) * 5) // n.n_users AS VARCHAR)
+                                                          AS rfm
+FROM ranked r CROSS JOIN n
+"""
+
+
+def _quintile_score(pu: DataFrame, metric, out: str, asc: bool):
+    """Global quintile of ``metric`` (5 = best) WITHOUT a global sort:
+    the lr_calibration_deciles bucket decomposition. The bucket table
+    holds one row per DISTINCT metric value (integer days / counts /
+    whole currency units — low-cardinality by quantization), the only
+    SinglePartition window runs over it, and each user's global
+    position is bucket-prefix + within-bucket row_number ordered by
+    user_id (the defined tie-break on BOTH engines)."""
+    buckets = pu.groupBy(metric).agg(F.count("*").alias("_bn"))
+    order = F.asc(metric) if asc else F.desc(metric)
+    w_b = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = buckets.withColumn(
+        "_prefix", F.sum("_bn").over(w_b) - F.col("_bn")
+    )
+    w_in = Window.partitionBy(metric).orderBy(F.asc("user_id"))
+    return (
+        pu.join(
+            F.broadcast(pref.select(metric, "_prefix")), metric
+        )
+        .withColumn("_win", F.row_number().over(w_in))
+        .withColumn(
+            out,
+            F.expr(
+                "CAST(5 - ((_prefix + _win - 1) * 5) div n_users"
+                " AS BIGINT)"
+            ),
+        )
+        .drop("_prefix", "_win")
+    )
+
+
+@register("rfm_scores", oracle=_RFM_ORACLE, tags=("analytics",))
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring (Hughes 1994) — the classic segmentation
+    behind "champions / at-risk / hibernating" marketing tiers: per
+    user, recency (whole days since their last event, vs the corpus
+    max so the score is a pure function of the data), frequency
+    (event count), monetary (exact fixed-point cent total), each
+    scored into global quintiles (5 = best) and concatenated into the
+    3-digit RFM segment code.
+
+    Cross-engine exactness: recency is integer-microsecond arithmetic
+    floor-divided to whole days (the decayed_engagement rule);
+    monetary sums round(value*100) BIGINTs — order-independent;
+    quintile = 5 - ((pos-1)*5) div n in pure integer arithmetic, with
+    pos defined by (metric, user_id) total orders the oracle replays
+    verbatim. Monetary RANKS on whole currency units (cents div 100)
+    so its bucket table stays low-cardinality — the defined
+    within-unit tie-break is user_id.
+
+    Scale shape: one map-side-combinable groupBy(user) over events,
+    localCheckpointed once (it feeds three rank branches + output),
+    then three bucket decompositions — each a bounded bucket
+    aggregate + broadcast prefix join + user-keyed within-bucket
+    window. No RangePartitioning / global sort anywhere; the 1-row
+    reference timestamp and user-count are broadcasts."""
+    ev = io.table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("t_ref"))
+    pu = (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST((unix_micros(CAST(max(t_ref) AS TIMESTAMP))"
+                " - unix_micros(CAST(max(ts) AS TIMESTAMP)))"
+                " div 86400000000 AS BIGINT)"
+            ).alias("recency_days"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).cast("bigint").alias("monetary_cents"),
+        )
+        .withColumn(
+            "monetary_units",
+            F.expr("monetary_cents div 100").cast("bigint"),
+        )
+        # feeds three rank branches + the output projection; eager
+        # localCheckpoint per the ADVICE-r9 rule (ContextCleaner frees
+        # the blocks; no pinned cache across a driver sweep)
+        .localCheckpoint(eager=True)
+    )
+    n = pu.agg(F.count("*").cast("bigint").alias("n_users"))
+    base = pu.crossJoin(F.broadcast(n))
+    scored = _quintile_score(
+        base, "recency_days", "r_score", asc=True
+    )
+    scored = _quintile_score(scored, "frequency", "f_score", asc=False)
+    scored = _quintile_score(
+        scored, "monetary_units", "m_score", asc=False
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# conversion latency distribution (view -> purchase time percentiles)
+# --------------------------------------------------------------------------
+
+_CONV_LATENCY_ORACLE = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t_view
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+    GROUP BY e.user_id
+),
+lat AS (
+    SELECT CAST((epoch_us(p.t_purchase) // 86400000000) % 7
+                AS BIGINT)                               AS dow,
+           epoch_us(p.t_purchase) - epoch_us(v.t_view)   AS lat_us
+    FROM p JOIN v ON v.user_id = p.user_id
+)
+SELECT dow,
+       CAST(count(*) AS BIGINT)                        AS n_conversions,
+       round(quantile_cont(lat_us, 0.5)  / 1000000.0, 6) AS p50_s,
+       round(quantile_cont(lat_us, 0.9)  / 1000000.0, 6) AS p90_s,
+       round(quantile_cont(lat_us, 0.99) / 1000000.0, 6) AS p99_s
+FROM lat GROUP BY dow
+"""
+
+
+@register(
+    "conversion_latency_quantiles", oracle=_CONV_LATENCY_ORACLE,
+    tags=("analytics",),
+)
+def conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution — the product-analytics companion
+    to funnel_conversion's WHO converts: per purchase day-of-week,
+    exact p50/p90/p99 of the first-view -> first-subsequent-purchase
+    latency. The funnel legs are the same per-user MIN aggregates as
+    funnel_conversion (map-side partial, user-keyed joins of
+    user-count-sized relations).
+
+    Cross-engine exactness: latencies are exact integer microseconds
+    (unix_micros / epoch_us — the decayed_engagement rule); the
+    day-of-week is pure integer arithmetic (epoch_days % 7; 0 =
+    Thursday, the epoch weekday) rather than engine dayofweek
+    functions whose week origin differs; Spark `percentile` and
+    DuckDB `quantile_cont` share the sort-based linear-interpolation
+    definition over identical integer inputs (the agg_percentile
+    precedent), and the single divide-then-round is the same IEEE
+    expression.
+
+    Scale note: exact percentile buffers each group's values —
+    bounded here by conversions per weekday; the unbounded-stream
+    variant swaps in percentile_approx exactly as agg_percentile /
+    agg_percentile_approx document."""
+    ev = io.table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    pu_us = F.unix_micros(F.col("t_purchase").cast("timestamp"))
+    vu_us = F.unix_micros(F.col("t_view").cast("timestamp"))
+    lat = p.join(v, "user_id").select(
+        ((pu_us / F.lit(86400000000)).cast("long") % 7)
+        .cast("bigint")
+        .alias("dow"),
+        (pu_us - vu_us).alias("lat_us"),
+    )
+    return lat.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        F.round(
+            F.percentile("lat_us", F.lit(0.5)) / 1000000.0, 6
+        ).alias("p50_s"),
+        F.round(
+            F.percentile("lat_us", F.lit(0.9)) / 1000000.0, 6
+        ).alias("p90_s"),
+        F.round(
+            F.percentile("lat_us", F.lit(0.99)) / 1000000.0, 6
+        ).alias("p99_s"),
+    )

@@ -310,6 +310,122 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# winnowing fingerprints (MOSS-style local document fingerprinting)
+# --------------------------------------------------------------------------
+
+_WINNOW_K, _WINNOW_W = 4, 5
+
+_WINNOW_ORACLE = f"""
+WITH g AS (
+    SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) >= {_WINNOW_K}
+                THEN [array_to_string(
+                          string_split(text, ' ')[i:i+{_WINNOW_K - 1}],
+                          ' ')
+                      for i in range(
+                          1, len(string_split(text, ' '))
+                             - {_WINNOW_K - 2})]
+                ELSE [text]
+           END AS grams
+    FROM documents
+),
+h AS (
+    SELECT doc_id, grams,
+           [CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)
+            for x in grams] AS hs
+    FROM g
+),
+w AS (
+    SELECT doc_id, grams,
+           CASE WHEN len(hs) >= {_WINNOW_W}
+                THEN [list_min(hs[j:j+{_WINNOW_W - 1}])
+                      for j in range(1, len(hs) - {_WINNOW_W - 2})]
+                ELSE [list_min(hs)]
+           END AS wins
+    FROM h
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT)                    AS n_grams,
+       CAST(len(list_distinct(wins)) AS BIGINT)      AS n_fingerprints,
+       CAST(list_min(wins) AS BIGINT)                AS fp_min,
+       CAST(list_sum(list_distinct(wins)) AS BIGINT) AS fp_sum
+FROM w
+"""
+
+
+@register(
+    "fingerprint_winnow", oracle=_WINNOW_ORACLE, tags=("text",)
+)
+def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm): hash every k=4 word-gram, slide a w=5
+    window over the hash sequence, keep each window's minimum — the
+    guarantee is at least one fingerprint per w consecutive grams
+    (detection of any match longer than k+w-1 tokens) while storing
+    ~2/(w+1) of the hashes. The per-doc selected-set summary here
+    (count / min / exact sum of the DISTINCT fingerprints) is the
+    collision-ready profile; a pair-matching stage would explode
+    (doc_id, fingerprint) and equi-join, exactly the dedup_minhash
+    band-bucket shape. Hashes are the cms_term_freq md5-prefix
+    arithmetic, so the fingerprint VALUES are engine-portable and
+    the whole selection is oracle-checked, not just counted.
+
+    Scale shape: one scan, everything inside whole-stage codegen
+    (split -> gram transform -> hash transform -> window-min
+    transform -> distinct/aggregate over per-row arrays) — ZERO
+    shuffles, no UDF, no state; docs shorter than k collapse to one
+    whole-text gram and docs with fewer than w grams take the global
+    min, both sides of the oracle agreeing on the edge by the same
+    CASE."""
+    d = io.table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = F.size(toks)
+    grams = F.when(
+        m >= _WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(0), m - _WINNOW_K),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i + 1, _WINNOW_K)
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    with_g = d.select("doc_id", grams.alias("grams"))
+    hashes = F.transform(
+        F.col("grams"),
+        lambda g: F.conv(
+            F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    with_h = with_g.select("doc_id", "grams", hashes.alias("hs"))
+    nh = F.size("hs")
+    wins = F.when(
+        nh >= _WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(0), nh - _WINNOW_W),
+            lambda j: F.array_min(
+                F.slice(F.col("hs"), j + 1, _WINNOW_W)
+            ),
+        ),
+    ).otherwise(F.array(F.array_min("hs")))
+    with_w = with_h.select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_grams"),
+        F.array_distinct(wins).alias("fps"),
+    )
+    return with_w.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.array_min("fps").cast("bigint").alias("fp_min"),
+        F.aggregate(
+            "fps",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("fp_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # dedup (north star): exact + n-gram Jaccard
 # --------------------------------------------------------------------------
 

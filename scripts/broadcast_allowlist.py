@@ -15,9 +15,12 @@ upper bounds) so the pin never drifts stale.
 
 Bounds, per file (reviewed r9):
 - plans/aggregates.py 4: nation/region dims (25/5 rows at any SF).
-- plans/analytics.py 8: cohort sizes, per-type totals/median/MAD
+- plans/analytics.py 11: cohort sizes, per-type totals/median/MAD
   stats (5-row key), part-name dims, 1-row total; r10
-  decayed_engagement adds a 1-row max-ts reference aggregate.
+  decayed_engagement adds a 1-row max-ts reference aggregate; r10
+  rfm_scores adds its own 1-row reference, the 1-row user-count, and
+  the distinct-metric-value prefix table (bounded by quantization:
+  integer days / counts / whole currency units).
 - plans/eventtime.py 1: 24-row hour grid.
 - plans/joins.py 4: nation/region dims, supplier dim (star), 5-row
   null-key fixture.
@@ -72,7 +75,7 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "operators/pagerank.py": 1,
     "operators/pq.py": 8,
     "plans/aggregates.py": 4,
-    "plans/analytics.py": 8,
+    "plans/analytics.py": 11,
     "plans/eventtime.py": 1,
     "plans/joins.py": 4,
     "plans/lake.py": 2,

@@ -558,3 +558,97 @@ def test_decayed_engagement_micros_exact(spark):
             for r in decayed_engagement(spark, td).collect()
         }
     assert got == {1: (3, exact[1]), 2: (1, exact[2])}
+
+
+def test_rfm_scores_python_rederivation(spark, sf_dir):
+    """Full python replay of the RFM pipeline at sf0.001 (per-user
+    aggregates, the three total orders, integer quintile arithmetic),
+    plus the scale pin: no RangePartitioning in the executed plan —
+    global quintile semantics served by the bucket decomposition."""
+    from conversadocs_spark.plans.analytics import rfm_scores
+
+    events = io.table(spark, sf_dir, "events").collect()
+    t_ref = max(e.ts for e in events)
+    ref_us = int(t_ref.timestamp() * 1_000_000)
+    per_user: dict[int, list] = {}
+    for e in events:
+        per_user.setdefault(e.user_id, []).append(e)
+    pu = {}
+    for uid, evs in per_user.items():
+        last_us = max(
+            int(e.ts.timestamp() * 1_000_000) for e in evs
+        )
+        cents = sum(int(round(e.value * 100)) for e in evs)
+        pu[uid] = (
+            (ref_us - last_us) // 86_400_000_000,
+            len(evs),
+            cents,
+        )
+    n = len(pu)
+
+    def quint(order):
+        pos = {u: i + 1 for i, u in enumerate(order)}
+        return {u: 5 - ((pos[u] - 1) * 5) // n for u in pos}
+
+    r_q = quint(sorted(pu, key=lambda u: (pu[u][0], u)))
+    f_q = quint(sorted(pu, key=lambda u: (-pu[u][1], u)))
+    m_q = quint(sorted(pu, key=lambda u: (-(pu[u][2] // 100), u)))
+    df = rfm_scores(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    got = {r.user_id: r for r in df.collect()}
+    assert set(got) == set(pu)
+    for u, (rd, fr, mc) in pu.items():
+        r = got[u]
+        assert (
+            r.recency_days, r.frequency, r.monetary_cents,
+            r.r_score, r.f_score, r.m_score, r.rfm,
+        ) == (
+            rd, fr, mc, r_q[u], f_q[u], m_q[u],
+            f"{r_q[u]}{f_q[u]}{m_q[u]}",
+        ), f"user {u}"
+
+
+def test_conversion_latency_consistent_with_funnel(spark, sf_dir):
+    """The latency distribution must derive from exactly the
+    view->purchase conversions: per-weekday counts re-derived in
+    python from the raw events, and every quantile bounded by that
+    weekday's min/max latency."""
+    from conversadocs_spark.plans.analytics import (
+        conversion_latency_quantiles,
+    )
+
+    events = io.table(spark, sf_dir, "events").collect()
+    per_user: dict[int, list] = {}
+    for e in events:
+        per_user.setdefault(e.user_id, []).append(e)
+    lats: dict[int, list] = {}
+    for uid, evs in per_user.items():
+        views = [e.ts for e in evs if e.event_type == "view"]
+        if not views:
+            continue
+        t_view = min(views)
+        purchases = [
+            e.ts
+            for e in evs
+            if e.event_type == "purchase" and e.ts > t_view
+        ]
+        if not purchases:
+            continue
+        t_p = min(purchases)
+        p_us = int(t_p.timestamp() * 1_000_000)
+        v_us = int(t_view.timestamp() * 1_000_000)
+        dow = (p_us // 86_400_000_000) % 7
+        lats.setdefault(dow, []).append(p_us - v_us)
+    got = {
+        r.dow: r
+        for r in conversion_latency_quantiles(spark, sf_dir).collect()
+    }
+    assert set(got) == set(lats)
+    for dow, ls in lats.items():
+        r = got[dow]
+        assert r.n_conversions == len(ls)
+        lo, hi = min(ls) / 1e6, max(ls) / 1e6
+        for q in (r.p50_s, r.p90_s, r.p99_s):
+            assert lo - 1e-6 <= q <= hi + 1e-6
+        assert r.p50_s <= r.p90_s <= r.p99_s

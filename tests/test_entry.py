@@ -54,7 +54,11 @@ def test_driver_order_covers_registry_exactly():
     # (green r6+r7; ansi_try_funcs, rerank_topk and cohort_retention
     # keep those families' rows) — pin them.
     for must in ("knn_binary", "knn_matryoshka", "multivec_maxsim",
-                 "outlier_mad", "token_budget_select",
+                 # r10: outlier_mad / token_budget_select /
+                 # agg_percentile rotated to the tail (green r8+r9 /
+                 # r8+r9 / r6-r9) for the three new oracle queries.
+                 "rfm_scores", "fingerprint_winnow",
+                 "conversion_latency_quantiles",
                  # r10: knn_filtered rotated to the tail (green
                  # r7/r8 + r9 head row) so the fixed
                  # decayed_engagement gets its first driver row.
@@ -87,6 +91,7 @@ def test_driver_order_covers_registry_exactly():
                  "dedup_ppjoin", "quality_char_entropy",
                  "dsir_resample", "graph_triangles",
                  "mixture_temperature", "knn_int8_batch",
+                 "seq_pack_ffd",
                  "knn_matryoshka_batch", "multivec_maxsim_batch",
                  "pareto_frontier", "interval_concurrency",
                  "path_mining_3step",

@@ -556,3 +556,71 @@ def test_char_entropy_closed_forms(spark):
         assert r.char_entropy <= round(
             math.log(max(r.distinct_chars, 2)), 6
         ) + 2e-6
+
+
+def test_winnow_python_replay_and_guarantee(spark):
+    """Winnowing pinned against a pure-Python replay on crafted docs
+    (incl. the shorter-than-k and fewer-grams-than-w edges), plus the
+    paper's guarantee on the real smoke table: every w consecutive
+    gram hashes contain >= 1 selected fingerprint, and the plan is
+    shuffle-free (one scan, codegen only)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from conversadocs_spark.plans.text import (
+        _WINNOW_K,
+        _WINNOW_W,
+        fingerprint_winnow,
+    )
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+    def replay(text):
+        toks = text.split(" ")
+        if len(toks) >= _WINNOW_K:
+            grams = [
+                " ".join(toks[i : i + _WINNOW_K])
+                for i in range(len(toks) - _WINNOW_K + 1)
+            ]
+        else:
+            grams = [" ".join(toks)]
+        hs = [h(g) for g in grams]
+        if len(hs) >= _WINNOW_W:
+            wins = [
+                min(hs[j : j + _WINNOW_W])
+                for j in range(len(hs) - _WINNOW_W + 1)
+            ]
+        else:
+            wins = [min(hs)]
+        fps = sorted(set(wins))
+        return (
+            len(grams), len(fps), min(fps), sum(fps), hs, set(wins)
+        )
+
+    docs = [
+        (0, "a b c d e f g h i j k l m"),   # normal
+        (1, "x y"),                          # shorter than k
+        (2, "p q r s t u"),                  # grams < w
+        (3, "dup dup dup dup dup dup dup dup"),  # constant grams
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs, ["doc_id", "text"]
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        df = fingerprint_winnow(spark, td)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # zero shuffles
+        got = {r.doc_id: r for r in df.collect()}
+    for doc_id, text in docs:
+        n_grams, n_fp, fp_min, fp_sum, hs, chosen = replay(text)
+        r = got[doc_id]
+        assert (
+            r.n_grams, r.n_fingerprints, r.fp_min, r.fp_sum
+        ) == (n_grams, n_fp, fp_min, fp_sum), f"doc {doc_id}"
+        # the winnowing guarantee: every w-window of gram hashes
+        # contains a selected fingerprint
+        if len(hs) >= _WINNOW_W:
+            for j in range(len(hs) - _WINNOW_W + 1):
+                assert chosen & set(hs[j : j + _WINNOW_W])
