@@ -47,6 +47,8 @@ HEADLINE = (
     "token_budget_select",  # quality-ordered budget fill, bucket plan
     # added r9:
     "knn_binary_batch",  # batch retrieval: map-side-pruned per-query topk
+    # added r10:
+    "knn_filtered_int8_batch",  # filter x SQ8 x batch composed serving
 )
 
 
