@@ -94,9 +94,11 @@ _DRIVER_ORDER = [
     # new — rotated in; out goes knn_auto_indexed, green r7+r8, the
     # vector family keeps five other head rows)
     "semdedup_prune",
-    # retrieval family row (bm25_topk / hybrid_rrf rotated to the
-    # tail in r8 with green r6+r7 rows)
-    "rerank_topk",
+    # r10: exact phrase retrieval (oracle-backed, new — rotated in;
+    # out goes rerank_topk, green r6/r7-judge + 4 driver rows; the
+    # retrieval family keeps the quantized batch tiers + the composed
+    # filtered serving query)
+    "phrase_search",
     # dedup family (dedup_minhash rotated to the tail in r7: green
     # rows r4/r5/r6 + bench-tracked every round; dedup_incremental /
     # dedup_semantic_clusters / span_dedup keep the family's rows)
@@ -106,10 +108,10 @@ _DRIVER_ORDER = [
     # (green r8+r9; the dedup family keeps dedup_substring /
     # dedup_ppjoin / dedup_semantic_clusters / semdedup_prune).
     "seq_pack_ffd",
-    # composed end-to-end pretraining build (oracle-backed, new —
-    # rotated in; out goes corpus_clean, green r2-r5, still covered
-    # by the sweep + tests)
-    "pretrain_corpus",
+    # r10: equi-depth histogram stats (oracle-backed, new — rotated
+    # in; out goes pretrain_corpus, 4 green driver rows; the pipeline
+    # family keeps a dozen head rows)
+    "histogram_equi_depth",
     # text analysis (vocab_topk / gopher_repetition / lm_bigram_score:
     # oracle-backed r6 additions, never driver-recorded — rotated in)
     # (tfidf_top_terms rotated to the tail: green rows r2-r5;
@@ -266,6 +268,7 @@ _DRIVER_ORDER = [
     # r10 tail rotations (see head notes)
     "knn_filtered", "knn_int8", "dedup_incremental",
     "token_budget_select", "outlier_mad", "agg_percentile",
+    "rerank_topk", "pretrain_corpus",
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",

@@ -475,3 +475,95 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(exact, on="event_type").select(
         "event_type", "n_days", "est_users", "exact_users"
     )
+
+
+# --------------------------------------------------------------------------
+# equi-depth histogram (ANALYZE-style optimizer statistics)
+# --------------------------------------------------------------------------
+
+_EQUI_DEPTH_B = 16
+
+_EQUI_DEPTH_ORACLE = f"""
+WITH v AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) // 100 AS v
+    FROM orders
+),
+n AS (SELECT count(*) AS n_rows FROM v),
+pos AS (
+    SELECT v,
+           row_number() OVER (ORDER BY v ASC, o_orderkey ASC) AS p
+    FROM v
+)
+SELECT CAST(((p.p - 1) * {_EQUI_DEPTH_B}) // n.n_rows AS BIGINT)
+           AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(p.v) AS BIGINT) AS lo,
+       CAST(max(p.v) AS BIGINT) AS hi
+FROM pos p CROSS JOIN n
+GROUP BY 1
+"""
+
+
+@register(
+    "histogram_equi_depth", oracle=_EQUI_DEPTH_ORACLE, tags=("agg",)
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram over order totals — the
+    ANALYZE-TABLE statistic every cost-based optimizer keeps
+    (selectivity estimation needs quantile boundaries, not equi-WIDTH
+    buckets that collapse under skew). B=16 buckets of ~n/B rows each
+    with their value bounds.
+
+    Global-rank semantics WITHOUT a global sort — the
+    lr_calibration_deciles bucket decomposition, with one twist: rows
+    rank on the WHOLE-DOLLAR quantization of the price (cents div
+    100), so the bucket table is bounded by the VALUE DOMAIN (price
+    range in dollars), not the row count — exactly the budget an
+    engine's stats collector accepts (a histogram over more distinct
+    values than buckets loses nothing by pre-quantizing). Ties within
+    a dollar break on o_orderkey — the defined total order the oracle
+    replays verbatim. Money stays on the fixed-point integer path
+    (round(price*100) BIGINT) end to end.
+
+    Scale shape: one map-side-combined groupBy(dollar) over the scan,
+    a SinglePartition prefix window over the bounded bucket table
+    only, a broadcast join back, a dollar-keyed within-bucket
+    row_number, and a 16-group final aggregate. No RangePartitioning
+    anywhere (plan-pinned in tests)."""
+    from pyspark.sql import Window
+
+    o = io.table(spark, sf_dir, "orders")
+    vals = o.select(
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+            " div 100 AS BIGINT)"
+        ).alias("v"),
+    )
+    buckets = vals.groupBy("v").agg(F.count("*").alias("bn"))
+    w_b = Window.orderBy(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = buckets.withColumn(
+        "prefix", F.sum("bn").over(w_b) - F.col("bn")
+    )
+    n = vals.agg(F.count("*").cast("bigint").alias("n_rows"))
+    w_in = Window.partitionBy("v").orderBy(F.asc("o_orderkey"))
+    positioned = (
+        vals.join(F.broadcast(pref.select("v", "prefix")), "v")
+        .withColumn("win", F.row_number().over(w_in))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CAST(((prefix + win - 1) * "
+                f"{_EQUI_DEPTH_B}) div n_rows AS BIGINT)"
+            ),
+        )
+    )
+    return positioned.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("v").cast("bigint").alias("lo"),
+        F.max("v").cast("bigint").alias("hi"),
+    )

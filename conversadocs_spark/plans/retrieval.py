@@ -327,3 +327,90 @@ def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(5)
     )
+
+
+# --------------------------------------------------------------------------
+# exact phrase search (positional match; the non-bag-of-words retriever)
+# --------------------------------------------------------------------------
+
+_PHRASE_ORACLE = """
+WITH g AS (
+    SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) >= 3
+                THEN [array_to_string(
+                          string_split(text, ' ')[i:i+2], ' ')
+                      for i in range(
+                          1, len(string_split(text, ' ')) - 1)]
+                ELSE []
+           END AS grams
+    FROM documents
+),
+top AS (
+    SELECT gram AS phrase FROM (
+        SELECT unnest(grams) AS gram FROM g
+    ) GROUP BY gram
+    ORDER BY count(*) DESC, gram ASC LIMIT 1
+)
+SELECT g.doc_id,
+       t.phrase,
+       CAST(len(list_filter(g.grams, x -> x = t.phrase)) AS BIGINT)
+           AS n_occurrences,
+       CAST(list_position(g.grams, t.phrase) AS BIGINT) AS first_pos
+FROM g CROSS JOIN top t
+WHERE len(list_filter(g.grams, x -> x = t.phrase)) > 0
+"""
+
+
+@register("phrase_search", oracle=_PHRASE_ORACLE, tags=("retrieval",))
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE retrieval — the positional complement to the
+    bag-of-words rankers (bm25_topk scores unordered term bags; a
+    quoted-phrase query needs token ADJACENCY). The phrase under
+    search is data-derived for non-vacuity at every SF: the corpus's
+    most frequent word trigram (count DESC, gram ASC tie-break), then
+    every document containing it is returned with its occurrence
+    count and first match position (1-based gram index).
+
+    Scale shape: stage 1 is the vocab_topk shape — explode trigrams,
+    map-side-combined count, TakeOrdered(1); the 1-row phrase then
+    broadcasts into stage 2, a single corpus scan whose match
+    count/position are codegen array ops (filter/array_position on
+    the per-row gram array) — no second shuffle, no UDF. The
+    posting-list alternative (explode (doc, pos) once, self-join on
+    pos offsets) is the right shape when MANY phrase queries share
+    one positional index; for a single ad-hoc phrase the scan plan
+    wins because it reads each doc once and keeps everything
+    pipelined."""
+    d = io.table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_g = d.select("doc_id", grams.alias("grams"))
+    top = (
+        with_g.select(F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(1)
+        .select(F.col("gram").alias("phrase"))
+    )
+    matches = F.filter(
+        F.col("grams"), lambda x: x == F.col("phrase")
+    )
+    return (
+        with_g.crossJoin(F.broadcast(top))
+        .select(
+            "doc_id",
+            "phrase",
+            F.size(matches).cast("bigint").alias("n_occurrences"),
+            F.array_position(F.col("grams"), F.col("phrase"))
+            .cast("bigint")
+            .alias("first_pos"),
+        )
+        .where(F.col("n_occurrences") > 0)
+    )

@@ -14,7 +14,9 @@ WITH its bound. Removals must be recorded too (counts are exact, not
 upper bounds) so the pin never drifts stale.
 
 Bounds, per file (reviewed r9):
-- plans/aggregates.py 4: nation/region dims (25/5 rows at any SF).
+- plans/aggregates.py 6: nation/region dims (25/5 rows at any SF);
+  r10 histogram_equi_depth adds the value-domain-bounded dollar
+  prefix table and the 1-row total.
 - plans/analytics.py 11: cohort sizes, per-type totals/median/MAD
   stats (5-row key), part-name dims, 1-row total; r10
   decayed_engagement adds a 1-row max-ts reference aggregate; r10
@@ -38,7 +40,8 @@ Bounds, per file (reviewed r9):
   eval suite size; r9 mixture_temperature adds one more 1-row totals
   broadcast (K-source aggregate).
 - plans/rag.py 1: k-row retrieved-context shortlist.
-- plans/retrieval.py 3: 1-row corpus stats, k-row RRF shortlists.
+- plans/retrieval.py 4: 1-row corpus stats, k-row RRF shortlists;
+  r10 phrase_search adds the 1-row top-trigram phrase.
 - plans/streamqueries.py 1: event_type dim.
 - plans/text.py 2: vocab df table (bounded by vocab), 1-row N.
 - plans/vector.py 13: 1-row query vectors, 50-row shortlists,
@@ -74,7 +77,7 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "operators/lsh.py": 3,
     "operators/pagerank.py": 1,
     "operators/pq.py": 8,
-    "plans/aggregates.py": 4,
+    "plans/aggregates.py": 6,
     "plans/analytics.py": 11,
     "plans/eventtime.py": 1,
     "plans/joins.py": 4,
@@ -82,7 +85,7 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/lm.py": 6,
     "plans/pipeline.py": 14,
     "plans/rag.py": 1,
-    "plans/retrieval.py": 3,
+    "plans/retrieval.py": 4,
     "plans/streamqueries.py": 1,
     "plans/text.py": 2,
     "plans/vector.py": 20,

@@ -73,10 +73,13 @@ def test_driver_order_covers_registry_exactly():
                  "cms_term_freq",
                  # r10: dedup_incremental rotated to the tail (green
                  # r8+r9) for the FFD packing oracle query.
-                 "seq_pack_ffd", "pretrain_corpus",
+                 # r10: rerank_topk + pretrain_corpus rotated to the
+                 # tail (4 green driver rows each) for the phrase
+                 # retrieval + histogram-stats queries.
+                 "seq_pack_ffd", "histogram_equi_depth",
                  "arrow_grouped_seq",
                  "window_range_time", "quality_lr_score_fixed",
-                 "rerank_topk", "join_null_safe",
+                 "phrase_search", "join_null_safe",
                  "sql_correlated_subqueries",
                  "knn_binary_batch", "gopher_repetition",
                  "set_ops_all", "source_mixture_weights",

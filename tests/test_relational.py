@@ -234,3 +234,46 @@ def test_recursive_cte_walk_semantics(spark, sf_oracle_dir):
             assert r.depth == len(digits) - 1, r
             assert r.root_key == int(digits[0]), r
     assert max(r.depth for r in rows) >= 3
+
+
+def test_histogram_equi_depth_balanced_and_unsorted(spark, sf_oracle_dir):
+    """Equi-depth contract: buckets tile [0, B), depths differ by at
+    most ceil(ties) across the quantized total order (re-derived in
+    python), bounds are non-overlapping and ordered, and the plan has
+    no RangePartitioning (global-rank semantics WITHOUT a global
+    sort)."""
+    from conversadocs_spark import io
+    from conversadocs_spark.plans.aggregates import (
+        _EQUI_DEPTH_B,
+        histogram_equi_depth,
+    )
+
+    df = histogram_equi_depth(spark, sf_oracle_dir)
+    rows = sorted(df.collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(_EQUI_DEPTH_B))
+    vals = sorted(
+        (
+            int(round(r.o_totalprice * 100)) // 100,
+            r.o_orderkey,
+        )
+        for r in io.table(spark, sf_oracle_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    n = len(vals)
+    assert sum(r.n_rows for r in rows) == n
+    # python re-derivation of every bucket's depth and bounds
+    expect = {}
+    for p, (v, _) in enumerate(vals):
+        b = (p * _EQUI_DEPTH_B) // n
+        d = expect.setdefault(b, [0, v, v])
+        d[0] += 1
+        d[1] = min(d[1], v)
+        d[2] = max(d[2], v)
+    for r in rows:
+        assert [r.n_rows, r.lo, r.hi] == expect[r.bucket], r.bucket
+    # bounds ordered across buckets (ties may share a boundary value)
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()

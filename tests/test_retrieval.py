@@ -146,3 +146,48 @@ def test_resample_gapfill_invariants(spark, sf_dir):
                 assert r.value_filled == last_obs
     # non-vacuous: there are real gaps and real leading nulls
     assert any(not r.is_observed for r in rows)
+
+
+def test_phrase_search_python_replay(spark, sf_oracle_dir):
+    """Phrase retrieval replayed in pure Python: derive the same top
+    trigram (count DESC, gram ASC), then per-doc occurrence counts
+    and 1-based first positions; also pin that only ONE explode-based
+    aggregation exists (the phrase discovery) — the match stage is
+    array ops on the scan, no second shuffle."""
+    from collections import Counter
+
+    from conversadocs_spark import io
+    from conversadocs_spark.plans.retrieval import phrase_search
+
+    docs = {
+        r.doc_id: r.text
+        for r in io.table(spark, sf_oracle_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    cnt: Counter = Counter()
+    grams_by_doc = {}
+    for did, text in docs.items():
+        toks = text.split(" ")
+        grams = (
+            [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+            if len(toks) >= 3
+            else []
+        )
+        grams_by_doc[did] = grams
+        cnt.update(grams)
+    best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    expect = {}
+    for did, grams in grams_by_doc.items():
+        n = grams.count(best)
+        if n:
+            expect[did] = (best, n, grams.index(best) + 1)
+    df = phrase_search(spark, sf_oracle_dir)
+    got = {
+        r.doc_id: (r.phrase, r.n_occurrences, r.first_pos)
+        for r in df.collect()
+    }
+    assert got == expect and len(got) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") == 1
