@@ -87,9 +87,10 @@ _DRIVER_ORDER = [
     # rotated in; out goes agg_grouping_sets, green r7+r8, the
     # aggregates family keeps agg_percentile + agg_unpivot)
     "knn_binary_batch",
-    # semantic duplicate clusters (oracle-backed, new — rotated in;
-    # out goes knn_per_query, green r1-r5)
-    "dedup_semantic_clusters",
+    # r10: content-defined chunking (oracle-backed, new — rotated in;
+    # out goes dedup_semantic_clusters, 4 green driver rows; the
+    # dedup family keeps semdedup_prune/dedup_substring/dedup_ppjoin)
+    "chunk_cdc",
     # r9: SemDeDup cluster-partitioned semantic pruning (oracle-backed,
     # new — rotated in; out goes knn_auto_indexed, green r7+r8, the
     # vector family keeps five other head rows)
@@ -268,7 +269,7 @@ _DRIVER_ORDER = [
     # r10 tail rotations (see head notes)
     "knn_filtered", "knn_int8", "dedup_incremental",
     "token_budget_select", "outlier_mad", "agg_percentile",
-    "rerank_topk", "pretrain_corpus",
+    "rerank_topk", "pretrain_corpus", "dedup_semantic_clusters",
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",

@@ -1307,3 +1307,118 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("char_entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking (CDC — rolling-hash boundaries)
+# --------------------------------------------------------------------------
+
+_CDC_D = 16  # boundary divisor -> expected chunk ~16 tokens
+
+_CDC_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents
+),
+b AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           [i for i in range(1, len(toks))
+            if CAST(('0x' || substr(
+                   md5(toks[i] || ' ' || toks[i+1]), 1, 8))
+                 AS BIGINT) % {_CDC_D} = 0] AS bounds
+    FROM t
+),
+e AS (
+    SELECT doc_id, n_tokens, bounds,
+           list_concat(list_concat([0], bounds),
+                       [n_tokens]) AS ext
+    FROM b
+),
+lens AS (
+    SELECT doc_id, n_tokens, bounds,
+           [ext[i+1] - ext[i]
+            for i in range(1, len(ext))] AS chunk_lens
+    FROM e
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT)              AS n_tokens,
+       CAST(len(chunk_lens) AS BIGINT)       AS n_chunks,
+       CAST(list_min(chunk_lens) AS BIGINT)  AS min_chunk,
+       CAST(list_max(chunk_lens) AS BIGINT)  AS max_chunk,
+       CAST(coalesce(list_sum(bounds), 0) AS BIGINT) AS boundary_sum
+FROM lens
+"""
+
+
+@register("chunk_cdc", oracle=_CDC_ORACLE, tags=("text", "chunk"))
+def chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS rolling-hash rule;
+    Muthitacharoen et al. 2001) — the dedup-stable sibling of
+    chunk_fixed: a boundary falls AFTER token i exactly when the
+    hash of the local 2-token window (md5-prefix arithmetic, the
+    cms_term_freq idiom) is 0 mod 16, so expected chunks are ~16
+    tokens and an insertion only moves boundaries NEAR the edit —
+    fixed-offset chunking re-chunks everything downstream, breaking
+    chunk-level dedup. Per doc: token/chunk counts, min/max chunk
+    length, and the exact boundary-position sum (all integers, so
+    the BOUNDARY SET itself is oracle-checked).
+
+    Scale shape: one scan, the boundary selection and chunk-length
+    diffs are codegen array ops (filter over a position sequence,
+    zip_with over the extended boundary list) — ZERO shuffles, no
+    UDF; the chunk-explode stage a downstream pipeline would add is
+    the chunk_fixed shape."""
+    d = io.table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    with_t = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("m")
+    )
+    h = lambda s: (  # noqa: E731 — local hash shorthand
+        F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    bounds = F.filter(
+        F.sequence(F.lit(1), F.col("m") - 1),
+        lambda i: h(
+            F.concat(
+                F.element_at("toks", i),
+                F.lit(" "),
+                F.element_at("toks", i + 1),
+            )
+        )
+        % _CDC_D
+        == 0,
+    )
+    with_b = with_t.select(
+        "doc_id",
+        F.col("m"),
+        F.when(F.col("m") > 1, bounds)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("bounds"),
+    )
+    ext = F.concat(
+        F.array(F.lit(0).cast("bigint")),
+        F.col("bounds"),
+        F.array(F.col("m").cast("bigint")),
+    )
+    with_e = with_b.withColumn("ext", ext)
+    lens = F.zip_with(
+        F.slice(F.col("ext"), 2, F.size("ext") - 1),
+        F.slice(F.col("ext"), 1, F.size("ext") - 1),
+        lambda a, b: a - b,
+    )
+    return with_e.select(
+        "doc_id",
+        F.col("m").cast("bigint").alias("n_tokens"),
+        (F.size("bounds") + 1).cast("bigint").alias("n_chunks"),
+        F.array_min(lens).cast("bigint").alias("min_chunk"),
+        F.array_max(lens).cast("bigint").alias("max_chunk"),
+        F.coalesce(
+            F.aggregate(
+                "bounds",
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("boundary_sum"),
+    )

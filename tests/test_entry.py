@@ -89,6 +89,9 @@ def test_driver_order_covers_registry_exactly():
                  # event_transitions / basket_lift / latest_per_key /
                  # sample_group_topk (each green r7+r8 or r6-r8;
                  # every displaced family keeps head representatives)
+                 # (dedup_semantic_clusters rotated to the tail in
+                 # r10 — 4 green driver rows — for chunk_cdc)
+                 "chunk_cdc",
                  "semdedup_prune", "dsir_select", "sql_recursive_cte",
                  "sql_lateral_topk", "contamination_bloom",
                  "dedup_ppjoin", "quality_char_entropy",

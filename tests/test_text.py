@@ -624,3 +624,67 @@ def test_winnow_python_replay_and_guarantee(spark):
         if len(hs) >= _WINNOW_W:
             for j in range(len(hs) - _WINNOW_W + 1):
                 assert chosen & set(hs[j : j + _WINNOW_W])
+
+
+def test_chunk_cdc_replay_and_edit_locality(spark):
+    """CDC pinned against a pure-Python replay on crafted docs (incl.
+    the 1-token and no-boundary edges), zero-shuffle plan, and the
+    property that justifies CDC over fixed-offset chunking: inserting
+    one token changes only boundaries within the 2-token hash window
+    of the edit — every boundary >= 2 positions after the edit point
+    survives (shifted by one), where fixed chunking would re-cut
+    everything downstream."""
+    import hashlib
+    import os
+    import tempfile
+
+    from conversadocs_spark.plans.text import _CDC_D, chunk_cdc
+
+    def bounds_py(toks):
+        return [
+            i
+            for i in range(1, len(toks))
+            if int(
+                hashlib.md5(
+                    (toks[i - 1] + " " + toks[i]).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            % _CDC_D
+            == 0
+        ]
+
+    base = ("w%d" % (i * 7 % 53) for i in range(60))
+    doc0 = " ".join(base)
+    docs = [(0, doc0), (1, "solo"), (2, "a b")]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs, ["doc_id", "text"]
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        df = chunk_cdc(spark, td)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        got = {r.doc_id: r for r in df.collect()}
+    for did, text in docs:
+        toks = text.split(" ")
+        b = bounds_py(toks)
+        ext = [0] + b + [len(toks)]
+        lens = [ext[i + 1] - ext[i] for i in range(len(ext) - 1)]
+        r = got[did]
+        assert (
+            r.n_tokens, r.n_chunks, r.min_chunk, r.max_chunk,
+            r.boundary_sum,
+        ) == (len(toks), len(b), min(lens), max(lens), sum(b)) or (
+            r.n_chunks == len(b) + 1
+            and (r.n_tokens, r.min_chunk, r.max_chunk, r.boundary_sum)
+            == (len(toks), min(lens), max(lens), sum(b))
+        ), did
+    # edit locality (pure python over the same rule): insert a token
+    # mid-doc; boundaries far after the edit shift by exactly one
+    toks = doc0.split(" ")
+    edited = toks[:30] + ["INSERTED"] + toks[30:]
+    b0, b1 = bounds_py(toks), bounds_py(edited)
+    assert [x for x in b0 if x <= 28] == [x for x in b1 if x <= 28]
+    assert [x + 1 for x in b0 if x >= 32] == [
+        x for x in b1 if x >= 33
+    ]
