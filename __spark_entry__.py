@@ -332,6 +332,10 @@ _DRIVER_ORDER = [
     "streaming_session_chat", "streaming_foreachbatch_sink",
     "streaming_ivf_append", "streaming_interval_join_replay",
     "streaming_hll_replay", "streaming_session_timeout",
+    # r10: incremental decayed-engagement state maintenance (the
+    # associative decay merge; rows-only — bounded-gap parity +
+    # redelivery-no-op pinned in tests/test_streaming.py)
+    "streaming_decay_replay",
     "streaming_static_enrich", "streaming_update_mode_replay",
     "streaming_cdc_apply",
     "observed_clean", "training_order_write",

@@ -477,3 +477,78 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_versioned(spark, table)
+
+
+@register("streaming_decay_replay", tags=("streaming", "rows-only"))
+def streaming_decay_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming feature-store maintenance of the time-decayed
+    engagement score (the incremental form `decayed_engagement`'s
+    docstring promises): the 3-batch events replay folds each
+    micro-batch into a per-user (anchor, wsum, n_events) state table
+    via the ASSOCIATIVE decay merge
+    (streaming/ops.py:foreach_batch_decay_merger — advance the
+    anchor, rescale by exp(-delta/tau), add the batch partial;
+    redelivery skipped by the batch_id stamped in the version
+    manifest). Serving reads the LATEST state version, rescales every
+    user to the global max anchor, and returns the top 25.
+
+    Parity contract vs the batch query: the batch side fixed-points
+    each event's weight at the FINAL reference instant before
+    summing, which no online form can replicate exactly (the final
+    reference is unknown mid-stream) — so the pinned property is a
+    BOUNDED gap: per-user |stream - exact| <= n_events * 1e-6
+    (each term's rounding is half a micro-unit) plus exact n_events,
+    asserted against an independent python re-derivation in
+    tests/test_streaming.py, with the redelivery no-op pinned
+    separately. State is one row per user; each micro-batch costs
+    one user-keyed merge join — no history rescan at any scale."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark.sources.sink import read_versioned
+    from conversadocs_spark.streaming.ops import (
+        foreach_batch_decay_merger,
+    )
+
+    tau_us = 604800.0 * 1e6
+    path = _stage(spark, sf_dir, duplicate_rows=False)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table = os.path.join(
+        _STAGE_ROOT, f"decay_{tag}_{os.getpid()}_{next(_COUNTER)}"
+    )
+    ckpt = table + "_ckpt"
+    shutil.rmtree(table, ignore_errors=True)
+    ev = read_events_stream(spark, path)
+    q = (
+        ev.writeStream.foreachBatch(
+            foreach_batch_decay_merger(table)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = read_versioned(spark, table)
+    g = state.agg(F.max("anchor_us").alias("t_ref_us"))
+    return (
+        state.crossJoin(F.broadcast(g))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("wsum")
+                * F.exp(
+                    -(
+                        F.col("t_ref_us") - F.col("anchor_us")
+                    ).cast("double")
+                    / F.lit(tau_us)
+                ),
+                6,
+            ).alias("decayed_score"),
+        )
+        .orderBy(F.desc("decayed_score"), F.asc("user_id"))
+        .limit(25)
+    )

@@ -224,3 +224,122 @@ def foreach_batch_hll_merger(table_path: str):
         write_versioned(merged.localCheckpoint(), table_path)
 
     return fn
+
+
+def foreach_batch_decay_merger(
+    table_path: str, tau_s: float = 604800.0
+):
+    """foreachBatch kernel maintaining a per-user TIME-DECAYED
+    engagement state table — the incremental form
+    `decayed_engagement`'s docstring promises: state is
+    (user_id, anchor_us, wsum, n_events) where wsum =
+    sum(value * exp(-(anchor - ts)/tau)) referenced to the user's own
+    latest event. The decay merge is ASSOCIATIVE: to fold a batch in,
+    advance the anchor to the max of both sides and rescale each
+    side's wsum by exp(-delta/tau) — exactly "multiply yesterday's
+    score by the elapsed decay and add today's partial". No history
+    rescan, state is one row per user.
+
+    Redelivery safety: unlike the HLL merger (idempotent by register-
+    max algebra), a decay merge applied twice DOUBLE-COUNTS, so the
+    applied batch_id is stamped into the version manifest and a
+    redelivered batch (batch_id <= last applied) is skipped — the
+    standard foreachBatch transactional-sink recipe, here riding the
+    versioned table's atomic marker flip as the commit point."""
+    from pyspark.sql import functions as F
+
+    def fn(batch_df, batch_id: int) -> None:
+        import os
+
+        from conversadocs_spark.sources.sink import (
+            _LATEST_MARKER,
+            read_manifest,
+            read_versioned,
+            write_versioned,
+        )
+
+        spark = batch_df.sparkSession
+        tau_us = tau_s * 1e6
+        has_prev = os.path.exists(
+            os.path.join(table_path, _LATEST_MARKER)
+        )
+        if has_prev:
+            m = read_manifest(table_path)
+            if m is not None and batch_id <= m.get(
+                "applied_batch_id", -1
+            ):
+                return  # redelivered micro-batch: already folded in
+        ev = batch_df.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias(
+                "ts_us"
+            ),
+            "value",
+        )
+        anchors = ev.groupBy("user_id").agg(
+            F.max("ts_us").alias("b_anchor")
+        )
+        bstate = (
+            ev.join(anchors, "user_id")
+            .groupBy("user_id")
+            .agg(
+                F.max("b_anchor").alias("anchor_us"),
+                F.count("*").cast("long").alias("n_events"),
+                F.sum(
+                    F.col("value")
+                    * F.exp(
+                        -(
+                            F.col("b_anchor") - F.col("ts_us")
+                        ).cast("double")
+                        / F.lit(tau_us)
+                    )
+                ).alias("wsum"),
+            )
+        )
+        if has_prev:
+            prev = read_versioned(spark, table_path).select(
+                "user_id",
+                F.col("anchor_us").alias("pa"),
+                F.col("wsum").alias("pw"),
+                F.col("n_events").alias("pn"),
+            )
+            b = bstate.select(
+                "user_id",
+                F.col("anchor_us").alias("ba"),
+                F.col("wsum").alias("bw"),
+                F.col("n_events").alias("bn"),
+            )
+            floor = F.lit(-(2**62)).cast("long")
+            na = F.greatest(
+                F.coalesce("pa", floor), F.coalesce("ba", floor)
+            )
+            scale = lambda a, w: F.coalesce(  # noqa: E731
+                F.col(w)
+                * F.exp(
+                    -(na - F.col(a)).cast("double") / F.lit(tau_us)
+                ),
+                F.lit(0.0),
+            )
+            merged = (
+                prev.join(b, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    na.alias("anchor_us"),
+                    (scale("pa", "pw") + scale("ba", "bw")).alias(
+                        "wsum"
+                    ),
+                    (
+                        F.coalesce("pn", F.lit(0))
+                        + F.coalesce("bn", F.lit(0))
+                    ).cast("long").alias("n_events"),
+                )
+            )
+        else:  # first batch: no committed version yet
+            merged = bstate
+        write_versioned(
+            merged.localCheckpoint(),
+            table_path,
+            manifest={"applied_batch_id": batch_id},
+        )
+
+    return fn

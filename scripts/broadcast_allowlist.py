@@ -42,7 +42,8 @@ Bounds, per file (reviewed r9):
 - plans/rag.py 1: k-row retrieved-context shortlist.
 - plans/retrieval.py 4: 1-row corpus stats, k-row RRF shortlists;
   r10 phrase_search adds the 1-row top-trigram phrase.
-- plans/streamqueries.py 1: event_type dim.
+- plans/streamqueries.py 2: event_type dim; r10
+  streaming_decay_replay adds the 1-row global-anchor aggregate.
 - plans/text.py 2: vocab df table (bounded by vocab), 1-row N.
 - plans/vector.py 13: 1-row query vectors, 50-row shortlists,
   provenance top-k (flipped small side per ADVICE r8); r9 batch
@@ -86,7 +87,7 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/pipeline.py": 14,
     "plans/rag.py": 1,
     "plans/retrieval.py": 4,
-    "plans/streamqueries.py": 1,
+    "plans/streamqueries.py": 2,
     "plans/text.py": 2,
     "plans/vector.py": 20,
     "streaming/cdc.py": 1,

@@ -729,3 +729,74 @@ def test_cdc_multi_op_per_key_batch_collapses_to_sequential(
         ).collect()
     }
     assert redone == got
+
+
+def test_streaming_decay_bounded_parity_and_redelivery_noop(
+    spark, sf_dir, tmp_path
+):
+    """The maintained decay-state table must reproduce the exact
+    per-user score within the documented bound (each batch-side term
+    is unrounded while the batch query fixed-points per event:
+    |stream - exact| <= n_events * 1e-6), with exact n_events — and
+    re-applying an already-applied micro-batch must be a no-op (the
+    manifest-stamped batch_id skip)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.plans import QUERIES
+    from conversadocs_spark.sources.sink import read_versioned
+    from conversadocs_spark.streaming.ops import (
+        foreach_batch_decay_merger,
+    )
+
+    got = {
+        r.user_id: r
+        for r in QUERIES["streaming_decay_replay"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got
+    events = io.table(spark, sf_dir, "events").collect()
+    t_ref = max(
+        int(e.ts.timestamp() * 1_000_000) for e in events
+    )
+    exact: dict[int, list] = {}
+    for e in events:
+        ts_us = int(e.ts.timestamp() * 1_000_000)
+        exact.setdefault(e.user_id, []).append(
+            e.value * math.exp(-(t_ref - ts_us) / 604800.0e6)
+        )
+    ranked = sorted(
+        exact.items(),
+        key=lambda kv: (-sum(kv[1]), kv[0]),
+    )[: len(got)]
+    for uid, terms in ranked:
+        r = got[uid]
+        assert r.n_events == len(terms)
+        assert abs(r.decayed_score - sum(terms)) <= len(terms) * 1e-6
+
+    # redelivery no-op: same batch_id applied twice leaves the state
+    # (and the version count) unchanged
+    table = str(tmp_path / "decay_state")
+    merger = foreach_batch_decay_merger(table)
+    batch = io.table(spark, sf_dir, "events").limit(200)
+    merger(batch, 0)
+    v1 = sorted(
+        (r.user_id, r.anchor_us, r.n_events, round(r.wsum, 9))
+        for r in read_versioned(spark, table).collect()
+    )
+    merger(batch, 0)  # redelivered
+    v2 = sorted(
+        (r.user_id, r.anchor_us, r.n_events, round(r.wsum, 9))
+        for r in read_versioned(spark, table).collect()
+    )
+    assert v1 == v2
+    # a genuinely NEW batch does change it
+    merger(batch, 1)
+    v3 = {r.user_id: r.n_events
+          for r in read_versioned(spark, table).collect()}
+    assert all(n == 2 * dict(
+        (u, ne) for u, _, ne, _ in v1
+    )[u] for u, n in v3.items())
