@@ -256,7 +256,10 @@ _DRIVER_ORDER = [
     # resample_gapfill = new time-series conforming op)
     # (join_range rotated to the tail: green rows r2/r4/r5;
     # join_interval_attrib = new stream-stream batch twin, rotated in)
-    "join_interval_attrib",
+    # r10: bucketed co-located big-big join (oracle-backed, new —
+    # rotated in; out goes join_interval_attrib, 4 green driver rows;
+    # the join family keeps null_safe/correlated/lateral/recursive)
+    "join_bucketed_colocated",
     # null-safe join + correlated-subquery de-correlation (oracle-
     # backed, new — rotated in; out go contamination_ngram and
     # grouped_map_order_seq, green r5)
@@ -270,6 +273,7 @@ _DRIVER_ORDER = [
     "knn_filtered", "knn_int8", "dedup_incremental",
     "token_budget_select", "outlier_mad", "agg_percentile",
     "rerank_topk", "pretrain_corpus", "dedup_semantic_clusters",
+    "join_interval_attrib",
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",

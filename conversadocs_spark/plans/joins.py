@@ -13,6 +13,8 @@ key, no range-join explosion), which is the shape that survives 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -589,3 +591,85 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         io.table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+# --------------------------------------------------------------------------
+# bucketed co-located join (the shuffle-free big-big join)
+# --------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT)           AS n_items,
+       round(CAST(sum({SQL_DISC_PRICE}) AS DOUBLE), 2) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "join_bucketed_colocated", oracle=_BUCKETED_ORACLE, tags=("join",)
+)
+def join_bucketed_colocated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The shuffle-free BIG-x-BIG join: both fact tables are written
+    ONCE as bucketed tables (`bucketBy(8, key)` + sortBy, Spark's
+    persisted hash-clustering — the co-location move the star join
+    can't use because neither side is dimension-sized), then joined
+    on the bucket key WITHOUT any Exchange: each task zips bucket i
+    of orders with bucket i of lineitem, at any scale. This is the
+    standard warehouse layout for a fact table that is repeatedly
+    joined on the same key — the shuffle is paid once at WRITE time
+    and amortized over every subsequent join; revenue per order
+    priority is the probe query on top (exact decimal money path).
+
+    The no-Exchange-above-either-scan contract is pinned in
+    tests/test_joins.py with broadcast disabled (at tiny SF Catalyst
+    would otherwise broadcast the small side and hide the bucketed
+    plan); result values are bucketing-invariant, which is exactly
+    what the oracle checks.
+
+    Scale notes: 8 buckets suits the fixtures — a real deployment
+    sizes buckets toward HDFS-block-sized files (hundreds to
+    thousands); bucket counts must MATCH (or divide) across tables
+    for the zip. Writes land in the session warehouse under unique
+    per-SF table names, rewritten idempotently per call."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_orders, t_items = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for name, src, key, sort in (
+        (t_orders, "orders", "o_orderkey", "o_orderkey"),
+        (t_items, "lineitem", "l_orderkey", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a FRESH session's in-memory catalog doesn't know tables a
+        # previous session left in the warehouse dir — remove the
+        # orphaned location too or saveAsTable refuses
+        shutil.rmtree(os.path.join(warehouse, name),
+                      ignore_errors=True)
+        (
+            io.table(spark, sf_dir, src)
+            .write.bucketBy(8, key)
+            .sortBy(sort)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table(t_orders).select("o_orderkey", "o_orderpriority")
+    li = spark.table(t_items).select(
+        "l_orderkey", disc_price_e4().alias("disc_e4")
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(sum_scaled("disc_e4", 10_000), 2).alias(
+                "revenue"
+            ),
+        )
+    )

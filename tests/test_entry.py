@@ -80,6 +80,7 @@ def test_driver_order_covers_registry_exactly():
                  "arrow_grouped_seq",
                  "window_range_time", "quality_lr_score_fixed",
                  "phrase_search", "join_null_safe",
+                 "join_bucketed_colocated",
                  "sql_correlated_subqueries",
                  "knn_binary_batch", "gopher_repetition",
                  "set_ops_all", "source_mixture_weights",
