@@ -137,7 +137,10 @@ _DRIVER_ORDER = [
     # schema-evolution scans).
     "gopher_repetition", "set_ops_all",
     "source_mixture_weights", "udtf_dynamic_schema", "vocab_topk",
-    "window_ntile",
+    # r10: exact ROC-AUC, the classifier lifecycle's evaluate leg
+    # (oracle-backed, new — rotated in; out goes window_ntile, 3
+    # green driver rows; windows keep range_time + gaps_islands)
+    "lr_auc",
     # lake / table maintenance (merge_upsert rotated to the tail in
     # r7 with its green r6 row; scd2_history followed late-r7 — green
     # r6 — so the new OPTIMIZE-ZORDER lifecycle gets its first row;
@@ -273,7 +276,7 @@ _DRIVER_ORDER = [
     "knn_filtered", "knn_int8", "dedup_incremental",
     "token_budget_select", "outlier_mad", "agg_percentile",
     "rerank_topk", "pretrain_corpus", "dedup_semantic_clusters",
-    "join_interval_attrib",
+    "join_interval_attrib", "window_ntile",
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "lm_bigram_score", "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",

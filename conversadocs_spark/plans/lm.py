@@ -660,3 +660,137 @@ def lr_calibration_deciles(
             ).alias("pos_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# classifier ROC-AUC (rank statistic, bucket-level — no per-row ranks)
+# --------------------------------------------------------------------------
+
+_LR_AUC_ORACLE = """
+WITH f AS (
+    SELECT doc_id,
+           least(len(string_split(text,' '))/50.0, 1.0) AS f_lensat,
+           len(list_distinct(string_split(text,' ')))*1.0
+               / len(string_split(text,' ')) AS f_uniq,
+           least(len(regexp_extract_all(text,'[^A-Za-z0-9\\s]'))
+                 *1.0/length(text), 1.0) AS f_punct,
+           len(string_split(text,' ')) AS n_words,
+           len(list_distinct(string_split(text,' ')))*1.0
+               / len(string_split(text,' ')) AS uniq_ratio
+    FROM documents
+),
+scored AS (
+    SELECT round(1.0 / (1.0 + exp(-(-6.0 + 2.5*f_lensat + 5.0*f_uniq
+                                    - 1.5*f_punct))), 6) AS lr_score,
+           (n_words >= 20 AND uniq_ratio >= 0.6) AS label
+    FROM f
+),
+buckets AS (
+    SELECT lr_score,
+           CAST(count(*) AS BIGINT) AS bn,
+           CAST(count(CASE WHEN label THEN 1 END) AS BIGINT) AS bpos
+    FROM scored GROUP BY lr_score
+),
+pref AS (
+    SELECT lr_score, bn, bpos,
+           CAST(coalesce(sum(bn) OVER (ORDER BY lr_score ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prefix
+    FROM buckets
+),
+tot AS (
+    SELECT CAST(sum(bpos) AS BIGINT) AS n_pos,
+           CAST(sum(bn) - sum(bpos) AS BIGINT) AS n_neg
+    FROM buckets
+),
+ranksum2 AS (
+    -- 2x the midrank-sum of positives, kept integral: midrank of a
+    -- tie group = prefix + (bn+1)/2
+    SELECT CAST(sum(bpos * (2*prefix + bn + 1)) AS BIGINT) AS rs2
+    FROM pref
+)
+SELECT t.n_pos, t.n_neg,
+       round((CAST(r.rs2 AS DOUBLE) / 2.0
+              - CAST(t.n_pos AS DOUBLE) * (t.n_pos + 1) / 2.0)
+             / (CAST(t.n_pos AS DOUBLE) * t.n_neg), 6) AS auc
+FROM ranksum2 r CROSS JOIN tot t
+"""
+
+
+@register("lr_auc", oracle=_LR_AUC_ORACLE, tags=("lm", "pipeline"))
+def lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier lifecycle's fourth leg: exact ROC-AUC of the
+    fixed-weight quality scorer against the independent structural
+    label — via the Mann-Whitney rank identity
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), with MIDRANKS
+    for score ties (the standard tie correction).
+
+    The scale insight: AUC never needs per-row ranks. Scores round to
+    6 so the BUCKET table is bounded (<= 1e6 + 1 rows); a tie group's
+    midrank is prefix + (bn+1)/2, so the positives' rank sum is one
+    bucket-level aggregate — kept integral as 2x rank-sum (bn+1 may
+    be even or odd) until a single final double division. One
+    map-side-combined groupBy(score), one window over the bounded
+    bucket table, a 1-row output: strictly cheaper than
+    lr_calibration_deciles, which must position every row.
+
+    Cross-engine exactness: counts and the 2x rank-sum are exact
+    BIGINTs in both engines; the final expression is the identically
+    parenthesized IEEE tree."""
+    from pyspark.sql import Window
+
+    from conversadocs_spark.plans.registry import QUERIES
+
+    scored_src = QUERIES["quality_lr_score_fixed"](spark, sf_dir)
+    d = io.table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    labels = d.select(
+        "doc_id",
+        (
+            (F.size(words) >= 20)
+            & (
+                F.size(F.array_distinct(words)).cast("double")
+                / F.size(words).cast("double")
+                >= 0.6
+            )
+        ).alias("label"),
+    )
+    scored = scored_src.select("doc_id", "lr_score").join(
+        labels, "doc_id"
+    )
+    buckets = scored.groupBy("lr_score").agg(
+        F.count("*").cast("long").alias("bn"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("bpos"),
+    )
+    w = Window.orderBy(F.asc("lr_score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = buckets.withColumn(
+        "prefix", F.sum("bn").over(w) - F.col("bn")
+    )
+    agg = pref.agg(
+        F.sum("bpos").cast("long").alias("n_pos"),
+        (F.sum("bn") - F.sum("bpos")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("bpos")
+            * (2 * F.col("prefix") + F.col("bn") + 1)
+        )
+        .cast("long")
+        .alias("rs2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("rs2").cast("double") / 2.0
+                - F.col("n_pos").cast("double")
+                * (F.col("n_pos") + 1)
+                / 2.0
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )

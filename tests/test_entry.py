@@ -84,7 +84,9 @@ def test_driver_order_covers_registry_exactly():
                  "sql_correlated_subqueries",
                  "knn_binary_batch", "gopher_repetition",
                  "set_ops_all", "source_mixture_weights",
-                 "udtf_dynamic_schema", "vocab_topk", "window_ntile",
+                 # (window_ntile rotated to the tail in r10 — 3 green
+                 # driver rows — for the ROC-AUC evaluate leg)
+                 "udtf_dynamic_schema", "vocab_topk", "lr_auc",
                  # r9: six new oracle-backed queries take head-50
                  # slots from knn_auto_indexed / cohort_retention /
                  # event_transitions / basket_lift / latest_per_key /

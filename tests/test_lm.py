@@ -19,3 +19,49 @@ def test_lr_calibration_no_global_sort(spark, sf_oracle_dir):
     means = [r.mean_score for r in rows]
     assert means == sorted(means, reverse=True)
     assert rows[0].pos_rate >= rows[-1].pos_rate
+
+
+def test_lr_auc_closed_form_and_rederivation(spark, sf_oracle_dir):
+    """AUC pinned two ways: (a) a hand-computed tie-bearing fixture
+    via the same feature pipeline is NOT practical (scores derive
+    from text), so instead the real corpus AUC is re-derived in pure
+    python with midranks from the collected (score, label) pairs;
+    (b) sanity bounds: 0 <= auc <= 1 and n_pos + n_neg == corpus."""
+    from conversadocs_spark import io
+    from conversadocs_spark.plans.lm import lr_auc
+    from conversadocs_spark.plans.registry import QUERIES
+
+    row = lr_auc(spark, sf_oracle_dir).collect()[0]
+    n_docs = io.table(spark, sf_oracle_dir, "documents").count()
+    assert row.n_pos + row.n_neg == n_docs
+    assert 0.0 <= row.auc <= 1.0
+    scored = {
+        r.doc_id: r.lr_score
+        for r in QUERIES["quality_lr_score_fixed"](
+            spark, sf_oracle_dir
+        ).collect()
+    }
+    docs = io.table(spark, sf_oracle_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    pairs = []
+    for d in docs:
+        ws = d.text.split(" ")
+        label = len(ws) >= 20 and len(set(ws)) / len(ws) >= 0.6
+        pairs.append((scored[d.doc_id], label))
+    pairs.sort(key=lambda p: p[0])
+    # midranks over ties
+    ranks, i = {}, 0
+    while i < len(pairs):
+        j = i
+        while j < len(pairs) and pairs[j][0] == pairs[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        ranks[pairs[i][0]] = mid
+        i = j
+    n_pos = sum(1 for _, l in pairs if l)
+    n_neg = len(pairs) - n_pos
+    r_pos = sum(ranks[s] for s, l in pairs if l)
+    auc = (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    assert (row.n_pos, row.n_neg) == (n_pos, n_neg)
+    assert abs(row.auc - round(auc, 6)) <= 1e-6
