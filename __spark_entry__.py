@@ -136,7 +136,13 @@ _DRIVER_ORDER = [
     # mixture_realize, agg_percentile+agg_unpivot, corrupt-tolerant +
     # schema-evolution scans).
     "gopher_repetition", "set_ops_all",
-    "source_mixture_weights", "udtf_dynamic_schema", "vocab_topk",
+    "source_mixture_weights", "udtf_dynamic_schema",
+    # r11: fixed-point MMR re-ranking, the reference retriever's
+    # second search mode promoted to oracle-checked via the
+    # seq_pack_ffd recursive-CTE replay (VERDICT r10 #1; oracle-backed,
+    # new — rotated in; out goes vocab_topk, green r7-r10, the
+    # text-frequency family keeps cms_term_freq + gopher_repetition)
+    "mmr_rerank_exact",
     # r10: exact ROC-AUC, the classifier lifecycle's evaluate leg
     # (oracle-backed, new — rotated in; out goes window_ntile, 3
     # green driver rows; windows keep range_time + gaps_islands)
@@ -272,6 +278,8 @@ _DRIVER_ORDER = [
     # new — see event_transitions / basket_lift notes)
     "sql_recursive_cte", "sql_lateral_topk",
     # --- 50 ---
+    # r11 tail rotations (green driver rows; see head notes)
+    "vocab_topk",
     # r10 tail rotations (see head notes)
     "knn_filtered", "knn_int8", "dedup_incremental",
     "token_budget_select", "outlier_mad", "agg_percentile",

@@ -99,3 +99,91 @@ def mmr_rerank(
         .groupBy(query_col)
         .applyInPandas(pick, schema=schema)
     )
+
+
+def mmr_rerank_fixedpoint(
+    candidates: DataFrame,
+    k: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "sim",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy MMR with FIXED-POINT scoring — the oracle-checkable twin
+    of :func:`mmr_rerank`.
+
+    Identical distributed shape (bounded per-query groups via
+    applyInPandas), but every score is a BIGINT: relevance and each
+    candidate-candidate cosine are lowered to micro-units with
+    ``floor(x * 1e6 + 0.5)`` (the engine-agnostic HALF-UP spelled out
+    so DuckDB can replay it verbatim — the lm_bigram fixed-point rule),
+    and the MMR objective becomes the integer
+    ``lam_num * rel_fp - (lam_den - lam_num) * max_sel_sim_fp``
+    (lambda = lam_num/lam_den, default 0.7). Integer comparisons mean
+    the argmax — and therefore the whole greedy selection — is
+    bit-identical across engines; ties break on ascending id. A DuckDB
+    ``WITH RECURSIVE`` replays the selection step for step (depth = k,
+    working set = the bounded candidate list — the seq_pack_ffd
+    technique), so the assignment is value-hash-checked, not just
+    invariant-tested.
+
+    Returns (query_col, id_col, rel_col as double, mmr_rank int); the
+    returned relevance is the input's (already 6-dp-rounded) double,
+    not the fixed-point form. Kernel is fully self-contained (no
+    module globals) per the grouped-map closure contract.
+    """
+    schema = (
+        f"{query_col} long, {id_col} long, {rel_col} double, "
+        "mmr_rank int"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        import numpy as np
+
+        def fp(x: float) -> int:
+            return int(math.floor(x * 1e6 + 0.5))
+
+        pdf = pdf.sort_values(id_col)  # ascending-id tie-break order
+        ids = pdf[id_col].tolist()
+        rel = [float(x) for x in pdf[rel_col]]
+        v = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+        dots = v @ v.T
+        nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+        nrm[nrm == 0.0] = 1.0
+        n = len(ids)
+        rel_fp = [fp(r) for r in rel]
+        sim_fp = [
+            [fp(dots[i][j] / (nrm[i] * nrm[j])) for j in range(n)]
+            for i in range(n)
+        ]
+        selected: list[int] = []
+        rows = []
+        while len(rows) < k and len(selected) < n:
+            best = None
+            best_score = None
+            for i in range(n):  # ascending id: first max wins ties
+                if i in selected:
+                    continue
+                div = max(
+                    (sim_fp[i][j] for j in selected), default=0
+                )
+                score = lam_num * rel_fp[i] - (lam_den - lam_num) * div
+                if best is None or score > best_score:
+                    best, best_score = i, score
+            selected.append(best)
+            rows.append((ids[best], rel[best], len(rows)))
+        qid = pdf[query_col].iloc[0]
+        return pd.DataFrame(
+            [(qid, i, r, rk) for (i, r, rk) in rows],
+            columns=[query_col, id_col, rel_col, "mmr_rank"],
+        )
+
+    return (
+        candidates.select(query_col, id_col, rel_col, vec_col)
+        .groupBy(query_col)
+        .applyInPandas(pick, schema=schema)
+    )

@@ -1026,6 +1026,145 @@ def mmr_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The MMR oracle replays the greedy selection EXACTLY with a recursive
+# CTE (the seq_pack_ffd technique): every score is fixed-point BIGINT
+# micro-units via floor(x*1e6 + 0.5) — the engine-agnostic HALF-UP —
+# so the per-step argmax is an integer comparison both engines resolve
+# identically. State per query = the bounded candidate lists (ids /
+# rel_fp / the 12x12 sim_fp matrix, all built once) plus the selected
+# index list; each recursion step appends the arg-max index (first
+# index = smallest id on ties, because the lists are id-ascending).
+# Depth = k = 5; working set never exceeds the candidate bound.
+_MMR_EXACT_ORACLE = """
+WITH RECURSIVE sims AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+           SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE))
+           / (SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE)))
+              * SQRT(SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE))))
+           AS sim
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id < 5) a
+    JOIN (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id >= 5) b USING (i)
+    GROUP BY a.vec_id, b.vec_id
+),
+cand AS (
+    SELECT query_id, vec_id, round(sim, 6) AS sim,
+           CAST(floor(round(sim, 6) * 1e6 + 0.5) AS BIGINT) AS rel_fp
+    FROM (SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(sim, 6) DESC, vec_id ASC) AS rk
+          FROM sims)
+    WHERE rk <= 12
+),
+pairsim AS (
+    SELECT c1.query_id, c1.vec_id AS i_id, c2.vec_id AS j_id,
+           CAST(floor(
+               SUM(CAST(x.x AS DOUBLE) * CAST(y.x AS DOUBLE))
+               / (SQRT(SUM(CAST(x.x AS DOUBLE) * CAST(x.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(y.x AS DOUBLE)
+                             * CAST(y.x AS DOUBLE))))
+               * 1e6 + 0.5) AS BIGINT) AS sim_fp
+    FROM cand c1
+    JOIN cand c2 ON c1.query_id = c2.query_id
+    JOIN (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) x ON x.vec_id = c1.vec_id
+    JOIN (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) y ON y.vec_id = c2.vec_id AND y.i = x.i
+    GROUP BY c1.query_id, c1.vec_id, c2.vec_id
+),
+state0 AS (
+    SELECT b.query_id, b.ids, b.rels, b.sims_d, m.m
+    FROM (SELECT query_id,
+                 list(vec_id ORDER BY vec_id) AS ids,
+                 list(rel_fp ORDER BY vec_id) AS rels,
+                 list(sim ORDER BY vec_id) AS sims_d
+          FROM cand GROUP BY query_id) b
+    JOIN (SELECT query_id, list(simrow ORDER BY i_id) AS m
+          FROM (SELECT query_id, i_id,
+                       list(sim_fp ORDER BY j_id) AS simrow
+                FROM pairsim GROUP BY query_id, i_id)
+          GROUP BY query_id) m USING (query_id)
+),
+steps(query_id, t, sel, pick_id, pick_sim) AS (
+    SELECT query_id, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM state0
+    UNION ALL
+    SELECT s.query_id, s.t + 1,
+           list_append(s.sel, pk.p),
+           st.ids[pk.p],
+           st.sims_d[pk.p]
+    FROM steps s
+    JOIN state0 st USING (query_id)
+    CROSS JOIN LATERAL (
+        SELECT ([i FOR i IN range(1, len(st.ids) + 1)
+                 IF (coalesce(list_position(s.sel, i), 0) = 0)
+                    AND (7 * st.rels[i]
+                         - 3 * CASE WHEN len(s.sel) = 0 THEN 0
+                               ELSE list_max(
+                                   [st.m[i][x] FOR x IN s.sel])
+                               END)
+                        = list_max(
+                            [CASE WHEN coalesce(
+                                      list_position(s.sel, j), 0) <> 0
+                                  THEN NULL
+                                  ELSE 7 * st.rels[j]
+                                       - 3 * CASE
+                                           WHEN len(s.sel) = 0 THEN 0
+                                           ELSE list_max(
+                                             [st.m[j][x]
+                                              FOR x IN s.sel])
+                                           END
+                             END
+                             FOR j IN range(1, len(st.ids) + 1)])
+                ])[1] AS p
+    ) pk
+    WHERE s.t < 5
+)
+SELECT query_id, pick_id AS vec_id, pick_sim AS sim,
+       CAST(t - 1 AS INTEGER) AS mmr_rank
+FROM steps WHERE pick_id IS NOT NULL
+"""
+
+
+@register("mmr_rerank_exact", oracle=_MMR_EXACT_ORACLE, tags=("vector",))
+def mmr_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval, ORACLE-CHECKED (VERDICT r10 #1): the
+    reference retriever's "mmr" search mode (the mode switch next to
+    the "similarity" used at bones.py:74), with the greedy objective
+    lowered to fixed-point integers so a DuckDB recursive CTE replays
+    the selection bit for bit — the technique seq_pack_ffd proved out
+    for bounded sequential processes.
+
+    Per query (vec_id < 5): exact top-12 wide retrieval over the
+    corpus (knn_per_query — broadcast queries, zero corpus shuffle,
+    6-dp-rounded sims), then greedy MMR to 5 picks with integer scores
+    7*rel_fp - 3*max_sim_fp (lambda = 0.7 in tenths; micro-unit
+    fixed point via floor(x*1e6 + 0.5) on BOTH engines). Ties break
+    on ascending vec_id.
+
+    Scale shape: identical to mmr_rerank — the corpus-scale stage is
+    the wide retrieval; the greedy touches only Q x 12 candidate rows
+    grouped by query (parallel across queries, bounded per group).
+    The sibling rows-only `mmr_rerank` keeps the float-lambda form."""
+    from conversadocs_spark.operators.mmr import mmr_rerank_fixedpoint
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    wide = knn_per_query(corpus, queries, k=12).drop("rank")
+    cands = wide.join(emb.select("vec_id", "embedding"), "vec_id")
+    return mmr_rerank_fixedpoint(cands, k=5, lam_num=7, lam_den=10)
+
+
 # --------------------------------------------------------------------------
 # int8 scalar-quantized storage + retrieval (SQ8)
 # --------------------------------------------------------------------------

@@ -86,7 +86,9 @@ def test_driver_order_covers_registry_exactly():
                  "set_ops_all", "source_mixture_weights",
                  # (window_ntile rotated to the tail in r10 — 3 green
                  # driver rows — for the ROC-AUC evaluate leg)
-                 "udtf_dynamic_schema", "vocab_topk", "lr_auc",
+                 # (vocab_topk rotated to the tail in r11 — green
+                 # r7-r10 — for the fixed-point MMR oracle query)
+                 "udtf_dynamic_schema", "mmr_rerank_exact", "lr_auc",
                  # r9: six new oracle-backed queries take head-50
                  # slots from knn_auto_indexed / cohort_retention /
                  # event_transitions / basket_lift / latest_per_key /

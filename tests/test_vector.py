@@ -501,6 +501,36 @@ def test_mmr_invariants(spark, sf_oracle_dir):
     assert reordered >= 1, "MMR never diverged from relevance order"
 
 
+def test_mmr_exact_matches_oracle(spark, sf_oracle_dir):
+    """The fixed-point MMR twin replays bit-for-bit in DuckDB's
+    recursive CTE (VERDICT r10 #1 — the seq_pack_ffd technique)."""
+    assert_query_matches_oracle(spark, "mmr_rerank_exact", sf_oracle_dir)
+
+
+def test_mmr_exact_invariants_and_divergence(spark, sf_oracle_dir):
+    """Fixed-point MMR keeps the greedy contract: 5 queries x 5 picks,
+    rank 0..4, first pick = relevance argmax, and the integer
+    objective still diversifies away from pure relevance order on at
+    least one fixture query (non-vacuous lambda term)."""
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["mmr_rerank_exact"](spark, sf_oracle_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5
+    reordered = 0
+    for _, rs in by_q.items():
+        rs.sort(key=lambda r: r.mmr_rank)
+        assert [r.mmr_rank for r in rs] == list(range(5))
+        assert rs[0].sim == max(r.sim for r in rs)
+        if [r.sim for r in rs] != sorted(
+            (r.sim for r in rs), reverse=True
+        ):
+            reordered += 1
+    assert reordered >= 1, "fixed-point MMR never diverged"
+
+
 def test_knn_int8_matches_oracle(spark, sf_oracle_dir):
     assert_query_matches_oracle(spark, "knn_int8", sf_oracle_dir)
 
