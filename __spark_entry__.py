@@ -135,7 +135,13 @@ _DRIVER_ORDER = [
     # representatives: scd2_history+table_diff, kfold_split+
     # mixture_realize, agg_percentile+agg_unpivot, corrupt-tolerant +
     # schema-evolution scans).
-    "gopher_repetition", "set_ops_all",
+    "gopher_repetition",
+    # r11: fixed-point PageRank over the co-purchase graph, promoted
+    # to oracle-checked via a recursive-CTE power-iteration replay
+    # (VERDICT r10 #2; oracle-backed, new — rotated in; out goes
+    # set_ops_all, green r7-r10, the set-ops family's bag forms stay
+    # covered by set_ops' bench headline + tail rows)
+    "graph_pagerank_exact",
     "source_mixture_weights", "udtf_dynamic_schema",
     # r11: fixed-point MMR re-ranking, the reference retriever's
     # second search mode promoted to oracle-checked via the
@@ -279,7 +285,7 @@ _DRIVER_ORDER = [
     "sql_recursive_cte", "sql_lateral_topk",
     # --- 50 ---
     # r11 tail rotations (green driver rows; see head notes)
-    "vocab_topk",
+    "vocab_topk", "set_ops_all",
     # r10 tail rotations (see head notes)
     "knn_filtered", "knn_int8", "dedup_incremental",
     "token_budget_select", "outlier_mad", "agg_percentile",

@@ -75,6 +75,131 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The PageRank oracle replays the power iteration EXACTLY with a
+# recursive CTE: ranks are BIGINT micro-units, each step is one
+# GROUP BY over (working table JOIN static flow relation) — DuckDB
+# allows aggregation in the recursive term — and the flow relation
+# carries a (id, id, NULL-deg) keeper row per node so zero-inflow
+# nodes stay alive (their contribution sum is NULL -> coalesce 0).
+# The division order (r DIV deg per edge, final DIV alpha_den) matches
+# pagerank_fixedpoint token for token; everything is non-negative so
+# DuckDB's flooring // and Spark's truncating DIV agree. Iteration
+# count is FIXED at 16 (no early exit -> replayable); the graph is
+# the l_orderkey < 2000 co-purchase graph (constant-size at every
+# gate scale, ~1952 nodes at sf0.01 -> ~33k recursion rows, far under
+# the 1M recursion cap).
+_PAGERANK_EXACT_ORACLE = """
+WITH RECURSIVE eu AS (
+    SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey AND a.l_orderkey < 2000
+),
+e AS (
+    SELECT x AS src, y AS dst FROM eu
+    UNION ALL
+    SELECT y, x FROM eu
+),
+nodes AS (SELECT DISTINCT src AS id FROM e),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+flow AS (
+    SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)
+    UNION ALL
+    SELECT id, id, CAST(NULL AS BIGINT) FROM nodes
+),
+consts AS (
+    SELECT CAST(1000000000000 // count(*) AS BIGINT) AS base
+    FROM nodes
+),
+steps(t, id, r) AS (
+    SELECT CAST(0 AS BIGINT), id, (SELECT base FROM consts)
+    FROM nodes
+    UNION ALL
+    SELECT s.t + 1, fl.dst,
+           (15 * (SELECT base FROM consts)
+            + 85 * coalesce(sum(s.r // fl.deg), 0)) // 100
+    FROM steps s JOIN flow fl ON fl.src = s.id
+    WHERE s.t < 16
+    GROUP BY s.t + 1, fl.dst
+)
+SELECT id AS part_id, r AS rank_fp,
+       CAST(r AS DOUBLE) / 1000000000000 AS rank
+FROM steps WHERE t = 16
+ORDER BY rank_fp DESC, part_id ASC
+LIMIT 20
+"""
+
+
+@register(
+    "graph_pagerank_exact",
+    oracle=_PAGERANK_EXACT_ORACLE,
+    tags=("graph",),
+)
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, ORACLE-CHECKED (VERDICT r10 #2): power iteration over
+    the co-purchase graph (parts sharing an order, bounded at
+    l_orderkey < 2000 — the graph_triangles fixture, ~1952 nodes with
+    real degree variance at sf0.01), with the rank vector lowered to
+    fixed-point BIGINT micro-units and a FIXED 16-iteration budget so
+    a DuckDB recursive CTE replays every update bit for bit. Top-20
+    hub parts by centrality.
+
+    The word-adjacency TextRank sibling `graph_pagerank` stays
+    rows-only with its float ranks and data-dependent convergence
+    exit (and the fixture word graph is degree-regular, so its
+    stationary distribution is uniform — this graph actually ranks).
+    The fixed budget converges to an L1 residual of ~4e-6 here
+    (geometric at alpha = 0.85); pagerank_fixedpoint still raises if
+    the residual exceeds tol_fp, so non-convergence cannot pass
+    silently. Integer floors quantize identically on both engines;
+    top-20 ties break on exact BIGINT ranks then part_id.
+
+    Scale shape: per-round cost is one contribution join + one
+    map-side-combinable sum over an edge relation partitioned once —
+    the operators/pagerank.py contract; node-scale state never
+    reaches the driver. The l_orderkey bound keeps the ORACLE's
+    recursion constant-size at any corpus scale (the engine side has
+    no such need)."""
+    from conversadocs_spark.operators.pagerank import (
+        pagerank_fixedpoint,
+    )
+
+    li = (
+        io.table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+    )
+    eu = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .distinct()
+    )
+    edges = eu.select(
+        F.col("x").alias("src"), F.col("y").alias("dst")
+    ).unionAll(
+        eu.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    ranks = pagerank_fixedpoint(
+        edges, iters=16, scale=10**12, tol_fp=20_000_000,
+        dangling="none",
+    )
+    return (
+        ranks.select(
+            F.col("id").alias("part_id"),
+            "rank_fp",
+            (F.col("rank_fp").cast("double") / F.lit(1e12)).alias(
+                "rank"
+            ),
+        )
+        .orderBy(F.desc("rank_fp"), F.asc("part_id"))
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # triangle counting (degree-ordered node-iterator)
 # --------------------------------------------------------------------------

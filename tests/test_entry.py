@@ -83,7 +83,9 @@ def test_driver_order_covers_registry_exactly():
                  "join_bucketed_colocated",
                  "sql_correlated_subqueries",
                  "knn_binary_batch", "gopher_repetition",
-                 "set_ops_all", "source_mixture_weights",
+                 # (set_ops_all rotated to the tail in r11 — green
+                 # r7-r10 — for the fixed-point PageRank oracle query)
+                 "graph_pagerank_exact", "source_mixture_weights",
                  # (window_ntile rotated to the tail in r10 — 3 green
                  # driver rows — for the ROC-AUC evaluate leg)
                  # (vocab_topk rotated to the tail in r11 — green

@@ -62,6 +62,84 @@ def test_graph_pagerank_query_ranks_hubs(spark, sf_dir):
     assert all(r.rank > 0 for r in rows)
 
 
+def _python_pagerank_fixedpoint(edges, iters, scale=10**12,
+                                alpha_num=85, alpha_den=100):
+    """Integer replay of pagerank_fixedpoint (dangling-uniform model:
+    each dangling node contributes r DIV n to every node)."""
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    base = scale // n
+    out_deg: dict = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    r = {v: base for v in nodes}
+    one_minus = alpha_den - alpha_num
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += r[s] // out_deg[s]
+        dshare = sum(r[v] // n for v in nodes if v not in out_deg)
+        r = {
+            v: (one_minus * base
+                + alpha_num * (inflow[v] + dshare)) // alpha_den
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_fixedpoint_matches_python_with_dangling(spark):
+    """The integer operator (dangling='uniform' path) must equal the
+    pure-python integer replay EXACTLY — bit-identical, not close."""
+    from conversadocs_spark.operators.pagerank import (
+        pagerank_fixedpoint,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (1, 4)]  # 4 is dangling
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.id: r.rank_fp
+        for r in pagerank_fixedpoint(
+            df, iters=12, tol_fp=10**12, dangling="uniform"
+        ).collect()
+    }
+    ref = _python_pagerank_fixedpoint(edges, iters=12)
+    assert got == ref
+
+
+def test_pagerank_fixedpoint_contracts(spark):
+    """dangling='none' raises on a graph with dangling nodes; the
+    residual guard raises when the fixed budget cannot settle."""
+    from conversadocs_spark.operators.pagerank import (
+        pagerank_fixedpoint,
+    )
+
+    df = spark.createDataFrame([(1, 2), (1, 3), (2, 1)], ["src", "dst"])
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank_fixedpoint(df, iters=2, dangling="none")
+    with pytest.raises(RuntimeError, match="residual"):
+        pagerank_fixedpoint(df, iters=1, tol_fp=0, dangling="uniform")
+
+
+def test_graph_pagerank_exact_matches_oracle(spark, sf_oracle_dir):
+    """The fixed-16-iteration integer power iteration replays in
+    DuckDB's recursive CTE (VERDICT r10 #2)."""
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(
+        spark, "graph_pagerank_exact", sf_oracle_dir
+    )
+
+
+def test_graph_pagerank_exact_is_nondegenerate(spark, sf_oracle_dir):
+    """The co-purchase graph actually ranks: top-20 contains more than
+    one distinct rank value (the word-adjacency fixture graph is
+    degree-regular/uniform — this one must not be)."""
+    rows = QUERIES["graph_pagerank_exact"](spark, sf_oracle_dir).collect()
+    assert len(rows) == 20
+    assert len({r.rank_fp for r in rows}) > 1
+    assert all(r.rank_fp > 0 for r in rows)
+
+
 def test_misra_gries_guarantee(spark, sf_dir):
     terms = (
         io.table(spark, sf_dir, "documents")
