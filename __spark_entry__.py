@@ -135,7 +135,12 @@ _DRIVER_ORDER = [
     # representatives: scd2_history+table_diff, kfold_split+
     # mixture_realize, agg_percentile+agg_unpivot, corrupt-tolerant +
     # schema-evolution scans).
-    "gopher_repetition",
+    # r11: the composed persisted-index serving lifecycle —
+    # manifest-planned x metadata-filtered x query batch (VERDICT r10
+    # #3; oracle-backed, new — rotated in; out goes gopher_repetition,
+    # green r7-r10, the quality family keeps quality_char_entropy +
+    # the lr_* head rows)
+    "knn_auto_filtered_batch",
     # r11: fixed-point PageRank over the co-purchase graph, promoted
     # to oracle-checked via a recursive-CTE power-iteration replay
     # (VERDICT r10 #2; oracle-backed, new — rotated in; out goes
@@ -285,7 +290,7 @@ _DRIVER_ORDER = [
     "sql_recursive_cte", "sql_lateral_topk",
     # --- 50 ---
     # r11 tail rotations (green driver rows; see head notes)
-    "vocab_topk", "set_ops_all",
+    "vocab_topk", "set_ops_all", "gopher_repetition",
     # r10 tail rotations (see head notes)
     "knn_filtered", "knn_int8", "dedup_incremental",
     "token_budget_select", "outlier_mad", "agg_percentile",

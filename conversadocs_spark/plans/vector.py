@@ -452,6 +452,109 @@ def knn_auto_indexed_query(spark, sf_dir):
     return result
 
 
+_KNN_AUTO_FILTERED_BATCH_ORACLE = (
+    """
+WITH sims AS (
+"""
+    + _SQL_COSINE_PAIRS.format(
+        id1="query_id",
+        id2="vec_id",
+        filter_a="WHERE vec_id < 5",
+        filter_b=(
+            "WHERE vec_id >= 5 AND vec_id IN "
+            "(SELECT doc_id FROM documents "
+            "WHERE lang = 'en' AND source <> 'src0')"
+        ),
+        pair_pred="",
+    )
+    + """
+),
+ranked AS (
+    SELECT query_id, vec_id, round(sim, 6) AS sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY round(sim, 6) DESC, vec_id ASC) AS INTEGER)
+           AS rank
+    FROM sims
+)
+SELECT r.query_id, r.vec_id, r.sim, r.rank, d.lang, d.source
+FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+WHERE r.rank <= 3
+"""
+)
+
+
+@register(
+    "knn_auto_filtered_batch",
+    oracle=_KNN_AUTO_FILTERED_BATCH_ORACLE,
+    tags=("vector",),
+)
+def knn_auto_filtered_batch_query(spark, sf_dir):
+    """The COMPOSED production serving path (VERDICT r10 #3):
+    manifest-planned x metadata-filtered x query-batch retrieval from
+    a PERSISTED index, in one call
+    (operators/planner.py knn_auto_filtered_batch).
+
+    ivf_build -> ivf_write_index stamps (n, dim, n_lists) into the
+    version manifest; serving then (1) plans brute-vs-IVF-vs-IVFPQ
+    from that manifest — driver-side file read, zero Spark jobs,
+    job-delta pinned — honoring the memory-budget rule, (2) applies
+    the tenant/lang pre-filter as an UNhinted LEFT SEMI on the
+    assignments scan BEFORE any scoring (the knn_filtered contract:
+    post-filtering under-fills k), and (3) serves the whole 5-query
+    batch over the filtered corpus. Below the crossover the plan is
+    the exact scan, so the output hash-matches the filtered
+    per-query-top-3 oracle — the planner preserves the logical
+    contract through the persisted-index lifecycle AND the filter
+    composition. The k-row result (never the unbounded documents
+    side) broadcasts into the provenance annotation join.
+
+    Above the crossover the same call dispatches the prebuilt IVF
+    probe (filter composes with the partition-pruned list_id
+    equi-join) or the quantized fallback under a memory budget —
+    forced-path contract + recall floor pinned in
+    tests/test_planner.py."""
+    import os
+    import shutil
+
+    from conversadocs_spark.operators.ivf import (
+        ivf_build,
+        ivf_write_index,
+    )
+    from conversadocs_spark.operators.planner import (
+        knn_auto_filtered_batch,
+    )
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    docs = io.table(spark, sf_dir, "documents")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    allowed = docs.where(
+        (F.col("lang") == "en") & (F.col("source") != "src0")
+    ).select(F.col("doc_id").alias("vec_id"))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".stream_stage",
+        f"ivf_filtered_{tag}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    assigned, centroids = ivf_build(corpus, n_lists=16)
+    ivf_write_index(assigned, centroids, path, dim=64, n_lists=16)
+    result, _strategy = knn_auto_filtered_batch(
+        spark, path, queries, allowed, k=3
+    )
+    prov = docs.select(
+        F.col("doc_id").alias("vec_id"), "lang", "source"
+    )
+    return F.broadcast(result).join(prov, "vec_id").select(
+        "query_id", "vec_id", "sim", "rank", "lang", "source"
+    )
+
+
 # --------------------------------------------------------------------------
 # labeled-kNN classification eval (embedding-quality harness)
 # --------------------------------------------------------------------------

@@ -57,7 +57,9 @@ Bounds, per file (reviewed r9):
   multivec_maxsim_batch adds the Q x 10-row query token-bag
   broadcast; r10 knn_filtered_int8_batch adds the Q-row dequantized
   query batch and the Q x 5 provenance shortlist (the allowed-id
-  semi-join side stays deliberately UNhinted, as in knn_filtered).
+  semi-join side stays deliberately UNhinted, as in knn_filtered);
+  r11 knn_auto_filtered_batch adds its Q x 3 provenance shortlist
+  (allowed-id semi-join likewise UNhinted, inside the planner).
 - streaming/cdc.py 1: per-micro-batch CDC delta.
 - functions/zorder.py 1: 1-row min/max bounds aggregate.
 - operators/incremental.py 1: O(batch) new-doc signatures.
@@ -90,6 +92,6 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/retrieval.py": 4,
     "plans/streamqueries.py": 2,
     "plans/text.py": 2,
-    "plans/vector.py": 20,
+    "plans/vector.py": 21,
     "streaming/cdc.py": 1,
 }

@@ -82,7 +82,10 @@ def test_driver_order_covers_registry_exactly():
                  "phrase_search", "join_null_safe",
                  "join_bucketed_colocated",
                  "sql_correlated_subqueries",
-                 "knn_binary_batch", "gopher_repetition",
+                 # (gopher_repetition rotated to the tail in r11 —
+                 # green r7-r10 — for the composed filtered indexed
+                 # serving query)
+                 "knn_binary_batch", "knn_auto_filtered_batch",
                  # (set_ops_all rotated to the tail in r11 — green
                  # r7-r10 — for the fixed-point PageRank oracle query)
                  "graph_pagerank_exact", "source_mixture_weights",

@@ -218,3 +218,130 @@ def test_indexed_planning_runs_no_jobs_and_serves_exactly(
         tuple(r) for r in knn_per_query(corpus, queries, k=3).collect()
     }
     assert got == want and len(got) > 0
+
+
+def _filtered_fixture(spark, tmp_path):
+    """Build a manifest-stamped index over the sf0.01 corpus and the
+    lang/tenant allowed-id set (the knn_filtered predicate)."""
+    from conversadocs_spark.operators.ivf import (
+        ivf_build,
+        ivf_write_index,
+    )
+
+    emb = io.table(spark, SF_ORACLE, "embeddings")
+    docs = io.table(spark, SF_ORACLE, "documents")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    allowed = docs.where(
+        (F.col("lang") == "en") & (F.col("source") != "src0")
+    ).select(F.col("doc_id").alias("vec_id"))
+    path = str(tmp_path / "ivf_filtered")
+    assigned, centroids = ivf_build(corpus, n_lists=16)
+    ivf_write_index(assigned, centroids, path, dim=64, n_lists=16)
+    return corpus, queries, allowed, path
+
+
+def test_filtered_batch_plans_no_jobs_and_serves_filtered_exact(
+    spark, tmp_path
+):
+    """The composed serving path (VERDICT r10 #3) keeps both parent
+    contracts: planning is a driver-side manifest read (job delta <=
+    the lazy-read baseline, knn_auto_indexed's pin) AND the brute
+    plan equals the exact scan over the FILTERED corpus — never a
+    post-filtered under-fill, never an out-of-filter id."""
+    from conversadocs_spark.operators.knn import knn_per_query
+    from conversadocs_spark.operators.planner import (
+        knn_auto_filtered_batch,
+    )
+    from conversadocs_spark.sources.sink import read_versioned
+
+    corpus, queries, allowed, path = _filtered_fixture(spark, tmp_path)
+    tracker = spark.sparkContext.statusTracker()
+
+    def job_delta(fn):
+        before = set(tracker.getJobIdsForGroup(None))
+        out = fn()
+        return out, len(set(tracker.getJobIdsForGroup(None)) - before)
+
+    _, baseline = job_delta(
+        lambda: read_versioned(spark, path + "/assignments")
+    )
+    (result, strategy), used = job_delta(
+        lambda: knn_auto_filtered_batch(spark, path, queries, allowed, k=3)
+    )
+    assert used <= baseline, (
+        f"filtered-batch planning ran {used} jobs vs the {baseline}-job "
+        "lazy-read baseline — a statistics job leaked back in"
+    )
+    assert strategy == "brute"
+
+    kept = corpus.join(allowed, "vec_id", "left_semi")
+    want = {tuple(r) for r in knn_per_query(kept, queries, k=3).collect()}
+    got = {tuple(r) for r in result.collect()}
+    assert got == want and len(got) == 15  # 5 queries x full k=3
+
+    allowed_ids = {r.vec_id for r in allowed.collect()}
+    assert all(r[1] in allowed_ids for r in got)
+
+
+def test_filtered_batch_forced_index_paths_respect_filter(
+    spark, tmp_path
+):
+    """force='ivf' (the above-crossover dispatch) must keep the
+    (query_id, vec_id, sim, rank) contract, return only in-filter
+    ids, and hold recall@3 >= 0.8 vs the filtered exact answer;
+    force='ivfpq' must run the quantized fallback under the same
+    filter contract."""
+    from conversadocs_spark.operators.knn import knn_per_query
+    from conversadocs_spark.operators.planner import (
+        knn_auto_filtered_batch,
+    )
+
+    corpus, queries, allowed, path = _filtered_fixture(spark, tmp_path)
+    allowed_ids = {r.vec_id for r in allowed.collect()}
+    kept = corpus.join(allowed, "vec_id", "left_semi")
+    exact: dict[int, set[int]] = {}
+    for r in knn_per_query(kept, queries, k=3).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    # nprobe=12 (vs the unfiltered default 8): a selective pre-filter
+    # thins every probed cell, so serving under filters buys recall
+    # back with more probes — the standard filtered-ANN adjustment
+    # (recall at nprobe=8 here: 0.73; at 12: above the 0.8 floor).
+    result, strategy = knn_auto_filtered_batch(
+        spark, path, queries, allowed, k=3, force="ivf", nprobe=12
+    )
+    assert strategy == "ivf"
+    rows = result.collect()
+    assert result.columns == ["query_id", "vec_id", "sim", "rank"]
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        assert r.vec_id in allowed_ids
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    assert len(got) == 5 and all(len(v) == 3 for v in got.values())
+    recall = sum(len(got[q] & exact[q]) for q in exact) / sum(
+        len(v) for v in exact.values()
+    )
+    assert recall >= 0.8
+
+    pq_result, pq_strategy = knn_auto_filtered_batch(
+        spark, path, queries, allowed, k=3, force="ivfpq"
+    )
+    assert pq_strategy == "ivfpq"
+    pq_rows = pq_result.collect()
+    assert sorted(pq_result.columns) == [
+        "query_id", "rank", "sim", "vec_id",
+    ]
+    assert all(r.vec_id in allowed_ids for r in pq_rows)
+    assert len({r.query_id for r in pq_rows}) == 5
+
+
+def test_knn_auto_filtered_batch_matches_oracle(spark, sf_oracle_dir):
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(
+        spark, "knn_auto_filtered_batch", sf_oracle_dir
+    )
