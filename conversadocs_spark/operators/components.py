@@ -79,16 +79,43 @@ def connected_components(
         neighbor_min = edges.join(
             labels, edges["dst"] == labels["id"]
         ).groupBy("src").agg(F.min("label").alias("nmin"))
-        stepped = labels.join(
-            neighbor_min,
-            labels["id"] == neighbor_min["src"],
-            "left",
-        ).select(
-            labels["id"],
-            F.least(
-                F.col("label"), F.coalesce("nmin", "label")
-            ).alias("label"),
+        stepped = (
+            labels.join(
+                neighbor_min,
+                labels["id"] == neighbor_min["src"],
+                "left",
+            )
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce("nmin", "label")
+                ).alias("label"),
+            )
+            # lazy checkpoint: the fixpoint probe below materializes
+            # it, and the pointer jump (when still needed) reuses the
+            # materialized table instead of recomputing the join.
+            .localCheckpoint(eager=False)
         )
+        # Early fixpoint (VERDICT r10 #5): if the neighbor-min step
+        # changed nothing (same strictly-decreasing label sum), the
+        # labels are FINAL — with bidirectional edges a neighbor-min
+        # fixpoint means label(u) <= label(v) for every edge in both
+        # directions, i.e. labels are constant per component, and the
+        # component's min node pins that constant to the true min. So
+        # the pointer-jump join of this round (and the full
+        # confirmation round the old shape paid) can be skipped. Real
+        # near-dup graphs are stars/cliques that hit this in round 2;
+        # deep chains never trigger it early, so the O(log diameter)
+        # convergence proof (and the non-convergence raise) is
+        # untouched.
+        stepped_sum = stepped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if stepped_sum == prev_sum:
+            labels.unpersist()
+            labels = stepped
+            converged = True
+            break
         # Pointer jump: every label IS a node id, so following one
         # more hop (label := label-of-label, which is <= label by the
         # invariant label <= id) contracts label chains geometrically.
@@ -124,20 +151,23 @@ def connected_components(
             # and materializes it.
             .localCheckpoint(eager=False)
         )
-        # Convergence check WITHOUT a join: every step only ever
+        # Track the label sum WITHOUT a join: every step only ever
         # lowers labels (min with neighbors, then jump to a
-        # smaller-or-equal label), so the label sum is strictly
-        # decreasing until the fixpoint — one cheap aggregate per
-        # round instead of a labels-vs-labels shuffle join. decimal38
-        # keeps the sum exact at any id range / corpus size.
+        # smaller-or-equal label), so the sum is strictly decreasing
+        # until the fixpoint — one cheap aggregate per round instead
+        # of a labels-vs-labels shuffle join; the NEXT round's stepped
+        # probe compares against it. (A post-jump sum can never equal
+        # prev_sum here: the early break above already caught
+        # stepped_sum == prev_sum, and new_sum <= stepped_sum.)
+        # decimal38 keeps the sum exact at any id range / corpus size.
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
+        # new_labels is materialized by the action above, so the
+        # intermediate stepped table's blocks can go too.
+        stepped.unpersist()
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
-            converged = True
-            break
         prev_sum = new_sum
     edges.unpersist()
     if not converged:
