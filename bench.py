@@ -49,6 +49,12 @@ HEADLINE = (
     "knn_binary_batch",  # batch retrieval: map-side-pruned per-query topk
     # added r10:
     "knn_filtered_int8_batch",  # filter x SQ8 x batch composed serving
+    # added r11 (knn_auto_filtered_batch deliberately NOT here: the
+    # registered query pays an inline ivf_build each call, so a bench
+    # row would track index-build noise, not serving — its at-scale
+    # number lives in the sf100 spot-gate, SCALEGATE_r11.md):
+    "mmr_rerank_exact",   # fixed-point MMR: the second retrieval mode
+    "graph_pagerank_exact",  # fixed-24-round integer power iteration
 )
 
 
