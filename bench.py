@@ -49,12 +49,17 @@ HEADLINE = (
     "knn_binary_batch",  # batch retrieval: map-side-pruned per-query topk
     # added r10:
     "knn_filtered_int8_batch",  # filter x SQ8 x batch composed serving
-    # added r11 (knn_auto_filtered_batch deliberately NOT here: the
-    # registered query pays an inline ivf_build each call, so a bench
-    # row would track index-build noise, not serving — its at-scale
-    # number lives in the sf100 spot-gate, SCALEGATE_r11.md):
+    # added r11 (two r11 queries deliberately NOT here:
+    # knn_auto_filtered_batch pays an inline ivf_build each call, so
+    # a bench row would track index-build noise, not serving — its
+    # at-scale number lives in the sf100 spot-gate, SCALEGATE_r11.md;
+    # graph_pagerank_exact is scheduler-bound on the tiny fixture
+    # graph — 116 AQE stage-jobs x ~0.1 s local-mode overhead for a
+    # 6.5k-node state, measured ~10 s of pure job latency — so a
+    # bench row would track local scheduling noise; its scale
+    # behavior is value-gated at sf1/sf10 with times in
+    # SCALEGATE_r11.md):
     "mmr_rerank_exact",   # fixed-point MMR: the second retrieval mode
-    "graph_pagerank_exact",  # fixed-24-round integer power iteration
 )
 
 

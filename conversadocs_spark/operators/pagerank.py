@@ -135,6 +135,7 @@ def pagerank_fixedpoint(
     alpha_den: int = 100,
     tol_fp: int = 20_000_000,
     dangling: str = "uniform",
+    checkpoint_every: int = 1,
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
@@ -167,6 +168,19 @@ def pagerank_fixedpoint(
     has no dangling nodes (one cheap left-anti count — symmetric edge
     lists built as union-of-both-directions qualify) and skips the
     per-round aggregate entirely.
+
+    ``checkpoint_every``: eager-localCheckpoint cadence. A FIXED
+    iteration count needs no per-round action, so rounds between
+    checkpoints stay lazy and execute fused in one job — values are
+    identical at any cadence (checkpointing only truncates lineage).
+    Measured on the sf0.1 co-purchase graph (6580 nodes, 24 rounds,
+    local[32]): every-round 20.8 s, every-4 13.3 s, no-checkpoints
+    31.0 s (the un-truncated 24-round plan drowns Catalyst) — batch a
+    few rounds per checkpoint, never all of them. dangling="uniform"
+    forces cadence 1: each round's dangling share is a 1-row
+    broadcast aggregate OVER the current ranks, so a lazy round would
+    embed the whole prior lineage under every later broadcast and
+    multiply recomputation instead of saving jobs.
 
     Scale shape: identical to :func:`pagerank` — state is one
     (id, rank) DataFrame, the edge relation is hash-partitioned once
@@ -213,8 +227,9 @@ def pagerank_fixedpoint(
         "id", F.lit(base).cast("bigint").alias("rank_fp")
     ).localCheckpoint(eager=True)
 
+    every = 1 if dangling != "none" else max(1, checkpoint_every)
     prev = ranks
-    for _ in range(iters):
+    for _i in range(iters):
         contrib = (
             links.join(ranks, links["src"] == ranks["id"])
             .select(
@@ -259,7 +274,10 @@ def pagerank_fixedpoint(
                 )
             )
         prev = ranks
-        ranks = new_ranks.localCheckpoint(eager=True)
+        if (_i + 1) % every == 0 or _i == iters - 1:
+            ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            ranks = new_ranks
     residual = (
         ranks.join(
             prev.select(

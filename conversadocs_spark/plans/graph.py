@@ -192,7 +192,7 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_fixedpoint(
         edges, iters=24, scale=10**12, tol_fp=50_000_000,
-        dangling="none",
+        dangling="none", checkpoint_every=4,
     )
     return (
         ranks.select(

@@ -1130,7 +1130,9 @@ def mmr_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.where(F.col("vec_id") >= 5)
     wide = knn_per_query(corpus, queries, k=12).drop("rank")
-    cands = wide.join(
+    # broadcast the Q x 12 candidate list into the embeddings scan
+    # (the provenance-join idiom — see mmr_rerank_exact's note)
+    cands = F.broadcast(wide).join(
         emb.select("vec_id", "embedding"), "vec_id"
     )
     return mmr_rerank(cands, k=5, lam=0.7).orderBy(
@@ -1273,7 +1275,14 @@ def mmr_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.where(F.col("vec_id") >= 5)
     wide = knn_per_query(corpus, queries, k=12).drop("rank")
-    cands = wide.join(emb.select("vec_id", "embedding"), "vec_id")
+    # fetch the candidates' vectors by broadcasting the Q x 12 result
+    # into the embeddings scan — the provenance-join idiom: unhinted,
+    # Catalyst builds on the CORPUS side (small at fixture scale),
+    # which at 100 TB would degrade to an SMJ shuffling the corpus.
+    # The candidate side is the provably bounded one.
+    cands = F.broadcast(wide).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
     return mmr_rerank_fixedpoint(cands, k=5, lam_num=7, lam_den=10)
 
 

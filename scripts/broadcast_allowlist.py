@@ -59,7 +59,10 @@ Bounds, per file (reviewed r9):
   query batch and the Q x 5 provenance shortlist (the allowed-id
   semi-join side stays deliberately UNhinted, as in knn_filtered);
   r11 knn_auto_filtered_batch adds its Q x 3 provenance shortlist
-  (allowed-id semi-join likewise UNhinted, inside the planner).
+  (allowed-id semi-join likewise UNhinted, inside the planner); r11
+  MMR pair adds the Q x 12 candidate-vector fetch broadcasts (the
+  plan audit caught Catalyst building on the corpus side at fixture
+  scale — SMJ-shuffling the corpus at 100 TB).
 - streaming/cdc.py 1: per-micro-batch CDC delta.
 - functions/zorder.py 1: 1-row min/max bounds aggregate.
 - operators/incremental.py 1: O(batch) new-doc signatures.
@@ -92,6 +95,6 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/retrieval.py": 4,
     "plans/streamqueries.py": 2,
     "plans/text.py": 2,
-    "plans/vector.py": 21,
+    "plans/vector.py": 23,
     "streaming/cdc.py": 1,
 }
