@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from conversadocs_spark.functions.vector import cosine_similarity
+from conversadocs_spark.functions.vector import dot_product, l2_norm
 
 
 def knn_topk(
@@ -36,9 +36,24 @@ def knn_topk(
 
     Returns (id_col, sim) with sim rounded to 6 decimals
     (oracle float rule) and deterministic tie-break on id.
+
+    The query's norm is folded DRIVER-side: higher-order functions
+    over literal arrays are not constant-folded by Catalyst, so the
+    inline form re-evaluates the 64-element fold once per corpus row.
+    The Python replacement is the same IEEE-double left fold in the
+    same element order (Python floats ARE doubles), so the division
+    sees bit-identical values and oracle hashes are unchanged.
     """
+    import math
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_similarity(F.col(vec_col), q)
+    acc = 0.0
+    for x in query_vec:
+        acc = acc + float(x) * float(x)
+    qn = math.sqrt(acc)
+    sim = dot_product(F.col(vec_col), q) / (
+        l2_norm(F.col(vec_col)) * F.lit(qn)
+    )
     return (
         vectors.select(F.col(id_col), F.round(sim, 6).alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))
@@ -60,9 +75,15 @@ def knn_self(
     the big side still streams exactly once.
     """
     q = vectors.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qvec")
+        F.col(vec_col).alias("_qvec"),
+        # query norm computed ONCE on the 1-row broadcast side — the
+        # inline cosine would re-fold it per corpus row (same hoisted
+        # expression tree, bit-identical values)
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    sim = cosine_similarity(F.col(vec_col), F.col("_qvec"))
+    sim = dot_product(F.col(vec_col), F.col("_qvec")) / (
+        l2_norm(F.col(vec_col)) * F.col("_qn")
+    )
     return (
         vectors.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != query_id)
@@ -88,14 +109,29 @@ def knn_per_query(
     rank filter, and the window partitions by query_id (Q groups).
     At scale, swap the crossJoin for an LSH bucket join
     (operators/lsh.py) when Q×N is too large — same downstream shape.
+
+    Norms are hoisted ABOVE the Q×N fan-out (the MaxSim r11 lesson:
+    Catalyst has no CSE across projected expressions, so an inlined
+    cosine recomputes each corpus row's norm once per query and each
+    query's norm once per corpus row — Q- and N-fold redundant
+    64-element aggregates). dot/( _n * _qn ) is the identical
+    expression tree cosine_similarity builds, evaluated on identical
+    doubles, so results — and every downstream oracle hash — are
+    unchanged.
     """
-    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    q = F.broadcast(
+        queries.withColumn("_qn", l2_norm(F.col(query_vec_col)))
+    )
+    sim = dot_product(F.col(vec_col), F.col(query_vec_col)) / (
+        F.col("_n") * F.col("_qn")
+    )
     w = (
         Window.partitionBy(query_id_col)
         .orderBy(F.desc("sim"), F.asc(id_col))
     )
     return (
-        vectors.crossJoin(F.broadcast(queries))
+        vectors.withColumn("_n", l2_norm(F.col(vec_col)))
+        .crossJoin(q)
         .select(
             F.col(query_id_col),
             F.col(id_col),
@@ -143,12 +179,15 @@ def knn_filtered(
     own filter still works.
     """
     q = vectors.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qvec")
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),  # once, not per row
     )
     kept = vectors.join(
         allowed_ids.select(id_col), id_col, "left_semi"
     )
-    sim = cosine_similarity(F.col(vec_col), F.col("_qvec"))
+    sim = dot_product(F.col(vec_col), F.col("_qvec")) / (
+        l2_norm(F.col(vec_col)) * F.col("_qn")
+    )
     return (
         kept.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != query_id)
