@@ -37,7 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from conversadocs_spark.functions.vector import cosine_similarity
+from conversadocs_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 
 
 def _cell_means(
@@ -88,24 +92,49 @@ def _assign(
     one row stays comfortably broadcastable through real IVF list
     counts (K=4096, dim=1024 -> 32 MB).
     """
+    # Norms hoisted out of the K-way transform (the r11 CSE rule:
+    # Catalyst re-evaluates expressions per reference, so the inlined
+    # cosine re-folded the VECTOR's norm once per centroid — K
+    # redundant dim-length aggregates per corpus row per refine pass —
+    # and each centroid's norm once per corpus row). The centroid norm
+    # rides in the packed struct, the vector norm in one projected
+    # column; dot/(vn*cn) is the identical expression tree, so
+    # assignments are bit-identical. Cuts the assignment expression's
+    # per-row floating-point work ~3x (dot only, instead of dot +
+    # vector-norm + centroid-norm per centroid); at the sf100 fixture
+    # (2M x 64, K=16) the pass is scan-bound and measures level — the
+    # arithmetic win materializes at production K x dim (e.g. 4096
+    # lists x 1024 dims), where assignment is compute-bound.
     packed = centroids.agg(
-        F.collect_list(F.struct("list_id", "centroid")).alias("cents")
+        F.collect_list(
+            F.struct(
+                "list_id",
+                "centroid",
+                l2_norm(F.col("centroid")).alias("cn"),
+            )
+        ).alias("cents")
     )
     best = F.array_max(
         F.transform(
             F.col("cents"),
             lambda c: F.struct(
                 F.round(
-                    cosine_similarity(F.col(vec_col), c["centroid"]), 9
+                    dot_product(F.col(vec_col), c["centroid"])
+                    / (F.col("_vn") * c["cn"]),
+                    9,
                 ).alias("csim"),
                 (-c["list_id"]).alias("neg_list"),
             ),
         )
     )
-    return vectors.crossJoin(F.broadcast(packed)).select(
-        id_col,
-        vec_col,
-        (-best["neg_list"]).cast("int").alias("list_id"),
+    return (
+        vectors.withColumn("_vn", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(packed))
+        .select(
+            id_col,
+            vec_col,
+            (-best["neg_list"]).cast("int").alias("list_id"),
+        )
     )
 
 
@@ -179,10 +208,25 @@ def ivf_search(
         .where(F.col("rn") <= nprobe)
         .select(query_id_col, query_vec_col, "list_id")
     )
-    cand = assignments.join(
-        F.broadcast(probed), on="list_id", how="inner"
-    ).where(F.col(id_col) != F.col(query_id_col))
-    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    # rescore with hoisted norms: a member of a cell probed by P
+    # queries would re-fold its norm P times, and each query's norm
+    # once per candidate (the r11 CSE rule); identical values.
+    cand = (
+        assignments.withColumn("_n", l2_norm(F.col(vec_col)))
+        .join(
+            F.broadcast(
+                probed.withColumn(
+                    "_qn", l2_norm(F.col(query_vec_col))
+                )
+            ),
+            on="list_id",
+            how="inner",
+        )
+        .where(F.col(id_col) != F.col(query_id_col))
+    )
+    sim = dot_product(F.col(vec_col), F.col(query_vec_col)) / (
+        F.col("_n") * F.col("_qn")
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("sim"), F.asc(id_col)
     )

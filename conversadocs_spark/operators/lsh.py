@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from conversadocs_spark.functions.vector import cosine_similarity
+from conversadocs_spark.functions.vector import dot_product, l2_norm
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -135,14 +135,28 @@ def ann_topk_lsh(
         )
     )
 
+    # rescore with hoisted norms (the r11 CSE rule): the bucket join's
+    # candidate set is a corpus-scale fraction, and a row colliding
+    # with several queries (or in several seeds, pre-dedup) would
+    # re-fold its norm per occurrence; the query norm likewise per
+    # candidate. Identical expression tree, identical values.
     cand = (
-        v_bucketed.join(
-            F.broadcast(q_bucketed), on=["seed", "bucket"], how="inner"
+        v_bucketed.withColumn("_n", l2_norm(F.col(vec_col)))
+        .join(
+            F.broadcast(
+                q_bucketed.withColumn(
+                    "_qn", l2_norm(F.col(query_vec_col))
+                )
+            ),
+            on=["seed", "bucket"],
+            how="inner",
         )
         .where(F.col(id_col) != F.col(query_id_col))
         .dropDuplicates([query_id_col, id_col])
     )
-    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    sim = dot_product(F.col(vec_col), F.col(query_vec_col)) / (
+        F.col("_n") * F.col("_qn")
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("sim"), F.asc(id_col)
     )

@@ -152,14 +152,26 @@ def similarity_join(spark, sf_dir):
     """All-pairs cosine >= 0.3 over a bounded id range — embedding-based
     near-duplicate detection (north star). Exact quadratic form for the
     oracle; `ann_topk` is the LSH-pruned shape for full-corpus scale."""
+    from conversadocs_spark.functions.vector import dot_product, l2_norm
+
     emb = io.table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    # norms hoisted into the SIDES of the pairwise join (the r11 CSE
+    # rule): inlined cosine re-folds each row's norm once per PAIR it
+    # participates in — ~n redundant aggregates per row on an n-row
+    # all-pairs block. Identical expression tree, identical values.
     a = emb.select(
-        F.col("vec_id").alias("id1"), F.col("embedding").alias("emb1")
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("emb1"),
+        l2_norm(F.col("embedding")).alias("_n1"),
     )
     b = emb.select(
-        F.col("vec_id").alias("id2"), F.col("embedding").alias("emb2")
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("emb2"),
+        l2_norm(F.col("embedding")).alias("_n2"),
     )
-    sim = cosine_similarity(F.col("emb1"), F.col("emb2"))
+    sim = dot_product(F.col("emb1"), F.col("emb2")) / (
+        F.col("_n1") * F.col("_n2")
+    )
     return (
         a.join(b, F.col("id1") < F.col("id2"))
         .select("id1", "id2", F.round(sim, 6).alias("sim"))
@@ -209,15 +221,24 @@ def dedup_embedding(spark, sf_dir):
     join. Reference analog: the reference re-embeds and re-indexes the
     corpus wholesale on upload (bones.py:107-119) and never dedups —
     this is the pipeline-hygiene operator it lacks."""
+    from conversadocs_spark.functions.vector import dot_product, l2_norm
+
     emb = io.table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "source")
+    # per-side hoisted norms — see similarity_join's note
     a = emb.select(
-        F.col("vec_id").alias("id1"), F.col("embedding").alias("emb1")
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("emb1"),
+        l2_norm(F.col("embedding")).alias("_n1"),
     )
     b = emb.select(
-        F.col("vec_id").alias("id2"), F.col("embedding").alias("emb2")
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("emb2"),
+        l2_norm(F.col("embedding")).alias("_n2"),
     )
-    sim = cosine_similarity(F.col("emb1"), F.col("emb2"))
+    sim = dot_product(F.col("emb1"), F.col("emb2")) / (
+        F.col("_n1") * F.col("_n2")
+    )
     pairs = (
         a.join(b, F.col("id1") < F.col("id2"))
         .select("id1", "id2", F.round(sim, 6).alias("sim"))
@@ -782,16 +803,25 @@ def dedup_semantic_clusters(spark, sf_dir):
         connected_components,
     )
 
+    from conversadocs_spark.functions.vector import dot_product, l2_norm
+
     emb = io.table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < 200
     )
+    # per-side hoisted norms — see similarity_join's note
     a = emb.select(
-        F.col("vec_id").alias("id1"), F.col("embedding").alias("emb1")
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("emb1"),
+        l2_norm(F.col("embedding")).alias("_n1"),
     )
     b = emb.select(
-        F.col("vec_id").alias("id2"), F.col("embedding").alias("emb2")
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("emb2"),
+        l2_norm(F.col("embedding")).alias("_n2"),
     )
-    sim = cosine_similarity(F.col("emb1"), F.col("emb2"))
+    sim = dot_product(F.col("emb1"), F.col("emb2")) / (
+        F.col("_n1") * F.col("_n2")
+    )
     pairs = (
         a.join(b, F.col("id1") < F.col("id2"))
         .select("id1", "id2", F.round(sim, 6).alias("sim"))
