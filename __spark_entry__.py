@@ -147,7 +147,12 @@ _DRIVER_ORDER = [
     # set_ops_all, green r7-r10, the set-ops family's bag forms stay
     # covered by set_ops' bench headline + tail rows)
     "graph_pagerank_exact",
-    "source_mixture_weights", "udtf_dynamic_schema",
+    # r11: BPE inference with a FIXED merge table — the tokenizer
+    # lifecycle's apply leg promoted to oracle-checked via a
+    # recursive-CTE scan replay (oracle-backed, new — rotated in; out
+    # goes source_mixture_weights, green r7-r10, the mixture family
+    # keeps mixture_temperature's head row)
+    "bpe_apply_fixed", "udtf_dynamic_schema",
     # r11: fixed-point MMR re-ranking, the reference retriever's
     # second search mode promoted to oracle-checked via the
     # seq_pack_ffd recursive-CTE replay (VERDICT r10 #1; oracle-backed,
@@ -291,6 +296,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     # r11 tail rotations (green driver rows; see head notes)
     "vocab_topk", "set_ops_all", "gopher_repetition",
+    "source_mixture_weights",
     # r10 tail rotations (see head notes)
     "knn_filtered", "knn_int8", "dedup_incremental",
     "token_budget_select", "outlier_mad", "agg_percentile",

@@ -1052,6 +1052,125 @@ def bpe_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(d, merges)
 
 
+#: The FIXED merge table for the oracle-checked apply leg: a
+#: production tokenizer is trained once and applied to ANY corpus, so
+#: a literal rule list is the realistic serving shape (and what makes
+#: the apply leg hash-checkable — `bpe_apply` trains inline, so its
+#: rules depend on the corpus). Rules chosen to actually FIRE on the
+#: fixture vocabulary, including </w>-merges and a chained sequence
+#: (j+o -> jo+i -> joi+n) so rule ORDER is load-bearing.
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("a", "n"), ("an", "</w>"), ("j", "o"), ("jo", "i"),
+    ("joi", "n"), ("h", "a"), ("ha", "s"), ("s", "c"),
+    ("sc", "an</w>"), ("r", "o"), ("ro", "w"), ("c", "o"),
+    ("t", "e"), ("te", "r"), ("o", "w"),
+]
+
+# The oracle replays classic BPE application EXACTLY with a recursive
+# CTE (the fourth bounded-replay pattern after seq_pack_ffd /
+# mmr_rerank_exact / graph_pagerank_exact): greedy NON-OVERLAPPING
+# left-to-right replacement of each rule in training order is a
+# sequential scan, so the recursion walks (rule t, position i) per
+# DISTINCT word, carrying (acc, cur) symbol lists — on a merge i
+# jumps 2 and acc gains the merged symbol; at scan end cur := acc and
+# t advances. Bounded by vocabulary x rules x word length (Heaps'
+# law: 31 distinct [a-z]+ words on the fixtures at every scale), not
+# the corpus. Doc-level aggregation then joins words back by ordinal
+# so repeated words count repeatedly and the 5-subword sample
+# preserves document word order.
+_BPE_APPLY_FIXED_ORACLE = (
+    """
+WITH RECURSIVE words AS (
+    SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+           AS w
+    FROM documents
+),
+rules(t, l, r) AS (VALUES """
+    + ", ".join(
+        f"({t + 1}, '{l}', '{r}')"
+        for t, (l, r) in enumerate(_BPE_FIXED_MERGES)
+    )
+    + f"""),
+steps(w, t, i, acc, cur) AS (
+    SELECT w, 1, 1, CAST([] AS VARCHAR[]),
+           list_append([w[j] FOR j IN range(1, len(w) + 1)], '</w>')
+    FROM words
+    UNION ALL
+    SELECT s.w,
+           CASE WHEN s.i > len(s.cur) THEN s.t + 1 ELSE s.t END,
+           CASE WHEN s.i > len(s.cur) THEN 1
+                WHEN s.i + 1 <= len(s.cur)
+                     AND s.cur[s.i] = ru.l AND s.cur[s.i + 1] = ru.r
+                THEN s.i + 2
+                ELSE s.i + 1 END,
+           CASE WHEN s.i > len(s.cur) THEN CAST([] AS VARCHAR[])
+                WHEN s.i + 1 <= len(s.cur)
+                     AND s.cur[s.i] = ru.l AND s.cur[s.i + 1] = ru.r
+                THEN list_append(s.acc, ru.l || ru.r)
+                ELSE list_append(s.acc, s.cur[s.i]) END,
+           CASE WHEN s.i > len(s.cur) THEN s.acc ELSE s.cur END
+    FROM steps s JOIN rules ru ON ru.t = s.t
+    WHERE NOT (s.t = {len(_BPE_FIXED_MERGES)} AND s.i > len(s.cur))
+),
+perword AS (
+    SELECT w, acc AS syms, CAST(len(acc) AS BIGINT) AS n_sub
+    FROM steps
+    WHERE t = {len(_BPE_FIXED_MERGES)} AND i > len(cur)
+),
+docwords AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+    FROM documents
+),
+exploded AS (
+    SELECT doc_id, unnest(ws) AS w,
+           generate_subscripts(ws, 1) AS ord
+    FROM docwords
+),
+agg AS (
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(p.n_sub) AS BIGINT) AS n_subwords,
+           flatten(list(p.syms ORDER BY e.ord)) AS all_syms
+    FROM exploded e JOIN perword p USING (w)
+    GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_subwords, 0) AS n_subwords,
+       coalesce(array_to_string(a.all_syms[1:5], ' '), '')
+           AS subword_sample
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+)
+
+
+@register(
+    "bpe_apply_fixed", oracle=_BPE_APPLY_FIXED_ORACLE, tags=("text",)
+)
+def bpe_apply_fixed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE with a fixed merge table, ORACLE-CHECKED
+    — the production serving shape (train once, tokenize any corpus):
+    where `bpe_apply` trains its rules inline (corpus-dependent ->
+    rows-only), this applies the literal `_BPE_FIXED_MERGES` table,
+    which makes the greedy merge application itself a finite
+    deterministic process a DuckDB recursive CTE replays scan step by
+    scan step (rule order is load-bearing: the fixture rules include
+    a 3-deep chain and </w> merges). Same kernel as bpe_apply — one
+    Arrow-batched narrow map, merge list broadcast in the closure,
+    per-batch word memoization, zero shuffles.
+
+    Scale shape: the engine cost is one corpus pass; the ORACLE's
+    recursion is vocabulary x rules x word-length bounded (Heaps'
+    law), never corpus-sized."""
+    from conversadocs_spark.operators.bpe import bpe_apply
+
+    d = io.table(spark, sf_dir, "documents")
+    merges = [
+        (i, l, r, 0) for i, (l, r) in enumerate(_BPE_FIXED_MERGES)
+    ]
+    return bpe_apply(d, merges)
+
+
 # --------------------------------------------------------------------------
 # Count-Min sketch term frequencies (bounded-state, mergeable)
 # --------------------------------------------------------------------------

@@ -87,8 +87,10 @@ def test_driver_order_covers_registry_exactly():
                  # serving query)
                  "knn_binary_batch", "knn_auto_filtered_batch",
                  # (set_ops_all rotated to the tail in r11 — green
-                 # r7-r10 — for the fixed-point PageRank oracle query)
-                 "graph_pagerank_exact", "source_mixture_weights",
+                 # r7-r10 — for the fixed-point PageRank oracle query;
+                 # source_mixture_weights likewise for the fixed-table
+                 # BPE inference leg)
+                 "graph_pagerank_exact", "bpe_apply_fixed",
                  # (window_ntile rotated to the tail in r10 — 3 green
                  # driver rows — for the ROC-AUC evaluate leg)
                  # (vocab_topk rotated to the tail in r11 — green

@@ -387,6 +387,33 @@ def test_bpe_apply_matches_python_application(spark, sf_dir):
         assert len(words) <= len(subs) <= n_chars
 
 
+def test_bpe_apply_fixed_matches_oracle(spark, sf_oracle_dir):
+    """The fixed-merge-table inference leg replays in DuckDB's
+    recursive CTE (the fourth bounded-replay oracle pattern)."""
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, "bpe_apply_fixed", sf_oracle_dir)
+
+
+def test_bpe_apply_fixed_rules_actually_fire(spark, sf_oracle_dir):
+    """Non-vacuity: the fixed table's chained rule (j+o -> jo+i ->
+    joi+n -> 'join' + 'an</w>' elsewhere) must actually compress —
+    some doc's n_subwords is strictly below its with-</w> char count,
+    and the 3-deep chain's product appears in a sample."""
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["bpe_apply_fixed"](spark, sf_oracle_dir).collect()
+    assert all(r.n_words <= r.n_subwords for r in rows)
+    compressed = [
+        r for r in rows
+        if 0 < r.n_subwords
+    ]
+    assert compressed
+    assert any("join" in r.subword_sample.split() for r in rows), (
+        "the chained merge j+o+i+n never fired — vacuous rule table"
+    )
+
+
 def test_cms_term_freq_matches_oracle(spark, sf_oracle_dir):
     from tests.oracle import assert_query_matches_oracle
 
