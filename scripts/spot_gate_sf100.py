@@ -55,6 +55,10 @@ SPECS: dict[str, tuple[int, int | None, bool]] = {
     "knn_binary_batch": (15, 3, False),
     "knn_matryoshka_batch": (15, 3, False),
     "multivec_maxsim_batch": (9, None, False),
+    # MMR diversifies AWAY from pure top-k by design, so no recall
+    # floor — the fill + plan pins carry it (its values are
+    # oracle-hash-checked at sf0.01/sf1/sf10)
+    "mmr_rerank_exact": (25, None, False),
     "knn_filtered_int8_batch": (25, 5, True),
     "knn_auto_filtered_batch": (15, 3, True),
 }
