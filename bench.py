@@ -49,17 +49,13 @@ HEADLINE = (
     "knn_binary_batch",  # batch retrieval: map-side-pruned per-query topk
     # added r10:
     "knn_filtered_int8_batch",  # filter x SQ8 x batch composed serving
-    # added r11 (two r11 queries deliberately NOT here:
-    # knn_auto_filtered_batch pays an inline ivf_build each call, so
-    # a bench row would track index-build noise, not serving — its
-    # at-scale number lives in the sf100 spot-gate, SCALEGATE_r11.md;
-    # graph_pagerank_exact is scheduler-bound on the tiny fixture
-    # graph — 116 AQE stage-jobs x ~0.1 s local-mode overhead for a
-    # 6.5k-node state, measured ~10 s of pure job latency — so a
-    # bench row would track local scheduling noise; its scale
-    # behavior is value-gated at sf1/sf10 with times in
-    # SCALEGATE_r11.md):
+    # added r11:
     "mmr_rerank_exact",   # fixed-point MMR: the second retrieval mode
+    # added r12 (VERDICT r11 #2): eligible now that the IVF index is
+    # STAGED once per (sf_dir, source fingerprint) — the warmup run
+    # pays any build, the timed runs measure pure serving (stage
+    # reuse runs zero build jobs, pinned in tests/test_planner.py):
+    "knn_auto_filtered_batch",  # manifest-planned x filter x batch
 )
 
 

@@ -101,8 +101,17 @@ def knn_per_query(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact top-k per query for a BATCH of query vectors.
+
+    ``exclude_self=True`` drops corpus rows whose id equals the
+    query's id BEFORE the rank window (so k still fills) — the same
+    contract ivf_search / ivfpq_topk apply unconditionally. The
+    planner dispatches (operators/planner.py) set it so the physical
+    strategy choice can never change results for callers whose query
+    ids overlap corpus ids; the default stays False for the plain
+    disjoint-id retrieval queries whose oracles do not exclude.
 
     Plan shape: broadcast(queries) × vectors → sim → per-query window
     top-k. The corpus never shuffles; only Q×N sim rows flow into the
@@ -129,10 +138,11 @@ def knn_per_query(
         Window.partitionBy(query_id_col)
         .orderBy(F.desc("sim"), F.asc(id_col))
     )
+    pairs = vectors.withColumn("_n", l2_norm(F.col(vec_col))).crossJoin(q)
+    if exclude_self:
+        pairs = pairs.where(F.col(id_col) != F.col(query_id_col))
     return (
-        vectors.withColumn("_n", l2_norm(F.col(vec_col)))
-        .crossJoin(q)
-        .select(
+        pairs.select(
             F.col(query_id_col),
             F.col(id_col),
             F.round(sim, 6).alias("sim"),

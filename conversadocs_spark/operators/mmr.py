@@ -142,22 +142,36 @@ def mmr_rerank_fixedpoint(
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         import math
 
-        import numpy as np
-
         def fp(x: float) -> int:
             return int(math.floor(x * 1e6 + 0.5))
+
+        def fold_dot(a: list[float], b: list[float]) -> float:
+            # strict sequential left fold over element products — the
+            # SAME operation order as the oracle's list_reduce, so the
+            # float64 result is bit-identical across engines and the
+            # fp() quantization boundary can never flip (ADVICE r11:
+            # BLAS pairwise summation vs SQL SUM order was a latent
+            # last-ulp hash flake at floor(x*1e6+0.5) boundaries)
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
 
         pdf = pdf.sort_values(id_col)  # ascending-id tie-break order
         ids = pdf[id_col].tolist()
         rel = [float(x) for x in pdf[rel_col]]
-        v = np.asarray(pdf[vec_col].tolist(), dtype="float64")
-        dots = v @ v.T
-        nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
-        nrm[nrm == 0.0] = 1.0
+        vecs = [
+            [float(x) for x in row] for row in pdf[vec_col].tolist()
+        ]
+        nrm = [math.sqrt(fold_dot(v, v)) for v in vecs]
+        nrm = [x if x != 0.0 else 1.0 for x in nrm]
         n = len(ids)
         rel_fp = [fp(r) for r in rel]
         sim_fp = [
-            [fp(dots[i][j] / (nrm[i] * nrm[j])) for j in range(n)]
+            [
+                fp(fold_dot(vecs[i], vecs[j]) / (nrm[i] * nrm[j]))
+                for j in range(n)
+            ]
             for i in range(n)
         ]
         selected: list[int] = []

@@ -126,7 +126,16 @@ def knn_auto(
             memory_budget_bytes=memory_budget_bytes,
         )
     if strategy == "brute":
-        return knn_per_query(corpus, queries, k=k), "brute"
+        # exclude_self: ivf_search / ivfpq_topk unconditionally drop
+        # vec_id == query_id, so the brute dispatch must too — else a
+        # caller whose query ids overlap corpus ids would see results
+        # change with the PHYSICAL strategy, beyond approximation
+        # error (ADVICE r11). All three dispatches share one contract;
+        # disjoint-id callers (every fixture) are unaffected.
+        return (
+            knn_per_query(corpus, queries, k=k, exclude_self=True),
+            "brute",
+        )
     if strategy == "ivf":
         return (
             ivf_topk(corpus, queries, k=k, n_lists=n_lists, nprobe=nprobe),
@@ -219,7 +228,11 @@ def knn_auto_indexed(
     assignments = read_versioned(spark, apath, version)
     if strategy == "brute":
         corpus = assignments.drop("list_id")
-        return knn_per_query(corpus, queries, k=k), "brute"
+        # exclude_self: one contract across dispatches (see knn_auto)
+        return (
+            knn_per_query(corpus, queries, k=k, exclude_self=True),
+            "brute",
+        )
     centroids = read_versioned(
         spark, os.path.join(index_path, "centroids"), version
     )
@@ -310,7 +323,13 @@ def knn_auto_filtered_batch(
         allowed_ids.select(id_col), id_col, "left_semi"
     )
     if strategy == "brute":
-        return knn_per_query(kept.drop("list_id"), queries, k=k), "brute"
+        # exclude_self: one contract across dispatches (see knn_auto)
+        return (
+            knn_per_query(
+                kept.drop("list_id"), queries, k=k, exclude_self=True
+            ),
+            "brute",
+        )
     if strategy == "ivf":
         centroids = read_versioned(
             spark, os.path.join(index_path, "centroids"), version

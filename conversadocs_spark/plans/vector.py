@@ -430,6 +430,86 @@ def knn_auto_query(spark, sf_dir):
     return result
 
 
+#: Staged-index layout/build version: bump when ivf_build,
+#: ivf_write_index, or the staged corpus definition changes semantics —
+#: a stage stamped with an older version (or different source-file
+#: fingerprint) is rebuilt, so a stale index can never serve.
+_IVF_STAGE_VER = 1
+
+
+def _staged_ivf_index(
+    spark, sf_dir: str, corpus, name: str, n_lists: int = 16,
+    dim: int = 64,
+) -> str:
+    """Build an IVF index ONCE per (sf_dir, source fingerprint, code
+    version) and return its path — the build/serve split (VERDICT r11
+    #2): registered serving queries must measure SERVING, not re-pay
+    an inline ivf_build on every call the way a real deployment never
+    would (ivf_build once per corpus version, ivf_search many).
+
+    The stage lives under ``.stream_stage/{name}_{tag}`` — pid-FREE
+    (ADVICE r11: pid-suffixed dirs from prior runs accumulated
+    unboundedly; legacy ``{name}_{tag}_<pid>`` dirs are swept here
+    once). Freshness contract: a ``_stage_stamp.json`` records the
+    stage version and the source parquet's (mtime_ns, size); any
+    mismatch — new testdata, changed build code — triggers a rebuild.
+    The build lands in a pid-suffixed temp dir and is published with a
+    single os.rename, so a concurrent reader never sees a torn index.
+
+    Reuse runs ZERO Spark jobs (pinned in tests/test_planner.py):
+    the stamp check is a driver-side file read, exactly like the
+    manifest planning it feeds."""
+    import json
+    import os
+    import shutil
+
+    from conversadocs_spark.operators.ivf import (
+        ivf_build,
+        ivf_write_index,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".stream_stage",
+    )
+    path = os.path.join(stage_root, f"{name}_{tag}")
+    if os.path.isdir(stage_root):
+        for d in os.listdir(stage_root):
+            if d.startswith(f"{name}_{tag}_"):  # legacy per-pid dirs
+                shutil.rmtree(
+                    os.path.join(stage_root, d), ignore_errors=True
+                )
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    stamp = {
+        "stage_ver": _IVF_STAGE_VER,
+        "sf_dir": os.path.abspath(sf_dir),
+        "src_mtime_ns": st.st_mtime_ns,
+        "src_size": st.st_size,
+        "n_lists": n_lists,
+        "dim": dim,
+    }
+    stamp_file = os.path.join(path, "_stage_stamp.json")
+    if os.path.isfile(stamp_file):
+        try:
+            with open(stamp_file) as f:
+                if json.load(f) == stamp:
+                    return path
+        except (OSError, ValueError):
+            pass  # unreadable stamp -> rebuild
+    tmp = f"{path}.build.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    assigned, centroids = ivf_build(corpus, n_lists=n_lists)
+    ivf_write_index(assigned, centroids, tmp, dim=dim, n_lists=n_lists)
+    with open(os.path.join(tmp, "_stage_stamp.json"), "w") as f:
+        json.dump(stamp, f)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return path
+
+
 @register(
     "knn_auto_indexed", oracle=_KNN_PER_QUERY_ORACLE, tags=("vector",)
 )
@@ -443,14 +523,12 @@ def knn_auto_indexed_query(spark, sf_dir):
     query batch. Below the crossover the plan is the exact scan, so
     the output hash-matches the `knn_per_query` oracle: the planner
     preserves the logical contract end-to-end through the persisted
-    index lifecycle."""
-    import os
-    import shutil
+    index lifecycle.
 
-    from conversadocs_spark.operators.ivf import (
-        ivf_build,
-        ivf_write_index,
-    )
+    The index is STAGED once per (sf_dir, source fingerprint) via
+    _staged_ivf_index (VERDICT r11 #2 build/serve split) — repeat
+    executions of this query measure serving, exactly like the
+    deployment the manifest pattern models."""
     from conversadocs_spark.operators.planner import knn_auto_indexed
 
     emb = io.table(spark, sf_dir, "embeddings")
@@ -459,16 +537,7 @@ def knn_auto_indexed_query(spark, sf_dir):
         F.col("embedding").alias("query_vec"),
     )
     corpus = emb.where(F.col("vec_id") >= 5)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        ".stream_stage",
-        f"ivf_manifest_{tag}_{os.getpid()}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    assigned, centroids = ivf_build(corpus, n_lists=16)
-    ivf_write_index(assigned, centroids, path, dim=64, n_lists=16)
+    path = _staged_ivf_index(spark, sf_dir, corpus, "ivf_manifest")
     result, _strategy = knn_auto_indexed(spark, path, queries, k=3)
     return result
 
@@ -542,14 +611,15 @@ def knn_auto_filtered_batch_query(spark, sf_dir):
     family split). The dispatch itself is exercised where it should
     be: the forced-path tests, and the sf100 spot-gate (2M vectors >
     250k), where this query planned IVF and measured recall 1.00
-    (SCALEGATE_r11.md)."""
-    import os
-    import shutil
+    (SCALEGATE_r11.md).
 
-    from conversadocs_spark.operators.ivf import (
-        ivf_build,
-        ivf_write_index,
-    )
+    The index is STAGED once per (sf_dir, source fingerprint) via
+    _staged_ivf_index (VERDICT r11 #2 build/serve split): the first
+    call pays the build, every later call — including the bench
+    headline row this made honest — runs zero build jobs (pinned in
+    tests/test_planner.py) and measures pure serving. The sf100
+    number this query used to post (~98 s) was build-dominated;
+    serving there is seconds (SCALEGATE_r11.md)."""
     from conversadocs_spark.operators.planner import (
         knn_auto_filtered_batch,
     )
@@ -564,16 +634,7 @@ def knn_auto_filtered_batch_query(spark, sf_dir):
     allowed = docs.where(
         (F.col("lang") == "en") & (F.col("source") != "src0")
     ).select(F.col("doc_id").alias("vec_id"))
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        ".stream_stage",
-        f"ivf_filtered_{tag}_{os.getpid()}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    assigned, centroids = ivf_build(corpus, n_lists=16)
-    ivf_write_index(assigned, centroids, path, dim=64, n_lists=16)
+    path = _staged_ivf_index(spark, sf_dir, corpus, "ivf_filtered")
     result, _strategy = knn_auto_filtered_batch(
         spark, path, queries, allowed, k=3, brute_threshold=250_000
     )
@@ -1203,23 +1264,32 @@ cand AS (
           FROM sims)
     WHERE rk <= 12
 ),
+-- pair sims via a strict sequential LEFT FOLD (list_reduce), the
+-- same operation order as the engine kernel's fold_dot — bit-
+-- identical float64s on both engines, so the fp quantization
+-- boundary can never flip (ADVICE r11: an unordered SUM vs the
+-- kernel's BLAS summation was a latent last-ulp hash flake)
+pvecs AS (
+    SELECT vec_id, v,
+           sqrt(list_reduce([v[i] * v[i]
+                             FOR i IN range(1, len(v) + 1)],
+                            (a, b) -> a + b)) AS nrm
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+          WHERE vec_id IN (SELECT vec_id FROM cand))
+),
 pairsim AS (
     SELECT c1.query_id, c1.vec_id AS i_id, c2.vec_id AS j_id,
            CAST(floor(
-               SUM(CAST(x.x AS DOUBLE) * CAST(y.x AS DOUBLE))
-               / (SQRT(SUM(CAST(x.x AS DOUBLE) * CAST(x.x AS DOUBLE)))
-                  * SQRT(SUM(CAST(y.x AS DOUBLE)
-                             * CAST(y.x AS DOUBLE))))
+               list_reduce([x.v[i] * y.v[i]
+                            FOR i IN range(1, len(x.v) + 1)],
+                           (a, b) -> a + b)
+               / (x.nrm * y.nrm)
                * 1e6 + 0.5) AS BIGINT) AS sim_fp
     FROM cand c1
     JOIN cand c2 ON c1.query_id = c2.query_id
-    JOIN (SELECT vec_id, unnest(embedding) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings) x ON x.vec_id = c1.vec_id
-    JOIN (SELECT vec_id, unnest(embedding) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings) y ON y.vec_id = c2.vec_id AND y.i = x.i
-    GROUP BY c1.query_id, c1.vec_id, c2.vec_id
+    JOIN pvecs x ON x.vec_id = c1.vec_id
+    JOIN pvecs y ON y.vec_id = c2.vec_id
 ),
 state0 AS (
     SELECT b.query_id, b.ids, b.rels, b.sims_d, m.m
