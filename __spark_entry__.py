@@ -109,10 +109,13 @@ _DRIVER_ORDER = [
     # (green r8+r9; the dedup family keeps dedup_substring /
     # dedup_ppjoin / dedup_semantic_clusters / semdedup_prune).
     "seq_pack_ffd",
-    # r10: equi-depth histogram stats (oracle-backed, new — rotated
-    # in; out goes pretrain_corpus, 4 green driver rows; the pipeline
-    # family keeps a dozen head rows)
-    "histogram_equi_depth",
+    # r12: the recursive separator-cascade splitter — the reference's
+    # IDENTITY operator — promoted to oracle-checked via a DuckDB
+    # replay of the split/merge/overlap algorithm (VERDICT r11 #1;
+    # oracle-backed, new — rotated in; out goes histogram_equi_depth,
+    # green r10+r11, the stats family keeps
+    # conversion_latency_quantiles + agg head rows)
+    "chunk_split_exact",
     # text analysis (vocab_topk / gopher_repetition / lm_bigram_score:
     # oracle-backed r6 additions, never driver-recorded — rotated in)
     # (tfidf_top_terms rotated to the tail: green rows r2-r5;
@@ -294,6 +297,8 @@ _DRIVER_ORDER = [
     # new — see event_transitions / basket_lift notes)
     "sql_recursive_cte", "sql_lateral_topk",
     # --- 50 ---
+    # r12 tail rotations (green driver rows; see head notes)
+    "histogram_equi_depth",
     # r11 tail rotations (green driver rows; see head notes)
     "vocab_topk", "set_ops_all", "gopher_repetition",
     "source_mixture_weights",

@@ -76,7 +76,10 @@ def test_driver_order_covers_registry_exactly():
                  # r10: rerank_topk + pretrain_corpus rotated to the
                  # tail (4 green driver rows each) for the phrase
                  # retrieval + histogram-stats queries.
-                 "seq_pack_ffd", "histogram_equi_depth",
+                 # r12: histogram_equi_depth rotated to the tail
+                 # (green r10+r11) so the promoted recursive-splitter
+                 # oracle query gets its first driver row.
+                 "seq_pack_ffd", "chunk_split_exact",
                  "arrow_grouped_seq",
                  "window_range_time", "quality_lr_score_fixed",
                  "phrase_search", "join_null_safe",
