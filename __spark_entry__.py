@@ -162,10 +162,13 @@ _DRIVER_ORDER = [
     # new — rotated in; out goes vocab_topk, green r7-r10, the
     # text-frequency family keeps cms_term_freq + gopher_repetition)
     "mmr_rerank_exact",
-    # r10: exact ROC-AUC, the classifier lifecycle's evaluate leg
-    # (oracle-backed, new — rotated in; out goes window_ntile, 3
-    # green driver rows; windows keep range_time + gaps_islands)
-    "lr_auc",
+    # r12: the distributed LR trainer LOOP promoted to oracle-checked
+    # — fixed-point preconditioned heavy-ball GD whose 48 updates a
+    # DuckDB recursive CTE replays bit-for-bit (VERDICT r11 #6;
+    # oracle-backed, new — rotated in; out goes lr_auc, green r10+r11,
+    # the classifier family keeps quality_lr_score_fixed +
+    # lr_calibration_deciles head rows)
+    "quality_lr_train_fixed",
     # lake / table maintenance (merge_upsert rotated to the tail in
     # r7 with its green r6 row; scd2_history followed late-r7 — green
     # r6 — so the new OPTIMIZE-ZORDER lifecycle gets its first row;
@@ -298,7 +301,7 @@ _DRIVER_ORDER = [
     "sql_recursive_cte", "sql_lateral_topk",
     # --- 50 ---
     # r12 tail rotations (green driver rows; see head notes)
-    "histogram_equi_depth",
+    "histogram_equi_depth", "lr_auc",
     # r11 tail rotations (green driver rows; see head notes)
     "vocab_topk", "set_ops_all", "gopher_repetition",
     "source_mixture_weights",

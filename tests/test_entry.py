@@ -98,7 +98,10 @@ def test_driver_order_covers_registry_exactly():
                  # driver rows — for the ROC-AUC evaluate leg)
                  # (vocab_topk rotated to the tail in r11 — green
                  # r7-r10 — for the fixed-point MMR oracle query)
-                 "udtf_dynamic_schema", "mmr_rerank_exact", "lr_auc",
+                 # (lr_auc rotated to the tail in r12 — green r10+r11
+                 # — for the fixed-point trainer-loop oracle query)
+                 "udtf_dynamic_schema", "mmr_rerank_exact",
+                 "quality_lr_train_fixed",
                  # r9: six new oracle-backed queries take head-50
                  # slots from knn_auto_indexed / cohort_retention /
                  # event_transitions / basket_lift / latest_per_key /
