@@ -174,11 +174,13 @@ _DRIVER_ORDER = [
     # r6 — so the new OPTIMIZE-ZORDER lifecycle gets its first row;
     # table_diff + lake_zorder_scan carry the family)
     "lake_zorder_scan",
-    # r9: DSIR hashed-ngram importance resampling (oracle-backed, new
-    # — rotated in; out goes cohort_retention, green r6+r7+r8, the
-    # event-analytics family keeps event_transitions + anomaly_zscore
-    # + window_range_time)
-    "dsir_select",
+    # r12: BPE TRAINING promoted to oracle-checked — the full
+    # Sennrich loop (pair counts, argmax, greedy merge, 25 rounds)
+    # replayed by one DuckDB recursive CTE; closes the tokenizer
+    # lifecycle next to bpe_apply_fixed (oracle-backed, new — rotated
+    # in; out goes dsir_select, green r9+r10+r11, the DSIR family
+    # keeps dsir_resample's head row)
+    "bpe_train_exact",
     # r6 continuation wave 2: RANGE-frame rolling window, Markov
     # transition matrix, and the Deequ-style rule sweep — all new
     # (dq_audit rotated to the tail late-r7 with its green r6 row so
@@ -301,7 +303,7 @@ _DRIVER_ORDER = [
     "sql_recursive_cte", "sql_lateral_topk",
     # --- 50 ---
     # r12 tail rotations (green driver rows; see head notes)
-    "histogram_equi_depth", "lr_auc",
+    "histogram_equi_depth", "lr_auc", "dsir_select",
     # r11 tail rotations (green driver rows; see head notes)
     "vocab_topk", "set_ops_all", "gopher_repetition",
     "source_mixture_weights",

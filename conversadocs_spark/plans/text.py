@@ -1196,7 +1196,9 @@ def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     training step downstream of `vocab_topk`. Iterative driver loop
     (a few-row ranked collect per JOB, with non-interacting merges
     batched so jobs ≪ merges — see _accept_merge_prefix) -> rows-only
-    by design;
+    over the UNBOUNDED corpus (its oracle would recurse over an
+    unbounded vocab; the bounded-slice sibling `bpe_train_exact`
+    below value-hash-checks the same training loop cross-engine);
     tests/test_text.py::test_bpe_train_matches_python_reference pins
     the merge sequence value-for-value against a pure-Python Sennrich
     implementation on the same word counts, and
@@ -1219,6 +1221,159 @@ def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, schema="step int, left string, right string, pair_count bigint"
     )
+
+
+# The bpe_train_exact oracle replays the ENTIRE Sennrich training
+# loop in one recursive CTE — the last training-leg kernel that
+# rested on local pins alone (VERDICT r11 "what's missing" #4). The
+# per-word symbol arrays ride the recursion; each step makes ONE pass
+# over that state (the single recursive-table reference DuckDB
+# allows): explode symbol positions, lead() to adjacent pairs,
+# freq-weighted pair counts as a window SUM, the argmax as a window
+# MIN over a (-count, left, right) struct (the engine's pinned
+# tie-break, operators/bpe.py module docstring), then the greedy
+# non-overlapping left-to-right replacement lowered to its
+# gaps-and-islands closed form: a marked position is merged iff its
+# offset within its RUN of consecutive marks is even (the scan keeps
+# the first mark of a run, consumes the next symbol, and re-examines
+# two positions later — provable by induction on the run; merging at
+# i never changes symbols at i+2). The <2-count early stop is
+# replayed by the best-pair struct going NULL, which empties the
+# recursion. All counts are exact integers, so both engines agree
+# bit for bit. doc_id < 500 bounds the oracle's recursion at every
+# gate scale (the pagerank bound pattern).
+_BPE_TRAIN_EXACT_ORACLE = """\
+WITH RECURSIVE wf AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents WHERE doc_id < 500
+    ) GROUP BY word
+),
+steps(t, word, freq, syms) AS (
+    SELECT 0, word, freq,
+           list_append(string_split(word, ''), '</w>')
+    FROM wf
+    UNION ALL
+    SELECT z.t + 1, z.word, any_value(z.freq),
+           list(CASE WHEN z.keep THEN z.best.l || z.best.r
+                     ELSE z.sym END
+                ORDER BY z.idx)
+               FILTER (WHERE NOT coalesce(z.dropped, FALSE))
+    FROM (
+        SELECT y.*,
+               coalesce(lag(y.keep) OVER (
+                   PARTITION BY y.t, y.word ORDER BY y.idx
+               ), FALSE) AS dropped
+        FROM (
+            SELECT x.*,
+                   x.mark AND (
+                       (x.idx - min(CASE WHEN x.mark THEN x.idx END)
+                           OVER (PARTITION BY x.t, x.word, x.island))
+                       % 2 = 0
+                   ) AS keep
+            FROM (
+                SELECT p.*,
+                       p.sym = p.best.l AND p.nxt = p.best.r AS mark,
+                       CASE WHEN p.sym = p.best.l AND p.nxt = p.best.r
+                            THEN p.idx - sum(
+                                CASE WHEN p.sym = p.best.l
+                                      AND p.nxt = p.best.r
+                                     THEN 1 ELSE 0 END
+                            ) OVER (PARTITION BY p.t, p.word
+                                    ORDER BY p.idx)
+                       END AS island
+                FROM (
+                    SELECT w.*,
+                           min(CASE WHEN w.nxt IS NOT NULL
+                                     AND w.paircnt >= 2
+                                    THEN {'nc': -w.paircnt,
+                                          'l': w.sym, 'r': w.nxt}
+                               END) OVER () AS best
+                    FROM (
+                        SELECT e.t, e.word, e.freq, e.idx,
+                               e.syms[e.idx] AS sym,
+                               e.syms[e.idx + 1] AS nxt,
+                               sum(e.freq) OVER (
+                                   PARTITION BY e.syms[e.idx],
+                                                e.syms[e.idx + 1]
+                               ) AS paircnt
+                        FROM (
+                            SELECT s.t, s.word, s.freq, s.syms,
+                                   unnest(range(1, len(s.syms) + 1))
+                                       AS idx
+                            FROM steps s WHERE s.t < 25
+                        ) e
+                    ) w
+                ) p
+            ) x
+        ) y
+        WHERE y.best IS NOT NULL
+    ) z
+    GROUP BY z.t, z.word
+),
+merges AS (
+    SELECT t AS step, best.l AS left_sym, best.r AS right_sym,
+           -best.nc AS pair_count
+    FROM (
+        SELECT w.t,
+               min(CASE WHEN w.nxt IS NOT NULL AND w.paircnt >= 2
+                        THEN {'nc': -w.paircnt, 'l': w.sym,
+                              'r': w.nxt} END) AS best
+        FROM (
+            SELECT e.t, e.freq,
+                   e.syms[e.idx] AS sym, e.syms[e.idx + 1] AS nxt,
+                   sum(e.freq) OVER (
+                       PARTITION BY e.t, e.syms[e.idx],
+                                    e.syms[e.idx + 1]
+                   ) AS paircnt
+            FROM (
+                SELECT s.t, s.freq, s.syms,
+                       unnest(range(1, len(s.syms) + 1)) AS idx
+                FROM steps s WHERE s.t < 25
+            ) e
+        ) w
+        GROUP BY w.t
+    )
+    WHERE best IS NOT NULL
+)
+SELECT CAST(step AS INTEGER) AS step, left_sym, right_sym, pair_count
+FROM merges ORDER BY step\n"""
+
+
+@register(
+    "bpe_train_exact", oracle=_BPE_TRAIN_EXACT_ORACLE,
+    tags=("text",),
+)
+def bpe_train_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING, ORACLE-CHECKED: the full Sennrich loop
+    (pair count -> argmax -> greedy merge, 25 rounds, min count 2)
+    over the bounded doc_id < 500 corpus slice, value-hash-matched
+    against a DuckDB recursive CTE that replays every round (see
+    _BPE_TRAIN_EXACT_ORACLE above). This closes the tokenizer
+    lifecycle: `bpe_apply_fixed` already oracle-checks inference, and
+    with this row the TRAINING leg's merge sequence is cross-engine
+    verified too, not only pinned against the local pure-Python
+    reference (that pin stays, tests/test_text.py).
+
+    The engine side is the REAL operator (operators/bpe.py bpe_train,
+    mode="auto": one corpus-sized (word, freq) aggregate, then the
+    merge loop over the Heaps'-law-bounded vocab — the mode a 100 TB
+    run uses; batched/local produce bit-identical sequences, pinned).
+    The returned merge table IS the model — model-sized output at any
+    corpus scale. The unbounded-corpus sibling `bpe_train` stays
+    rows-only (its oracle would recurse over an unbounded vocab)."""
+    from conversadocs_spark.operators.bpe import bpe_train
+
+    d = io.table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 500
+    )
+    merges = bpe_train(d, n_merges=25, min_pair_count=2, mode="auto")
+    return spark.createDataFrame(
+        [(int(s), l, r, int(c)) for s, l, r, c in merges],
+        schema="step int, left_sym string, right_sym string, "
+               "pair_count bigint",
+    ).orderBy("step")
 
 
 @register("bpe_apply", tags=("text", "rows-only"))

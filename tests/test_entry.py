@@ -110,7 +110,10 @@ def test_driver_order_covers_registry_exactly():
                  # (dedup_semantic_clusters rotated to the tail in
                  # r10 — 4 green driver rows — for chunk_cdc)
                  "chunk_cdc",
-                 "semdedup_prune", "dsir_select", "sql_recursive_cte",
+                 # (dsir_select rotated to the tail in r12 — green
+                 # r9-r11 — for the BPE-training oracle query)
+                 "semdedup_prune", "bpe_train_exact",
+                 "sql_recursive_cte",
                  "sql_lateral_topk", "contamination_bloom",
                  "dedup_ppjoin", "quality_char_entropy",
                  "dsir_resample", "graph_triangles",

@@ -746,3 +746,14 @@ def test_chunk_split_exact_is_nondegenerate(spark, sf_oracle_dir):
     assert len(per_grp) == 50
     assert all(v >= 5 for v in per_grp.values())
     assert any(set(r.chunk) == {"z"} for r in rows)  # char-level path
+
+
+def test_bpe_train_exact_matches_oracle(spark, sf_oracle_dir):
+    """The full Sennrich training loop (25 rounds over the bounded
+    corpus slice) replays in DuckDB's recursive CTE — pair counts,
+    argmax tie-break, and the gaps-and-islands form of the greedy
+    non-overlapping merge all bit-identical (the training-leg
+    promotion; the inference leg is bpe_apply_fixed)."""
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, "bpe_train_exact", sf_oracle_dir)
