@@ -215,7 +215,12 @@ _DRIVER_ORDER = [
     # wave 4's anomaly_zscore and basket_lift both rotated to the
     # tail in r9 (green r7+r8) for the LATERAL top-k and the per-key
     # OLS trend; analytics keeps outlier_mad + five r9 head rows
-    "grouped_linreg",
+    # r12: the dominant-eigenvector power iteration promoted to
+    # oracle-checked — the eigendecomposition's fixed-point replay
+    # (oracle-backed, new — rotated in; out goes grouped_linreg,
+    # green r9-r11, analytics keeps rfm_scores/pareto_frontier/
+    # interval_concurrency/path_mining_3step/window_gaps_islands)
+    "embed_pca_power_fixed",
     # r10: RFM quintile scoring via three bucket decompositions
     # (oracle-backed, new — rotated in; out goes outlier_mad, green
     # r8+r9, analytics keeps grouped_linreg + five r9 head rows)
@@ -304,6 +309,7 @@ _DRIVER_ORDER = [
     # --- 50 ---
     # r12 tail rotations (green driver rows; see head notes)
     "histogram_equi_depth", "lr_auc", "dsir_select",
+    "grouped_linreg",
     # r11 tail rotations (green driver rows; see head notes)
     "vocab_topk", "set_ops_all", "gopher_repetition",
     "source_mixture_weights",

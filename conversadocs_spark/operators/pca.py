@@ -140,3 +140,86 @@ def pca_project(
 
 
 pickle_module_by_value(__name__)
+
+
+def pca_top_component_fixedpoint(
+    vectors: DataFrame,
+    dim: int = 16,
+    scale_x: int = 1000,
+    scale_v: int = 10_000,
+    iters: int = 400,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Dominant principal component by FIXED-POINT power iteration —
+    the oracle-replayable sibling of :func:`pca_fit` (the promotion
+    path PageRank/LR took: eigh() floats cannot be cross-engine
+    replayed, but a fixed-T power iteration in BIGINT can).
+
+    ONE map-side-combinable aggregate job computes the integer
+    sufficient statistics over the ``dim``-prefix of the embeddings
+    (the matryoshka precedent), quantized at ``scale_x`` milli-units:
+    n, the 16 coordinate sums, and the 136 upper-triangle second
+    moments. The driver then forms the EXACT integer scatter matrix
+    via the expansion C_ij = Sxx_ij - m_i*Sx_j - m_j*Sx_i + n*m_i*m_j
+    (exact BECAUSE m is the truncated integer mean — a constant — so
+    the identity holds in integers, no float covariance anywhere),
+    and runs ``iters`` power-iteration rounds with max-|w| fixed-point
+    normalization, every division truncating toward zero
+    (logreg.tdiv == DuckDB // == Spark div).
+
+    iters=400 because the fixture covariance is near-isotropic
+    (top eigengap ~1.015 at sf0.01): convergence is (l2/l1)^T, and
+    400 rounds measure cos >= 0.99998 against numpy's top
+    eigenvector of the SAME integer scatter matrix at sf0.01/sf0.1
+    (pinned in tests/test_vector.py). The iteration is driver-side
+    integer arithmetic on a dim x dim matrix — model state, zero
+    Spark jobs after the one aggregate.
+
+    Returns the loading vector in ``scale_v`` fixed-point units.
+    Scale shape: the single corpus pass is the only data-sized work;
+    the statistics row is (1 + dim + dim(dim+1)/2) BIGINTs.
+    """
+    from conversadocs_spark.operators.logreg import tdiv
+
+    x = F.transform(
+        F.slice(F.col(vec_col), 1, dim),
+        lambda e: F.floor(
+            e.cast("double") * scale_x + F.lit(0.5)
+        ).cast("long"),
+    )
+    staged = vectors.select(x.alias("x"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum(F.element_at("x", i + 1)).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    aggs += [
+        F.sum(
+            F.element_at("x", i + 1) * F.element_at("x", j + 1)
+        ).alias(f"g{i}_{j}")
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    row = staged.agg(*aggs).first()
+    n = int(row["n"])
+    sx = [int(row[f"s{i}"]) for i in range(dim)]
+    m = [tdiv(s, n) for s in sx]
+    C = [[0] * dim for _ in range(dim)]
+    for i in range(dim):
+        for j in range(i, dim):
+            c = (
+                int(row[f"g{i}_{j}"])
+                - m[i] * sx[j]
+                - m[j] * sx[i]
+                + n * m[i] * m[j]
+            )
+            C[i][j] = C[j][i] = c
+    v = [scale_v] * dim
+    for _ in range(iters):
+        w = [
+            sum(C[i][j] * v[j] for j in range(dim))
+            for i in range(dim)
+        ]
+        mx = max(max(abs(val) for val in w), 1)
+        v = [tdiv(val * scale_v, mx) for val in w]
+    return v

@@ -788,7 +788,10 @@ def embed_pca(spark, sf_dir):
     (eigendecomposition has no ANSI-SQL form);
     tests/test_vector.py::test_pca_matches_numpy pins mean/components/
     projections value-for-value against numpy PCA on the same rows,
-    and the variance-ordering/orthonormality invariants."""
+    and the variance-ordering/orthonormality invariants. The
+    dominant-eigenvector MACHINERY is value-hash-checked by the
+    fixed-point sibling `embed_pca_power_fixed` (below), which
+    replays a 400-round power iteration in a DuckDB recursive CTE."""
     from conversadocs_spark.operators.pca import pca_fit, pca_project
 
     emb = io.table(spark, sf_dir, "embeddings")
@@ -800,6 +803,108 @@ def embed_pca(spark, sf_dir):
             "projected"
         ),
     )
+
+
+# The embed_pca_power_fixed oracle replays the dominant-eigenvector
+# power iteration in one recursive CTE — the eigendecomposition
+# promotion (the pagerank pattern on the covariance "graph"): integer
+# sufficient statistics over the 16-dim embedding prefix, the EXACT
+# integer scatter matrix via the truncated-mean expansion (see
+# operators/pca.py:pca_top_component_fixedpoint), then 400 rounds of
+# w = C v with max-|w| fixed-point renormalization, every division
+# truncating toward zero. vec_id < 2000 bounds the statistics pass at
+# every gate scale; the recursion itself is 400 x 16 rows.
+_PCA_POWER_FIXED_ORACLE = """\
+WITH RECURSIVE x AS (
+    SELECT [CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+            FOR e IN embedding[1:16]] AS v
+    FROM embeddings WHERE vec_id < 2000
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+sx AS (
+    SELECT i, CAST(sum(v[i]) AS BIGINT) AS s
+    FROM x, range(1, 17) r(i) GROUP BY i
+),
+m AS (
+    SELECT i,
+           CASE WHEN s >= 0 THEN s // (SELECT n FROM nn)
+                ELSE -((-s) // (SELECT n FROM nn)) END AS m
+    FROM sx
+),
+sxx AS (
+    SELECT i, j, CAST(sum(v[i] * v[j]) AS BIGINT) AS s2
+    FROM x, range(1, 17) r1(i), range(1, 17) r2(j)
+    GROUP BY i, j
+),
+cov AS (
+    SELECT g.i, g.j,
+           g.s2 - mi.m * sj.s - mj.m * si.s
+               + (SELECT n FROM nn) * mi.m * mj.m AS c
+    FROM sxx g
+    JOIN m mi ON mi.i = g.i
+    JOIN m mj ON mj.i = g.j
+    JOIN sx si ON si.i = g.i
+    JOIN sx sj ON sj.i = g.j
+),
+steps(t, i, v) AS (
+    SELECT 0, i, CAST(10000 AS BIGINT) FROM range(1, 17) r(i)
+    UNION ALL
+    SELECT q.t + 1, q.i,
+           CASE WHEN q.w >= 0
+                THEN (q.w * 10000) // greatest(q.mx, 1)
+                ELSE -(((-q.w) * 10000) // greatest(q.mx, 1)) END
+    FROM (
+        SELECT a.t, a.i, a.w,
+               max(abs(a.w)) OVER (PARTITION BY a.t) AS mx
+        FROM (
+            SELECT s.t, c.i, CAST(sum(c.c * s.v) AS BIGINT) AS w
+            FROM steps s JOIN cov c ON c.j = s.i
+            WHERE s.t < 400
+            GROUP BY s.t, c.i
+        ) a
+    ) q
+)
+SELECT CAST(i AS INTEGER) AS dim_idx, v AS loading_fp,
+       CAST(v AS DOUBLE) / 10000 AS loading
+FROM steps WHERE t = 400 ORDER BY dim_idx\n"""
+
+
+@register(
+    "embed_pca_power_fixed", oracle=_PCA_POWER_FIXED_ORACLE,
+    tags=("vector",),
+)
+def embed_pca_power_fixed(spark, sf_dir):
+    """Dominant principal component of the embedding corpus,
+    ORACLE-CHECKED: fixed-point power iteration whose 400 updates a
+    DuckDB recursive CTE replays bit for bit (the PageRank/LR
+    promotion technique applied to the eigendecomposition — the last
+    NumPy-only model kernel). One map-side-combinable aggregate
+    computes the integer sufficient statistics; the scatter matrix
+    and the iteration are exact integer driver math
+    (operators/pca.py:pca_top_component_fixedpoint has the design:
+    the truncated-mean expansion keeps the scatter matrix EXACT, and
+    iters=400 reaches cos >= 0.9999 vs numpy's eigenvector on this
+    near-isotropic fixture, pinned in tests/test_vector.py).
+
+    The full float PCA `embed_pca` (eigh, 8 components, projections)
+    stays rows-only with its NumPy pin — it is the production
+    operator; this query is the eigen-machinery's value-hash row.
+
+    Scale shape: one corpus pass emitting a model-sized statistics
+    row; vec_id < 2000 bounds the ORACLE's statistics pass (the
+    pagerank bound pattern) — the engine side has no such need."""
+    from conversadocs_spark.operators.pca import (
+        pca_top_component_fixedpoint,
+    )
+
+    emb = io.table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 2000
+    )
+    v = pca_top_component_fixedpoint(emb, dim=16, iters=400)
+    return spark.createDataFrame(
+        [(i + 1, int(x), float(x) / 10_000) for i, x in enumerate(v)],
+        "dim_idx int, loading_fp long, loading double",
+    ).orderBy("dim_idx")
 
 
 _SEMANTIC_CLUSTERS_ORACLE = (

@@ -122,7 +122,9 @@ def test_driver_order_covers_registry_exactly():
                  "knn_matryoshka_batch", "multivec_maxsim_batch",
                  "pareto_frontier", "interval_concurrency",
                  "path_mining_3step",
-                 "lr_calibration_deciles", "grouped_linreg",
+                 # (grouped_linreg rotated to the tail in r12 — green
+                 # r9-r11 — for the eigen power-iteration oracle query)
+                 "lr_calibration_deciles", "embed_pca_power_fixed",
                  "window_gaps_islands"):
         assert must in head
 

@@ -1041,3 +1041,61 @@ def test_multivec_batch_token_table_never_sort_merges(
         if r.doc_id >= 3
     ][:3]
     assert by_q[0] == single
+
+
+def test_embed_pca_power_fixed_matches_oracle(spark, sf_oracle_dir):
+    """The 400 fixed-point power-iteration updates replay bit-for-bit
+    in DuckDB's recursive CTE (the eigendecomposition promotion)."""
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(
+        spark, "embed_pca_power_fixed", sf_oracle_dir
+    )
+
+
+def test_pca_power_fixed_converges_to_numpy_eigenvector(
+    spark, sf_oracle_dir
+):
+    """The fixed-point iterate must actually BE the dominant
+    eigenvector: |cos| >= 0.99 against numpy's top eigenvector of the
+    SAME integer scatter matrix (near-isotropic fixture, eigengap
+    ~1.015 — which is why iters=400; measured 0.99998 at sf0.01)."""
+    import math
+
+    import numpy as np
+
+    from conversadocs_spark import io as cio
+    from conversadocs_spark.operators.logreg import tdiv
+    from conversadocs_spark.operators.pca import (
+        pca_top_component_fixedpoint,
+    )
+
+    emb = cio.table(spark, sf_oracle_dir, "embeddings").where(
+        "vec_id < 2000"
+    )
+    v = pca_top_component_fixedpoint(emb, dim=16, iters=400)
+    rows = emb.select("embedding").collect()
+    X = [
+        [int(math.floor(float(e) * 1000 + 0.5)) for e in r[0][:16]]
+        for r in rows
+    ]
+    n = len(X)
+    sx = [sum(r[i] for r in X) for i in range(16)]
+    m = [tdiv(s, n) for s in sx]
+    C = np.array(
+        [
+            [
+                sum(r[i] * r[j] for r in X)
+                - m[i] * sx[j]
+                - m[j] * sx[i]
+                + n * m[i] * m[j]
+                for j in range(16)
+            ]
+            for i in range(16)
+        ],
+        dtype=float,
+    )
+    pc = np.linalg.eigh(C)[1][:, -1]
+    vv = np.array(v, dtype=float)
+    cos = abs(vv @ pc) / (np.linalg.norm(vv) * np.linalg.norm(pc))
+    assert cos >= 0.99, cos
