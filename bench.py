@@ -52,17 +52,19 @@ HEADLINE = (
     # added r11:
     "mmr_rerank_exact",   # fixed-point MMR: the second retrieval mode
     # added r12 (VERDICT r11 #2): eligible now that the IVF index is
-    # STAGED once per (sf_dir, source fingerprint) — the warmup run
-    # pays any build, the timed runs measure pure serving (stage
-    # reuse runs zero build jobs, pinned in tests/test_planner.py):
+    # STAGED once per (sf_dir, source fingerprint). The sf0.001
+    # warmup pass stages only sf0.001's index, so an sf_dir-level
+    # warmup pass of THIS query below explicitly pays the sf_dir
+    # build before timing — the timed runs then measure pure serving
+    # (stage reuse runs zero jobs, pinned in tests/test_planner.py):
     "knn_auto_filtered_batch",  # manifest-planned x filter x batch
     # added r12 (VERDICT r11 #4): eligible after the keeper-self-row
-    # round rewrite (operators/pagerank.py) halved local-mode job
-    # count (116 -> 90) and wall time (~11.9 -> ~5.9 s at sf0.1,
-    # bit-identical ranks) — the heaviest headline row, and honestly
-    # so: 24 fixed power-iteration rounds = 48 inherent shuffle
-    # stages; the remaining cost is local-mode scheduling latency
-    # that a real cluster pipelines:
+    # round rewrite (operators/pagerank.py) cut local-mode AQE
+    # stage-jobs 116 -> 82 and wall ~14.8 -> ~5.1-5.9 s across
+    # sessions at sf0.1 (bit-identical ranks) — the heaviest headline
+    # row, and honestly so: 24 fixed power-iteration rounds = 48
+    # inherent shuffle stages; the remaining cost is local-mode
+    # scheduling latency that a real cluster pipelines:
     "graph_pagerank_exact",  # fixed-point power iteration, 24 rounds
 )
 
@@ -96,6 +98,15 @@ def main() -> None:
             QUERIES[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+    # 3. one sf_dir-level pass of the staged-index query: the sf0.001
+    #    warmup staged only sf0.001's index, so on a cold
+    #    .stream_stage the first sf_dir run would pay the one-time
+    #    ivf_build — index-build noise, not serving. Pay it here,
+    #    outside the timers, so even a single timed pass (or a future
+    #    min->mean change) measures serving only.
+    QUERIES["knn_auto_filtered_batch"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

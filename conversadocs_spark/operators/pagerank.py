@@ -18,8 +18,8 @@ Spark-first design, mirroring operators/components.py:
   against the node table: one relation join + one aggregation per
   round, nothing else. Measured at sf0.1 (6.5k-node co-purchase
   graph, 24 fixed rounds, local[32]): the keeper formulation cut
-  116 AQE stage-jobs / 14.8 s to 82 / 5.1 s with bit-identical
-  ranks (r12, VERDICT r11 #4 — local-mode job latency, not data,
+  116 AQE stage-jobs to 82 and wall 14.8 s to ~5.1-5.9 s across
+  sessions, with bit-identical ranks (r12, VERDICT r11 #4 — local-mode job latency, not data,
   dominated the old per-round nodes join + broadcast).
 - dangling mass (nodes with no out-edges) is a 1-row aggregate
   broadcast into the update — never a driver-side vector.
@@ -232,7 +232,7 @@ def pagerank_fixedpoint(
     # relation the DuckDB oracle builds (plans/graph.py), and values
     # are identical to the old left-join form (the keeper's NULL
     # contribution is ignored by SUM; r12 re-gate: bit-identical at
-    # sf0.1, 116 -> 82 local-mode jobs, 14.8 -> 5.1 s)
+    # sf0.1, 116 -> 82 local-mode jobs, 14.8 -> ~5.1-5.9 s)
     links = (
         e.join(out_deg, "src")
         .unionByName(

@@ -438,67 +438,90 @@ _IVF_STAGE_VER = 1
 
 
 def _staged_ivf_index(
-    spark, sf_dir: str, corpus, name: str, n_lists: int = 16,
+    sf_dir: str, corpus, name: str, n_lists: int = 16,
     dim: int = 64,
 ) -> str:
-    """Build an IVF index ONCE per (sf_dir, source fingerprint, code
-    version) and return its path — the build/serve split (VERDICT r11
-    #2): registered serving queries must measure SERVING, not re-pay
-    an inline ivf_build on every call the way a real deployment never
-    would (ivf_build once per corpus version, ivf_search many).
+    """Build an IVF index ONCE per (sf_dir, source fingerprint, build
+    code, stage version) and return its path — the build/serve split
+    (VERDICT r11 #2): registered serving queries must measure SERVING,
+    not re-pay an inline ivf_build on every call the way a real
+    deployment never would (ivf_build once per corpus version,
+    ivf_search many).
 
-    The stage lives under ``.stream_stage/{name}_{tag}`` — pid-FREE
-    (ADVICE r11: pid-suffixed dirs from prior runs accumulated
-    unboundedly; legacy ``{name}_{tag}_<pid>`` dirs are swept here
-    once). Freshness contract: a ``_stage_stamp.json`` records the
-    stage version and the source parquet's (mtime_ns, size); any
-    mismatch — new testdata, changed build code — triggers a rebuild.
-    The build lands in a pid-suffixed temp dir and is published with a
-    single os.rename, so a concurrent reader never sees a torn index.
+    The stage lives under ``.stream_stage/{name}_{tag}_{dirhash}`` —
+    pid-FREE (ADVICE r11: pid-suffixed dirs from prior runs
+    accumulated unboundedly) but keyed by a hash of the ABSOLUTE
+    sf_dir too, so two fixture dirs sharing a basename (e.g.
+    /tmp/a/sf1 vs /tmp/b/sf1) can never alternate rebuild+delete of
+    each other's live stage. Freshness contract: ``_stage_stamp.json``
+    records the stage version, the source parquet's (mtime_ns, size),
+    AND the build module's (mtime_ns, size) — so editing
+    operators/ivf.py invalidates stale indexes even if nobody
+    remembers to bump _IVF_STAGE_VER. The build lands in a
+    pid-suffixed temp dir and is published with one os.rename; if a
+    concurrent process won the publish race (rename fails because the
+    path reappeared), its stage is validated against the same stamp
+    and used — the loser's work is discarded, never a torn index.
 
     Reuse runs ZERO Spark jobs (pinned in tests/test_planner.py):
     the stamp check is a driver-side file read, exactly like the
     manifest planning it feeds."""
+    import hashlib
     import json
     import os
     import shutil
 
+    import conversadocs_spark.operators.ivf as ivf_mod
     from conversadocs_spark.operators.ivf import (
         ivf_build,
         ivf_write_index,
     )
 
+    abs_dir = os.path.abspath(sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
+    dirhash = hashlib.md5(abs_dir.encode()).hexdigest()[:8]
     stage_root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))),
         ".stream_stage",
     )
-    path = os.path.join(stage_root, f"{name}_{tag}")
-    if os.path.isdir(stage_root):
-        for d in os.listdir(stage_root):
-            if d.startswith(f"{name}_{tag}_"):  # legacy per-pid dirs
-                shutil.rmtree(
-                    os.path.join(stage_root, d), ignore_errors=True
-                )
+    path = os.path.join(stage_root, f"{name}_{tag}_{dirhash}")
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
+    code = os.stat(ivf_mod.__file__)
     stamp = {
         "stage_ver": _IVF_STAGE_VER,
-        "sf_dir": os.path.abspath(sf_dir),
+        "sf_dir": abs_dir,
         "src_mtime_ns": st.st_mtime_ns,
         "src_size": st.st_size,
+        "build_mtime_ns": code.st_mtime_ns,
+        "build_size": code.st_size,
         "n_lists": n_lists,
         "dim": dim,
     }
-    stamp_file = os.path.join(path, "_stage_stamp.json")
-    if os.path.isfile(stamp_file):
+
+    def _stamp_valid() -> bool:
         try:
-            with open(stamp_file) as f:
-                if json.load(f) == stamp:
-                    return path
+            with open(os.path.join(path, "_stage_stamp.json")) as f:
+                return json.load(f) == stamp
         except (OSError, ValueError):
-            pass  # unreadable stamp -> rebuild
+            return False
+
+    if _stamp_valid():
+        return path
+    # one-time sweep of superseded layouts before a fresh build:
+    # the pre-r12 pid-suffixed dirs (ADVICE r11), the hashless
+    # pid-free dirs, and the pre-unification ivf_manifest_/
+    # ivf_filtered_ stages (the two callers now share one index)
+    if os.path.isdir(stage_root):
+        for d in os.listdir(stage_root):
+            if d != os.path.basename(path) and (
+                d == f"{name}_{tag}"  # pre-hash pid-free layout
+                or d.startswith(("ivf_manifest_", "ivf_filtered_"))
+            ):
+                shutil.rmtree(
+                    os.path.join(stage_root, d), ignore_errors=True
+                )
     tmp = f"{path}.build.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     assigned, centroids = ivf_build(corpus, n_lists=n_lists)
@@ -506,7 +529,16 @@ def _staged_ivf_index(
     with open(os.path.join(tmp, "_stage_stamp.json"), "w") as f:
         json.dump(stamp, f)
     shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # publish race: another process recreated `path` between the
+        # rmtree and the rename. If what it published matches this
+        # stamp, use it and discard our build; anything else is a
+        # genuine failure.
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not _stamp_valid():
+            raise
     return path
 
 
@@ -537,7 +569,7 @@ def knn_auto_indexed_query(spark, sf_dir):
         F.col("embedding").alias("query_vec"),
     )
     corpus = emb.where(F.col("vec_id") >= 5)
-    path = _staged_ivf_index(spark, sf_dir, corpus, "ivf_manifest")
+    path = _staged_ivf_index(sf_dir, corpus, "ivf")
     result, _strategy = knn_auto_indexed(spark, path, queries, k=3)
     return result
 
@@ -634,7 +666,7 @@ def knn_auto_filtered_batch_query(spark, sf_dir):
     allowed = docs.where(
         (F.col("lang") == "en") & (F.col("source") != "src0")
     ).select(F.col("doc_id").alias("vec_id"))
-    path = _staged_ivf_index(spark, sf_dir, corpus, "ivf_filtered")
+    path = _staged_ivf_index(sf_dir, corpus, "ivf")
     result, _strategy = knn_auto_filtered_batch(
         spark, path, queries, allowed, k=3, brute_threshold=250_000
     )

@@ -383,13 +383,13 @@ def test_filtered_batch_stage_builds_once_serves_many(spark):
 
     emb = io.table(spark, SF_ORACLE, "embeddings")
     corpus = emb.where(F.col("vec_id") >= 5)
-    path = _staged_ivf_index(spark, SF_ORACLE, corpus, "ivf_filtered")
+    path = _staged_ivf_index(SF_ORACLE, corpus, "ivf_filtered")
     assert os.path.isfile(os.path.join(path, "_stage_stamp.json"))
     versions = sorted(os.listdir(os.path.join(path, "assignments")))
 
     tracker = spark.sparkContext.statusTracker()
     before = set(tracker.getJobIdsForGroup(None))
-    path2 = _staged_ivf_index(spark, SF_ORACLE, corpus, "ivf_filtered")
+    path2 = _staged_ivf_index(SF_ORACLE, corpus, "ivf_filtered")
     assert path2 == path
     assert set(tracker.getJobIdsForGroup(None)) == before, (
         "stage reuse must run ZERO Spark jobs"
@@ -414,13 +414,13 @@ def test_stage_stamp_mismatch_triggers_rebuild(spark, tmp_path):
 
     emb = io.table(spark, SF_ORACLE, "embeddings")
     corpus = emb.where(F.col("vec_id") >= 5)
-    path = _staged_ivf_index(spark, SF_ORACLE, corpus, "ivf_filtered")
+    path = _staged_ivf_index(SF_ORACLE, corpus, "ivf_filtered")
     stamp_file = os.path.join(path, "_stage_stamp.json")
     with open(stamp_file) as f:
         good = json.load(f)
     with open(stamp_file, "w") as f:
         json.dump({**good, "stage_ver": -1}, f)
-    path2 = _staged_ivf_index(spark, SF_ORACLE, corpus, "ivf_filtered")
+    path2 = _staged_ivf_index(SF_ORACLE, corpus, "ivf_filtered")
     assert path2 == path
     with open(stamp_file) as f:
         assert json.load(f) == good  # rebuilt and restamped
