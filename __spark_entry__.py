@@ -87,10 +87,13 @@ _DRIVER_ORDER = [
     # rotated in; out goes agg_grouping_sets, green r7+r8, the
     # aggregates family keeps agg_percentile + agg_unpivot)
     "knn_binary_batch",
-    # r10: content-defined chunking (oracle-backed, new — rotated in;
-    # out goes dedup_semantic_clusters, 4 green driver rows; the
-    # dedup family keeps semdedup_prune/dedup_substring/dedup_ppjoin)
-    "chunk_cdc",
+    # r10: content-defined chunking rotated IN then OUT again in r12
+    # (green r10+r11; the chunk family keeps chunk_split_exact's head
+    # row) to make room for seq_pack, PROMOTED to oracle-checked in
+    # r12 — the arrival-order greedy packer's recursive-CTE replay
+    # (zero oracle driver rows; its old rows-only counts don't carry
+    # the new value-hash check)
+    "seq_pack",
     # r9: SemDeDup cluster-partitioned semantic pruning (oracle-backed,
     # new — rotated in; out goes knn_auto_indexed, green r7+r8, the
     # vector family keeps five other head rows)
@@ -308,7 +311,7 @@ _DRIVER_ORDER = [
     "sql_recursive_cte", "sql_lateral_topk",
     # --- 50 ---
     # r12 tail rotations (green driver rows; see head notes)
-    "histogram_equi_depth", "lr_auc", "dsir_select",
+    "histogram_equi_depth", "lr_auc", "dsir_select", "chunk_cdc",
     "grouped_linreg",
     # r11 tail rotations (green driver rows; see head notes)
     "vocab_topk", "set_ops_all", "gopher_repetition",
@@ -358,7 +361,7 @@ _DRIVER_ORDER = [
     "join_left", "join_right", "join_full", "agg_cube", "agg_rollup",
     "chunk_split", "chunk_sentences", "udf_embed_mock",
     "agg_approx_distinct", "agg_percentile_approx",
-    "agg_hll_mergeable", "seq_pack",
+    "agg_hll_mergeable",
     "dedup_simhash",
     "scan_project", "filter_pred", "string_funcs", "date_funcs",
     "math_funcs", "array_funcs", "json_funcs", "map_funcs",

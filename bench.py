@@ -130,6 +130,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # fixture fingerprint: the driver REGENERATES testdata each round,
+    # and data-dependent queries (minhash banding, early-fixpoint
+    # component rounds) legitimately move with it — r12 measured
+    # dedup_clusters 2.61 -> 3.51 s across a regeneration with zero
+    # code changes. Stamping the inputs makes that diagnosis a
+    # recorded fact instead of an inference next time.
+    fixture = {}
+    for t in ("documents", "embeddings", "lineitem"):
+        try:
+            st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+            fixture[t] = f"{st.st_mtime_ns}:{st.st_size}"
+        except OSError:
+            fixture[t] = None
     print(
         json.dumps(
             {
@@ -137,6 +150,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "fixture": fixture,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -366,15 +366,69 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("seq_pack", tags=("pipeline", "rows-only"))
+# The seq_pack oracle replays the arrival-order greedy packer in a
+# recursive CTE (promoted r12, the seq_pack_ffd pattern with SIMPLER
+# state): one state row per (source, shard) carries (used, pack_local,
+# pack_pos); each step consumes the group's next doc in doc_id order
+# and either extends the open pack or opens a new one exactly when
+# used > 0 AND used + n > budget — the kernel's branch, token for
+# token (operators/packing.py _pack_group). pack_id reconstructs the
+# shard-stride embedding (shard * 2^32 + local). The greedy bin
+# boundary has no ANSI WINDOW form (a cumsum with data-dependent
+# resets), but as a bounded-group sequential process it replays the
+# same way FFD/chunk/BPE do. Recursion rows = one per doc.
+_SEQ_PACK_ORACLE = """\
+WITH RECURSIVE ordered AS (
+    SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+               AS n_tokens,
+           CAST(doc_id // 65536 AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY source, doc_id // 65536
+               ORDER BY doc_id ASC
+           ) AS BIGINT) AS t
+    FROM documents
+),
+steps(source, shard, t, used, pack_local, doc_id, n_tokens,
+      pack_pos) AS (
+    SELECT source, shard, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(-1 AS BIGINT)
+    FROM (SELECT DISTINCT source, shard FROM ordered)
+    UNION ALL
+    SELECT o.source, o.shard, o.t,
+           CASE WHEN s.used > 0 AND s.used + o.n_tokens > 256
+                THEN o.n_tokens ELSE s.used + o.n_tokens END,
+           CASE WHEN s.used > 0 AND s.used + o.n_tokens > 256
+                THEN s.pack_local + 1 ELSE s.pack_local END,
+           o.doc_id, o.n_tokens,
+           CASE WHEN s.used > 0 AND s.used + o.n_tokens > 256
+                THEN CAST(0 AS BIGINT) ELSE s.pack_pos + 1 END
+    FROM steps s
+    JOIN ordered o ON o.source = s.source AND o.shard = s.shard
+                  AND o.t = s.t + 1
+)
+SELECT doc_id, source, n_tokens,
+       shard * 4294967296 + pack_local AS pack_id, pack_pos
+FROM steps WHERE doc_id IS NOT NULL\n"""
+
+
+@register("seq_pack", oracle=_SEQ_PACK_ORACLE, tags=("pipeline",))
 def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing of documents into 256-token context
-    windows, grouped by source (operators/packing.py). rows-only: the
-    greedy bin boundary is a cumsum with data-dependent resets, which
-    has no ANSI-SQL window form; tests/test_pipeline.py pins the
-    invariants instead (every doc packed exactly once, no pack over
-    budget except single oversized docs, pack ids dense and contiguous
-    in doc order)."""
+    """Greedy arrival-order sequence packing of documents into
+    256-token context windows per (source, doc_id-range shard)
+    (operators/packing.py pack_documents) — ORACLE-CHECKED since r12:
+    the recursive CTE above replays the cumsum-with-resets state
+    machine step for step, so the full assignment (pack_id embedding
+    included) is value-hash-verified, completing the packing family
+    next to seq_pack_ffd. The invariant tests (every doc packed once,
+    no pack over budget except oversized singletons, dense pack_pos)
+    stay in tests/test_pipeline.py.
+
+    Scale shape: applyInPandas buffers one bounded (source, shard)
+    group; shards pack independently in parallel; the one shuffle is
+    the groupBy hash exchange. The oracle's recursion advances every
+    group in lockstep — one row per doc total."""
     d = io.table(spark, sf_dir, "documents")
     return pack_documents(d, budget=256)
 

@@ -108,8 +108,10 @@ def test_driver_order_covers_registry_exactly():
                  # sample_group_topk (each green r7+r8 or r6-r8;
                  # every displaced family keeps head representatives)
                  # (dedup_semantic_clusters rotated to the tail in
-                 # r10 — 4 green driver rows — for chunk_cdc)
-                 "chunk_cdc",
+                 # r10 — 4 green driver rows — for chunk_cdc;
+                 # chunk_cdc itself to the tail in r12 — green
+                 # r10+r11 — for the promoted seq_pack oracle query)
+                 "seq_pack",
                  # (dsir_select rotated to the tail in r12 — green
                  # r9-r11 — for the BPE-training oracle query)
                  "semdedup_prune", "bpe_train_exact",

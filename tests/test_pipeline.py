@@ -921,3 +921,13 @@ def test_mixture_temperature_flattens_toward_uniform(
     by_tokens = sorted(rows, key=lambda r: r.n_tokens)
     shares = [r.temp_share for r in by_tokens]
     assert shares == sorted(shares)
+
+
+def test_seq_pack_matches_oracle(spark, sf_oracle_dir):
+    """The arrival-order greedy packer replays in DuckDB's recursive
+    CTE — full assignment (shard-stride pack_id embedding included)
+    value-hashed (promoted r12; the seq_pack_ffd technique with
+    simpler state)."""
+    from tests.oracle import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, "seq_pack", sf_oracle_dir)
