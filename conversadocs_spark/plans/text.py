@@ -1337,7 +1337,8 @@ merges AS (
     )
     WHERE best IS NOT NULL
 )
-SELECT CAST(step AS INTEGER) AS step, left_sym, right_sym, pair_count
+SELECT CAST(step AS INTEGER) AS step, left_sym, right_sym,
+       CAST(pair_count AS BIGINT) AS pair_count
 FROM merges ORDER BY step\n"""
 
 

@@ -27,6 +27,7 @@ def main() -> None:
 
     import __spark_entry__ as entry
     from conversadocs_spark.session import get_spark
+    from scripts.oracle_typelint import class_mismatches
 
     sf_dir, names = sys.argv[1], sys.argv[2:]
     spark = get_spark(app_name="check-queries")
@@ -55,9 +56,17 @@ def main() -> None:
             print(f"{name}: rows-only rows={len(sr)}"
                   f" ({time.time() - t0:.1f}s)")
             continue
+        rel = con.sql(oracles[name])
+        d_cols, d_types = list(rel.columns), [str(t) for t in rel.types]
         cur = con.execute(oracles[name])
         oc, orr = norm([d[0] for d in cur.description], cur.fetchall())
-        ok = sc == oc and sr == orr
+        # Type-class assertion (the r5/r12 HUGEINT lesson): value
+        # compare is normalization-blind to column types, but the
+        # driver's hash is not — assert coarse class parity too.
+        ty_bad = class_mismatches(sdf.dtypes, d_cols, d_types)
+        ok = sc == oc and sr == orr and not ty_bad
+        if ty_bad:
+            print(f"{name}: TYPE MISMATCH {ty_bad}")
         if not ok:
             bad.append(name)
             print(f"{name}: MISMATCH ({time.time() - t0:.1f}s)")

@@ -122,6 +122,31 @@ def main() -> int:
           f"F.broadcast( site counts match allowlist "
           f"(found vs pinned: {b_diff or '{}'})")
 
+    # Oracle result-TYPE lint (the r5/r12 HUGEINT class — see
+    # scripts/oracle_typelint.py). Binds every oracle in DuckDB
+    # against sf0.001 views (binding only, ~1s total) and fails on
+    # any HUGEINT/UHUGEINT column or bind error. Soft-skips if the
+    # driver testdata isn't present (preflight stays data-optional).
+    sf_dir = os.environ.get("SPARK_GRAFT_TYPELINT_SF",
+                            "/root/testdata/sf0.001")
+    if os.path.isdir(sf_dir):
+        import duckdb
+
+        from scripts.oracle_typelint import hugeint_offenders
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders "
+                  "lineitem events documents embeddings").split():
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            glob = "/*.parquet" if os.path.isdir(path) else ""
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{path}{glob}'")
+        offenders = hugeint_offenders(con, ORACLES)
+        check(not offenders,
+              f"oracle result types driver-safe, {len(ORACLES)} bound "
+              f"(offenders: {offenders or '[]'})")
+    else:
+        print(f"[skip] oracle type lint (no testdata at {sf_dir})")
+
     if FAILS:
         print(f"\npreflight: {len(FAILS)} FAILURE(S) — do not snapshot")
         return 1

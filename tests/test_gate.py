@@ -244,3 +244,70 @@ def test_basket_checker_catches_wrong_lift(spark, gate):
     )
     ok, _ = gate.check_basket_lift_values(spark, con, below_support)
     assert not ok
+
+
+# ---------------------------------------------------------------- #
+# Oracle result-TYPE lint (scripts/oracle_typelint.py): the r5/r12
+# HUGEINT class. Value-normalized gates cannot see column types, so
+# the lint must (a) flag an injected uncast sum(BIGINT) oracle and
+# (b) find ZERO offenders in the live registry.
+# ---------------------------------------------------------------- #
+
+_TYPELINT = os.path.join(
+    os.path.dirname(_GATE), "oracle_typelint.py")
+
+
+@pytest.fixture(scope="module")
+def typelint():
+    spec = importlib.util.spec_from_file_location(
+        "oracle_typelint", _TYPELINT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_typelint_catches_injected_hugeint(typelint):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT CAST(1 AS BIGINT) AS x")
+    bad = typelint.hugeint_offenders(con, {
+        "uncast": "SELECT sum(x) AS total FROM t",       # HUGEINT
+        "negated": "SELECT -sum(x) AS total FROM t",      # HUGEINT
+        "cast_ok": "SELECT CAST(sum(x) AS BIGINT) AS total FROM t",
+        "bindless": "SELECT nope FROM t",
+    })
+    assert any(b.startswith("uncast.total=") for b in bad)
+    assert any(b.startswith("negated.total=") for b in bad)
+    assert any(b.startswith("bindless: BIND-ERR") for b in bad)
+    assert not any(b.startswith("cast_ok") for b in bad)
+
+
+def test_typelint_registry_clean(typelint):
+    sf = os.environ.get("SPARK_GRAFT_TYPELINT_SF",
+                        "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        pytest.skip(f"no testdata at {sf}")
+    from conversadocs_spark.plans import ORACLES
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders "
+              "lineitem events documents embeddings").split():
+        p = os.path.join(sf, f"{t}.parquet")
+        glob = "/*.parquet" if os.path.isdir(p) else ""
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}{glob}'")
+    assert typelint.hugeint_offenders(con, ORACLES) == []
+
+
+def test_typelint_class_parity_helpers(typelint):
+    tc, sc = typelint.type_class, typelint.spark_type_class
+    assert tc("BIGINT") == sc("bigint") == "int"
+    assert tc("INTEGER") == sc("int") == "int"       # width-blind
+    assert tc("DOUBLE") == sc("double") == "float"
+    assert tc("VARCHAR") == sc("string") == "str"
+    assert tc("VARCHAR[]") == sc("array<string>") == "array"
+    assert tc("HUGEINT") == "BANNED"
+    assert tc("STRUCT(a BIGINT)[]") == "array"
+    bad = typelint.class_mismatches(
+        [("a", "bigint"), ("b", "double")],
+        ["a", "b"], ["HUGEINT", "DOUBLE"])
+    assert bad and "a:" in bad[0]
+    assert typelint.class_mismatches(
+        [("a", "bigint")], ["a"], ["INTEGER"]) == []
