@@ -143,6 +143,13 @@ def main() -> None:
             fixture[t] = f"{st.st_mtime_ns}:{st.st_size}"
         except OSError:
             fixture[t] = None
+    # components round count for the LAST dedup_clusters pass at
+    # sf_dir: the early-fixpoint exit makes rounds (and therefore
+    # dedup_clusters wall time) depend on the near-dup graph's shape,
+    # so record it beside the fixture stamp (VERDICT r12 #4 — turns
+    # "regenerated fixture -> deeper graph -> more rounds" into a
+    # measured statement).
+    from conversadocs_spark.operators import components as _components
     print(
         json.dumps(
             {
@@ -151,6 +158,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "fixture": fixture,
+                "components_rounds": _components.LAST_RUN_ROUNDS,
                 "sf": float(sf) if sf else None,
             }
         )

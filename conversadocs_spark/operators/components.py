@@ -27,6 +27,15 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Rounds executed by the most recent connected_components() call in
+# this process (1 = the fused first round alone; +1 per loop round
+# until the early fixpoint). Observability only — the early-fixpoint
+# exit makes round count DATA-dependent (deeper near-dup graphs cost
+# more rounds), and r12 showed a driver-regenerated fixture moving
+# dedup_clusters 2.6 -> 4.1 s with zero code change; bench.py stamps
+# this so "deeper graph -> more rounds" is measured, not inferred.
+LAST_RUN_ROUNDS: int | None = None
+
 
 def connected_components(
     pairs: DataFrame,
@@ -74,8 +83,11 @@ def connected_components(
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).first()["s"]
+    global LAST_RUN_ROUNDS
+    LAST_RUN_ROUNDS = 1
     converged = False
     for _ in range(max_iter - 1):
+        LAST_RUN_ROUNDS += 1
         neighbor_min = edges.join(
             labels, edges["dst"] == labels["id"]
         ).groupBy("src").agg(F.min("label").alias("nmin"))

@@ -68,21 +68,24 @@ def pagerank(
         nodes.unpersist()
         return nodes.select("id", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # flow relation: (src, dst, out_deg) PLUS one keeper self-row per
-    # node with NULL out_deg — the keeper's contribution is NULL
-    # (ignored by SUM) but its group survives the aggregation, so
-    # zero-inflow nodes stay in the state without a per-round join
-    # against the node table. Hash-partitioned once on src: every
-    # round's contribution join reuses this distribution.
+    # flow relation: (src, dst, out_deg) PLUS one keeper self-row —
+    # NULL out_deg, contribution ignored by SUM but the group
+    # survives — for each node that would otherwise drop out of the
+    # per-round aggregation. Only no-IN-edge nodes need one (any
+    # other node's group survives via its real inflow rows), so the
+    # keeper set is one one-time left-anti, empty on symmetric edge
+    # lists. Hash-partitioned once on src: every round's contribution
+    # join reuses this distribution.
+    keepers = nodes.join(
+        e.select(F.col("dst").alias("id")).distinct(), "id", "left_anti"
+    ).select(
+        F.col("id").alias("src"),
+        F.col("id").alias("dst"),
+        F.lit(None).cast("long").alias("out_deg"),
+    )
     links = (
         e.join(out_deg, "src")
-        .unionByName(
-            nodes.select(
-                F.col("id").alias("src"),
-                F.col("id").alias("dst"),
-                F.lit(None).cast("long").alias("out_deg"),
-            )
-        )
+        .unionByName(keepers)
         .repartition(F.col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -157,6 +160,7 @@ def pagerank_fixedpoint(
     checkpoint_every: int = 1,
     src_col: str = "src",
     dst_col: str = "dst",
+    loop_conf: dict[str, str] | None = None,
 ) -> DataFrame:
     """FIXED-POINT power-iteration PageRank — the oracle-checkable twin
     of :func:`pagerank` (VERDICT r10 #2).
@@ -206,8 +210,49 @@ def pagerank_fixedpoint(
     and cached, each round is one contribution join + one
     map-side-combinable sum, lineage truncated per round with an eager
     localCheckpoint. No driver-side vectors at any node count.
+
+    ``loop_conf``: session-conf overrides applied for the duration of
+    the call and restored after (e.g. ``{"spark.sql.adaptive.enabled":
+    "false", "spark.sql.shuffle.partitions": "8"}``). A caller that
+    KNOWS its graph is bounded-small (a keyword graph, a
+    query-bounded co-purchase graph) should pass exactly that: the
+    loop's 24x2 shuffle stages each carry a few thousand rows, so
+    AQE's per-stage re-planning is one scheduled job per stage of
+    pure local-mode dispatch latency (measured at sf0.1/6.5k nodes:
+    ~90 stage-jobs with AQE vs 27 without, ~7.5 -> ~6.5 s wall,
+    bit-identical ranks), and 32-wide shuffles are mostly empty
+    tasks. Corpus-scale graphs must NOT set this — they keep the
+    session's AQE coalescing/skew handling and shuffle width.
     """
     one_minus = alpha_den - alpha_num
+    spark = edges.sparkSession
+    saved_conf: dict[str, str] = {}
+    for k, v in (loop_conf or {}).items():
+        saved_conf[k] = spark.conf.get(k)
+        spark.conf.set(k, v)
+    try:
+        return _pagerank_fixedpoint_body(
+            edges, iters, scale, alpha_num, alpha_den, tol_fp,
+            dangling, checkpoint_every, src_col, dst_col, one_minus,
+        )
+    finally:
+        for k, v in saved_conf.items():
+            spark.conf.set(k, v)
+
+
+def _pagerank_fixedpoint_body(
+    edges: DataFrame,
+    iters: int,
+    scale: int,
+    alpha_num: int,
+    alpha_den: int,
+    tol_fp: int,
+    dangling: str,
+    checkpoint_every: int,
+    src_col: str,
+    dst_col: str,
+    one_minus: int,
+) -> DataFrame:
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -227,21 +272,31 @@ def pagerank_fixedpoint(
     out_deg = e.groupBy("src").agg(
         F.count("*").cast("bigint").alias("out_deg")
     )
-    # keeper self-rows (NULL deg): zero-inflow nodes survive the
+    # keeper self-rows (NULL deg): zero-INFLOW nodes survive the
     # per-round aggregation without a nodes join — the same flow
     # relation the DuckDB oracle builds (plans/graph.py), and values
     # are identical to the old left-join form (the keeper's NULL
     # contribution is ignored by SUM; r12 re-gate: bit-identical at
-    # sf0.1, 116 -> 82 local-mode jobs, 14.8 -> ~5.1-5.9 s)
+    # sf0.1, 116 -> 82 local-mode jobs, 14.8 -> ~5.1-5.9 s).
+    # FOLDED (VERDICT r12 #5): only nodes that never appear as an
+    # edge DESTINATION actually need a keeper — every other node's
+    # group survives via its real inflow rows. Keepers are therefore
+    # restricted to the no-in-edge set (ONE one-time left-anti; empty
+    # for any symmetric/union-of-both-directions edge list, e.g. the
+    # co-purchase graph), shrinking every round's scanned+aggregated
+    # relation by n_nodes rows with bit-identical output: a keeper
+    # for a node with inflow only ever added a SUM-ignored NULL to a
+    # group that already existed.
+    keepers = nodes.join(
+        e.select(F.col("dst").alias("id")).distinct(), "id", "left_anti"
+    ).select(
+        F.col("id").alias("src"),
+        F.col("id").alias("dst"),
+        F.lit(None).cast("bigint").alias("out_deg"),
+    )
     links = (
         e.join(out_deg, "src")
-        .unionByName(
-            nodes.select(
-                F.col("id").alias("src"),
-                F.col("id").alias("dst"),
-                F.lit(None).cast("bigint").alias("out_deg"),
-            )
-        )
+        .unionByName(keepers)
         .repartition(F.col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
