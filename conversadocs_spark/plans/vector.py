@@ -512,12 +512,23 @@ def _staged_ivf_index(
     # one-time sweep of superseded layouts before a fresh build:
     # the pre-r12 pid-suffixed dirs (ADVICE r11), the hashless
     # pid-free dirs, and the pre-unification ivf_manifest_/
-    # ivf_filtered_ stages (the two callers now share one index)
+    # ivf_filtered_ stages (the two callers now share one index).
+    # ONLY names without the current `_{8-hex dirhash}` suffix are
+    # superseded (ADVICE r12): tests actively stage under other
+    # names in the CURRENT layout (e.g. ivf_filtered_{tag}_{hash}),
+    # and a production rebuild must never delete a live
+    # current-layout stage it doesn't own.
+    import re as _re
+
+    current_layout = _re.compile(r"_[0-9a-f]{8}$")
     if os.path.isdir(stage_root):
         for d in os.listdir(stage_root):
             if d != os.path.basename(path) and (
                 d == f"{name}_{tag}"  # pre-hash pid-free layout
-                or d.startswith(("ivf_manifest_", "ivf_filtered_"))
+                or (
+                    d.startswith(("ivf_manifest_", "ivf_filtered_"))
+                    and not current_layout.search(d)
+                )
             ):
                 shutil.rmtree(
                     os.path.join(stage_root, d), ignore_errors=True

@@ -424,3 +424,33 @@ def test_stage_stamp_mismatch_triggers_rebuild(spark, tmp_path):
     assert path2 == path
     with open(stamp_file) as f:
         assert json.load(f) == good  # rebuilt and restamped
+
+
+def test_stage_sweep_spares_current_layout_stages(spark):
+    """A production 'ivf' rebuild sweeps only SUPERSEDED stage
+    layouts (pre-hash / pid-suffixed names); a live CURRENT-layout
+    stage under another name — e.g. this suite's 'ivf_filtered'
+    stages — must survive (ADVICE r12)."""
+    import os
+    import shutil
+
+    from conversadocs_spark.plans.vector import _staged_ivf_index
+
+    emb = io.table(spark, SF_ORACLE, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    other = _staged_ivf_index(SF_ORACLE, corpus, "ivf_filtered")
+    stage_root = os.path.dirname(other)
+    legacy = [
+        os.path.join(stage_root, n)
+        for n in ("ivf_filtered_sf9.9", "ivf_manifest_sf9.9_12345_0")
+    ]
+    for p in legacy:
+        os.makedirs(p, exist_ok=True)
+    ivf_path = _staged_ivf_index(SF_ORACLE, corpus, "ivf")
+    shutil.rmtree(ivf_path)  # force the build (and sweep) path
+    _staged_ivf_index(SF_ORACLE, corpus, "ivf")
+    assert os.path.isfile(os.path.join(other, "_stage_stamp.json")), (
+        "current-layout stage of another name must not be swept"
+    )
+    for p in legacy:
+        assert not os.path.isdir(p), f"superseded layout kept: {p}"

@@ -849,3 +849,42 @@ def test_streaming_decay_bounded_parity_and_redelivery_noop(
     assert all(n == 2 * dict(
         (u, ne) for u, _, ne, _ in v1
     )[u] for u, n in v3.items())
+
+
+def test_scratch_stage_self_sweeps_dead_pid_dirs():
+    """_scratch (VERDICT r12 #7): pid-suffixed scratch dirs from
+    FINISHED processes are swept on the next call — ANY scratch
+    prefix, so stale tags can't leak forever; dirs of live pids and
+    non-scratch shapes (staged events, hash-suffixed IVF stages)
+    survive."""
+    from conversadocs_spark.plans.streamqueries import (
+        _STAGE_ROOT,
+        _scratch,
+    )
+
+    os.makedirs(_STAGE_ROOT, exist_ok=True)
+    dead_pid = 2**22 + 11  # above default pid_max: never alive
+    dead = os.path.join(_STAGE_ROOT, f"cdc_sfT_{dead_pid}_0_tbl")
+    dead_other = os.path.join(_STAGE_ROOT, f"hll_sfT_{dead_pid}_0")
+    live = os.path.join(_STAGE_ROOT, f"cdc_sfT_{os.getpid()}_999_tbl")
+    plain = os.path.join(_STAGE_ROOT, "cdc_sfT_not_a_pid")
+    ivf_stage = os.path.join(_STAGE_ROOT, "ivf_sfT_abcd1234")
+    for p in (dead, dead_other, live, plain, ivf_stage):
+        os.makedirs(p, exist_ok=True)
+    try:
+        out = _scratch("cdc_sfT")
+        assert not os.path.isdir(dead), "dead-pid dir must be swept"
+        assert not os.path.isdir(dead_other), (
+            "dead-pid dirs of OTHER prefixes must be swept too"
+        )
+        assert os.path.isdir(live), "live-pid dir must survive"
+        assert os.path.isdir(plain), "non-pid names untouched"
+        assert os.path.isdir(ivf_stage), "hash-layout stages untouched"
+        assert os.path.basename(out).startswith(
+            f"cdc_sfT_{os.getpid()}_"
+        )
+    finally:
+        import shutil
+
+        for p in (dead, dead_other, live, plain, ivf_stage):
+            shutil.rmtree(p, ignore_errors=True)
