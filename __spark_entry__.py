@@ -67,7 +67,19 @@ _DRIVER_ORDER = [
     # coarse+refine, and ColBERT-style multi-vector MaxSim.
     # Displaced: variant_funcs / bm25_topk / hybrid_rrf (green r6+r7;
     # relational keeps ansi_try_funcs, retrieval keeps rerank_topk).
-    "knn_binary", "knn_matryoshka", "multivec_maxsim",
+    # r13: knn_binary + knn_matryoshka rotated to the tail (green
+    # r8 AND r12 driver rows; the quantized family keeps
+    # knn_int8_batch / knn_binary_batch / knn_matryoshka_batch /
+    # multivec_maxsim(+_batch) / knn_filtered_int8_batch head rows)
+    # so the two NEW oracle-backed queries get their first rows:
+    # dedup_simhash_exact — the simhash family's promotion from
+    # rows-only to value-hash-checked (md5-derived signature bits,
+    # brute-force hamming oracle re-proving the banded join's
+    # pigeonhole exactness cross-engine) — and eval_rouge_bleu — the
+    # generation-eval metrics leg (clipped n-gram overlap: ROUGE-1
+    # P/R/F, ROUGE-2 recall, BLEU-2 with brevity penalty).
+    "dedup_simhash_exact", "eval_rouge_bleu",
+    "multivec_maxsim",
     # r9: SQ8 batch retrieval completing the quantized serving matrix
     # (oracle-backed, new — rotated in; out goes join_fuzzy, green
     # r7+r8, the join family keeps null_safe/correlated/interval/
@@ -318,6 +330,8 @@ _DRIVER_ORDER = [
     "source_mixture_weights",
     # r10 tail rotations (see head notes)
     "knn_filtered", "knn_int8", "dedup_incremental",
+    # r13 rotations to the tail (green r8+r12; see the head comment)
+    "knn_binary", "knn_matryoshka",
     "token_budget_select", "outlier_mad", "agg_percentile",
     "rerank_topk", "pretrain_corpus", "dedup_semantic_clusters",
     "join_interval_attrib", "window_ntile",

@@ -604,6 +604,51 @@ def simhash64(col: F.Column) -> F.Column:
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
+def simhash64_md5(col: F.Column) -> F.Column:
+    """64-bit SimHash whose per-token hash is md5-DERIVED — two
+    32-bit hex-prefix words per token (the cms_term_freq /
+    contamination_bloom md5-prefix trick) instead of xxhash64, so a
+    DuckDB oracle can replay every bit (DuckDB has md5 but no
+    xxhash64; the xxhash64 production form stays :func:`simhash64`).
+    Same vote/sign/fold shape: per 32-bit word, one ``aggregate``
+    pass carries a 32-wide vote array, the sign bits fold to an
+    unsigned word via Horner, and the words pack into one signed
+    long (hi<<32 | lo) — identical layout to :func:`simhash64`, so
+    the banded join machinery applies unchanged."""
+    toks = F.array_distinct(F.split(col, r"\s+"))
+    bits = F.sequence(F.lit(0), F.lit(31))
+
+    def word(hex_start: int) -> F.Column:
+        hashes = F.transform(
+            toks,
+            lambda t: F.conv(
+                F.substring(F.md5(t.cast("binary")), hex_start, 8),
+                16,
+                10,
+            ).cast("long"),
+        )
+        votes = F.aggregate(
+            hashes,
+            F.transform(bits, lambda b: F.lit(0)),
+            lambda acc, h: F.zip_with(
+                acc,
+                bits,
+                lambda a, b: a
+                + F.when(F.bit_get(h, b) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            ),
+        )
+        return F.aggregate(
+            F.reverse(votes),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * 2
+            + F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+
+    return F.shiftleft(word(1), 32).bitwiseOR(word(9))
+
+
 def hamming64(a: F.Column, b: F.Column) -> F.Column:
     """Hamming distance between two 64-bit signatures (bit_count XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -660,6 +705,7 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache_holder: list | None = None,
+    sig_expr=simhash64,
 ) -> DataFrame:
     """SimHash near-dup pairs via banded bucket join over DISTINCT
     signatures — EXACT for the reported radius: with 64/bands-bit
@@ -700,6 +746,12 @@ def simhash_near_dups(
     ``cache_holder``: same contract as ``minhash_near_dups`` — the
     signature table is persisted (consumed by stages 1-3); callers
     that materialize the result can unpersist via the holder.
+
+    ``sig_expr``: the 64-bit signature expression (column -> long) —
+    :func:`simhash64` (xxhash64, production default) or
+    :func:`simhash64_md5` (md5-derived, DuckDB-replayable — used by
+    the oracle-checked ``dedup_simhash_exact`` query). The banding /
+    hamming machinery is layout-identical for both.
     """
     if 64 % bands != 0:
         raise ValueError("bands must divide 64")
@@ -711,7 +763,7 @@ def simhash_near_dups(
     mask = (1 << width) - 1
     sigs = df.select(
         F.col(id_col).alias("id"),
-        simhash64(F.col(text_col)).alias("sig"),
+        sig_expr(F.col(text_col)).alias("sig"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if cache_holder is not None:
         cache_holder.append(sigs)

@@ -987,3 +987,226 @@ def quality_lr_train_fixed(
         return out.orderBy("feature")
     finally:
         feats.unpersist()
+
+
+# --------------------------------------------------------------------------
+# generation-eval metrics: ROUGE-1/2 + BLEU-2 (clipped n-gram overlap)
+# --------------------------------------------------------------------------
+
+_ROUGE_BLEU_ORACLE = """\
+WITH d AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks
+    FROM documents
+),
+pairs AS (
+    SELECT c.doc_id AS pair_id, c.toks AS ct, r.toks AS rt
+    FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+),
+u AS (
+    SELECT pair_id, side, gram, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT pair_id, 'c' AS side, unnest(ct) AS gram FROM pairs
+        UNION ALL
+        SELECT pair_id, 'r' AS side, unnest(rt) AS gram FROM pairs
+    ) GROUP BY pair_id, side, gram
+),
+u_ov AS (
+    SELECT pair_id,
+           CAST(sum(least(cc, rc)) AS BIGINT) AS ov1
+    FROM (
+        SELECT pair_id, gram,
+               sum(CASE WHEN side = 'c' THEN cnt ELSE 0 END) AS cc,
+               sum(CASE WHEN side = 'r' THEN cnt ELSE 0 END) AS rc
+        FROM u GROUP BY pair_id, gram
+    ) GROUP BY pair_id
+),
+b AS (
+    SELECT pair_id, side, gram, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT pair_id, 'c' AS side,
+               unnest([ct[i] || ' ' || ct[i+1]
+                       for i in range(1, len(ct))]) AS gram
+        FROM pairs
+        UNION ALL
+        SELECT pair_id, 'r' AS side,
+               unnest([rt[i] || ' ' || rt[i+1]
+                       for i in range(1, len(rt))]) AS gram
+        FROM pairs
+    ) GROUP BY pair_id, side, gram
+),
+b_ov AS (
+    SELECT pair_id,
+           CAST(sum(least(cc, rc)) AS BIGINT) AS ov2
+    FROM (
+        SELECT pair_id, gram,
+               sum(CASE WHEN side = 'c' THEN cnt ELSE 0 END) AS cc,
+               sum(CASE WHEN side = 'r' THEN cnt ELSE 0 END) AS rc
+        FROM b GROUP BY pair_id, gram
+    ) GROUP BY pair_id
+),
+lens AS (
+    SELECT pair_id,
+           CAST(len(ct) AS BIGINT) AS n1c,
+           CAST(len(rt) AS BIGINT) AS n1r,
+           CAST(greatest(len(ct) - 1, 0) AS BIGINT) AS n2c,
+           CAST(greatest(len(rt) - 1, 0) AS BIGINT) AS n2r
+    FROM pairs
+),
+m AS (
+    SELECT l.pair_id, l.n1c, l.n1r, l.n2c, l.n2r,
+           coalesce(u.ov1, 0) AS ov1, coalesce(b.ov2, 0) AS ov2
+    FROM lens l
+    LEFT JOIN u_ov u ON u.pair_id = l.pair_id
+    LEFT JOIN b_ov b ON b.pair_id = l.pair_id
+),
+s AS (
+    SELECT pair_id, ov1, ov2, n1c, n1r, n2c, n2r,
+           CASE WHEN n1c > 0
+                THEN CAST(ov1 AS DOUBLE) / n1c ELSE 0 END AS p1,
+           CASE WHEN n1r > 0
+                THEN CAST(ov1 AS DOUBLE) / n1r ELSE 0 END AS r1,
+           CASE WHEN n2c > 0
+                THEN CAST(ov2 AS DOUBLE) / n2c ELSE 0 END AS p2
+    FROM m
+)
+SELECT pair_id, ov1, ov2,
+       round(p1, 6) AS rouge1_p,
+       round(r1, 6) AS rouge1_r,
+       round(CASE WHEN p1 + r1 > 0
+                  THEN 2 * p1 * r1 / (p1 + r1) ELSE 0 END, 6)
+           AS rouge1_f,
+       round(CASE WHEN n2r > 0
+                  THEN CAST(ov2 AS DOUBLE) / n2r ELSE 0 END, 6)
+           AS rouge2_r,
+       round(CASE WHEN n1c >= n1r THEN 1.0
+                  ELSE exp(1.0 - CAST(n1r AS DOUBLE) / n1c) END
+             * sqrt(p1 * p2), 6) AS bleu2
+FROM s ORDER BY pair_id
+"""
+
+
+@register(
+    "eval_rouge_bleu", oracle=_ROUGE_BLEU_ORACLE, tags=("lm", "pipeline")
+)
+def eval_rouge_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-eval metrics: ROUGE-1 P/R/F, ROUGE-2 recall, and
+    BLEU-2 (clipped n-gram precision with brevity penalty) per
+    candidate/reference pair — the eval leg every training pipeline
+    runs on its generated outputs (Lin 2004; Papineni et al. 2002).
+    The clipped-overlap kernel is MULTISET intersection: per n-gram,
+    min(candidate count, reference count), summed — exactly the
+    definition both papers share, computed relationally.
+
+    Pairing: each doc is the candidate against the next doc_id as
+    reference — a deterministic, UNBOUNDED corpus-linear pairing
+    (the metric kernel is the point; a real eval run joins
+    generations to references on example_id exactly like this
+    doc_id+1 equi-join). Scale shape: one co-partitioned self-join,
+    then explode n-grams -> map-side-combinable (pair, gram) counts
+    -> one sum per pair — no all-pairs anything, no UDFs, everything
+    whole-stage codegen. BLEU's exp/sqrt are the only floats and are
+    round(6)-stable cross-engine (the mixture_temperature pow
+    precedent).
+
+    Reference analog: the reference never evaluates its generations
+    (conversadocs/bones.py returns them raw); this is the missing
+    eval harness a curation pipeline needs."""
+    d = (
+        io.table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.split(F.lower(F.col("text")), " ").alias("toks"),
+        )
+    )
+    pairs = (
+        d.alias("c")
+        .join(
+            d.select(
+                (F.col("doc_id") - 1).alias("doc_id"),
+                F.col("toks").alias("rtoks"),
+            ).alias("r"),
+            "doc_id",
+        )
+        .select(
+            F.col("doc_id").alias("pair_id"),
+            F.col("toks").alias("ct"),
+            F.col("rtoks").alias("rt"),
+        )
+        .persist()
+    )
+
+    def bigrams(col: str) -> F.Column:
+        c = F.col(col)
+        return F.when(
+            F.size(c) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(c) - 1),
+                lambda i: F.concat(
+                    F.element_at(c, i), F.lit(" "), F.element_at(c, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def clipped_overlap(gram_c: F.Column, gram_r: F.Column, out: str):
+        """sum over grams of min(cand count, ref count), per pair —
+        explode both sides tagged, one (pair, gram) count, one sum."""
+        exploded = pairs.select(
+            "pair_id", F.lit("c").alias("side"),
+            F.explode_outer(gram_c).alias("gram"),
+        ).unionByName(
+            pairs.select(
+                "pair_id", F.lit("r").alias("side"),
+                F.explode_outer(gram_r).alias("gram"),
+            )
+        ).where(F.col("gram").isNotNull())
+        per_gram = exploded.groupBy("pair_id", "gram").agg(
+            F.sum(F.when(F.col("side") == "c", 1).otherwise(0)).alias("cc"),
+            F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("rc"),
+        )
+        return per_gram.groupBy("pair_id").agg(
+            F.sum(F.least("cc", "rc")).cast("long").alias(out)
+        )
+
+    ov1 = clipped_overlap(F.col("ct"), F.col("rt"), "ov1")
+    ov2 = clipped_overlap(bigrams("ct"), bigrams("rt"), "ov2")
+    lens = pairs.select(
+        "pair_id",
+        F.size("ct").cast("long").alias("n1c"),
+        F.size("rt").cast("long").alias("n1r"),
+        F.greatest(F.size("ct") - 1, F.lit(0)).cast("long").alias("n2c"),
+        F.greatest(F.size("rt") - 1, F.lit(0)).cast("long").alias("n2r"),
+    )
+    m = (
+        lens.join(ov1, "pair_id", "left")
+        .join(ov2, "pair_id", "left")
+        .na.fill({"ov1": 0, "ov2": 0})
+    )
+    p1 = F.when(
+        F.col("n1c") > 0, F.col("ov1").cast("double") / F.col("n1c")
+    ).otherwise(0.0)
+    r1 = F.when(
+        F.col("n1r") > 0, F.col("ov1").cast("double") / F.col("n1r")
+    ).otherwise(0.0)
+    p2 = F.when(
+        F.col("n2c") > 0, F.col("ov2").cast("double") / F.col("n2c")
+    ).otherwise(0.0)
+    bp = F.when(F.col("n1c") >= F.col("n1r"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("n1r").cast("double") / F.col("n1c"))
+    )
+    return m.select(
+        "pair_id", "ov1", "ov2",
+        F.round(p1, 6).alias("rouge1_p"),
+        F.round(r1, 6).alias("rouge1_r"),
+        F.round(
+            F.when(p1 + r1 > 0, 2 * p1 * r1 / (p1 + r1)).otherwise(0.0),
+            6,
+        ).alias("rouge1_f"),
+        F.round(
+            F.when(
+                F.col("n2r") > 0,
+                F.col("ov2").cast("double") / F.col("n2r"),
+            ).otherwise(0.0),
+            6,
+        ).alias("rouge2_r"),
+        F.round(bp * F.sqrt(p1 * p2), 6).alias("bleu2"),
+    )

@@ -841,6 +841,112 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id1", "id2", "hamming")
 
 
+# SimHash, ORACLE-CHECKED: md5-derived signature bits (DuckDB has md5
+# but not xxhash64), replayed token for token — per doc, distinct
+# whitespace tokens hash to two 32-bit md5 hex-prefix words; per bit,
+# +1/-1 votes sum and the sign bit sets the signature bit. The oracle
+# is the BRUTE-FORCE all-pairs hamming join (sum of per-word
+# bit_count(xor)), so a driver MATCH re-proves the banded join's
+# pigeonhole exactness (radius <= bands-1) against an independent
+# formulation at every gate scale — not just at the sf0.001 pytest
+# pin. doc_id < 500 bounds the oracle's quadratic pair scan to a
+# constant 1000 docs at every sf (the bpe_train_exact pattern); the
+# UNBOUNDED engine path stays `dedup_simhash` above. Intermediate
+# sums cast to BIGINT (the r5/r12 HUGEINT rule, scripts/
+# oracle_typelint.py).
+_SIMHASH_EXACT_ORACLE = """\
+WITH doubled AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 500
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' zq' AS text
+    FROM documents WHERE doc_id < 500
+),
+toks AS (
+    SELECT doc_id,
+           unnest(list_distinct(string_split_regex(text, '\\s+'))) AS t
+    FROM doubled
+),
+th AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hhi,
+           CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS hlo
+    FROM toks
+),
+votes AS (
+    SELECT doc_id, b.b,
+           sum(CASE WHEN (hhi >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vhi,
+           sum(CASE WHEN (hlo >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vlo
+    FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+    GROUP BY doc_id, b.b
+),
+sigs AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vhi > 0
+                         THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+                AS BIGINT) AS hi,
+           CAST(sum(CASE WHEN vlo > 0
+                         THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+                AS BIGINT) AS lo
+    FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id1, c.doc_id AS id2,
+       CAST(bit_count(xor(a.hi, c.hi))
+            + bit_count(xor(a.lo, c.lo)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs c ON a.doc_id < c.doc_id
+WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 3
+ORDER BY id1, id2\n"""
+
+
+@register(
+    "dedup_simhash_exact",
+    oracle=_SIMHASH_EXACT_ORACLE,
+    tags=("text", "dedup"),
+)
+def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, ORACLE-CHECKED — the promotion of the
+    simhash family from rows-only to value-hash-checked. The engine
+    runs the REAL banded operator
+    (operators/dedup.py:simhash_near_dups — distinct-signature
+    collapse, 4x16-bit band self-join, per-signature-pair hamming,
+    output-bounded id expansion) with the md5-derived signature
+    (simhash64_md5) whose bits DuckDB replays exactly; the oracle is
+    the brute-force all-pairs hamming join over the same signatures.
+    A MATCH therefore re-proves the banding's pigeonhole-exactness
+    contract (any pair within hamming bands-1 shares an untouched
+    band) against an independent formulation — the cross-engine
+    version of tests/test_dedup.py::
+    test_simhash_banded_equals_bruteforce.
+
+    Fixture: the bounded doc_id < 500 slice doubled with a
+    one-token-appended copy (ids +1e6) so near-dup pairs exist by
+    construction at every sf — appending one token flips only
+    signature bits whose vote margin was ~0.
+
+    Reference analog: near-dup screening over the uploaded corpus
+    the reference re-indexes wholesale (conversadocs/bones.py:107-119)
+    and never dedups."""
+    from conversadocs_spark.operators.dedup import (
+        simhash64_md5,
+        simhash_near_dups,
+    )
+
+    d = (
+        io.table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+    )
+    mutated = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    return simhash_near_dups(
+        d.unionByName(mutated),
+        max_hamming=3,
+        bands=4,
+        sig_expr=simhash64_md5,
+    ).select("id1", "id2", "hamming")
+
+
 # --------------------------------------------------------------------------
 # composed corpus-cleaning pipeline (the 100 TB training-data shape)
 # --------------------------------------------------------------------------

@@ -539,3 +539,79 @@ def test_ppjoin_edge_corpora_equal_brute_force(spark):
     assert got == want, (got, want)
     assert {(0, 1), (0, 2), (1, 2)} <= {(a, b) for a, b, _ in got}
     assert (30, 31, 0.5) in got
+
+
+def test_simhash_md5_twin_layout_and_banding(spark, sf_dir):
+    """simhash64_md5 (the DuckDB-replayable signature behind
+    dedup_simhash_exact) must (a) produce the documented packed
+    layout — hi word == md5 hex chars 1-8 vote signs, lo word ==
+    chars 9-16 — verified against a pure-Python replay on a few
+    docs, and (b) keep the banded join == brute force exactness
+    under the swapped sig_expr."""
+    import hashlib
+
+    from conversadocs_spark.operators.dedup import (
+        hamming64,
+        simhash64_md5,
+        simhash_near_dups,
+    )
+
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").limit(5).collect()
+    sigs = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id", simhash64_md5(F.col("text")).alias("sig")
+        )
+        .orderBy("doc_id")
+        .limit(5)
+        .collect()
+    }
+    for r in rows:
+        toks = list(dict.fromkeys(r.text.split()))
+        votes_hi = [0] * 32
+        votes_lo = [0] * 32
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            hhi, hlo = int(h[:8], 16), int(h[8:16], 16)
+            for b in range(32):
+                votes_hi[b] += 1 if (hhi >> b) & 1 else -1
+                votes_lo[b] += 1 if (hlo >> b) & 1 else -1
+        hi = sum(1 << b for b in range(32) if votes_hi[b] > 0)
+        lo = sum(1 << b for b in range(32) if votes_lo[b] > 0)
+        want = (hi << 32) | lo
+        if want >= 1 << 63:
+            want -= 1 << 64  # signed long wrap, as Spark packs it
+        assert sigs[r.doc_id] == want, f"doc {r.doc_id}"
+    # note: Spark's \s+ split and python .split() agree on these docs
+    # (single-space fixture text); the cross-engine tokenizer parity
+    # itself is what the DuckDB oracle checks at every gate scale.
+
+    sub = docs.where(F.col("doc_id") < 100)
+    sigs_df = sub.select(
+        "doc_id", simhash64_md5(F.col("text")).alias("sig")
+    ).cache()
+    a, b = sigs_df.alias("a"), sigs_df.alias("b")
+    brute = {
+        (r.id1, r.id2, r.hamming)
+        for r in (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id1"),
+                F.col("b.doc_id").alias("id2"),
+                hamming64(
+                    F.col("a.sig"), F.col("b.sig")
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= 3)
+            .collect()
+        )
+    }
+    banded = {
+        (r.id1, r.id2, r.hamming)
+        for r in simhash_near_dups(
+            sub, max_hamming=3, bands=4, sig_expr=simhash64_md5
+        ).collect()
+    }
+    assert banded == brute
+    sigs_df.unpersist()

@@ -65,3 +65,38 @@ def test_lr_auc_closed_form_and_rederivation(spark, sf_oracle_dir):
     auc = (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
     assert (row.n_pos, row.n_neg) == (n_pos, n_neg)
     assert abs(row.auc - round(auc, 6)) <= 1e-6
+
+
+def test_rouge_bleu_known_values(spark):
+    """eval_rouge_bleu's kernel on a hand-computed pair: candidate
+    'the cat sat on the mat' vs reference 'the cat lay on the mat'.
+    Unigram clipped overlap 5 of 6 (multiset min: the=2, cat=1,
+    on=1, mat=1); bigram overlap 3 of 5 (the cat / on the / the
+    mat); equal lengths -> BP=1, bleu2 = sqrt(5/6 * 3/5)."""
+    import math
+
+    from conversadocs_spark.plans.lm import eval_rouge_bleu
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the cat lay on the mat"),
+        ],
+        "doc_id long, text string",
+    )
+
+    import conversadocs_spark.io as cio
+
+    orig = cio.table
+    try:
+        cio.table = lambda _s, _d, _t: df  # noqa: ARG005
+        out = {r.pair_id: r for r in eval_rouge_bleu(spark, "x").collect()}
+    finally:
+        cio.table = orig
+    r = out[0]
+    assert r.ov1 == 5 and r.ov2 == 3
+    assert r.rouge1_p == round(5 / 6, 6)
+    assert r.rouge1_r == round(5 / 6, 6)
+    assert r.rouge1_f == round(5 / 6, 6)
+    assert r.rouge2_r == round(3 / 5, 6)
+    assert r.bleu2 == round(math.sqrt((5 / 6) * (3 / 5)), 6)
