@@ -53,7 +53,11 @@ def test_driver_order_covers_registry_exactly():
     # variant_funcs / bm25_topk / hybrid_rrf / funnel_conversion
     # (green r6+r7; ansi_try_funcs, rerank_topk and cohort_retention
     # keep those families' rows) — pin them.
-    for must in ("knn_binary", "knn_matryoshka", "multivec_maxsim",
+    # r13: knn_binary + knn_matryoshka rotated to the tail (green
+    # r8+r12; the quantized family keeps six head rows) for the
+    # promoted simhash oracle twin and the ROUGE/BLEU eval metrics.
+    for must in ("dedup_simhash_exact", "eval_rouge_bleu",
+                 "multivec_maxsim",
                  # r10: outlier_mad / token_budget_select /
                  # agg_percentile rotated to the tail (green r8+r9 /
                  # r8+r9 / r6-r9) for the three new oracle queries.
