@@ -79,7 +79,10 @@ _DRIVER_ORDER = [
     # generation-eval metrics leg (clipped n-gram overlap: ROUGE-1
     # P/R/F, ROUGE-2 recall, BLEU-2 with brevity penalty).
     "dedup_simhash_exact", "eval_rouge_bleu",
-    "multivec_maxsim",
+    # r13: multivec_maxsim likewise to the tail (green r8+r12; the
+    # family keeps multivec_maxsim_batch) for the per-source Zipf
+    # law fit (closed-form OLS over the top-500 term ranks).
+    "corpus_zipf_fit",
     # r9: SQ8 batch retrieval completing the quantized serving matrix
     # (oracle-backed, new — rotated in; out goes join_fuzzy, green
     # r7+r8, the join family keeps null_safe/correlated/interval/
@@ -331,7 +334,7 @@ _DRIVER_ORDER = [
     # r10 tail rotations (see head notes)
     "knn_filtered", "knn_int8", "dedup_incremental",
     # r13 rotations to the tail (green r8+r12; see the head comment)
-    "knn_binary", "knn_matryoshka",
+    "knn_binary", "knn_matryoshka", "multivec_maxsim",
     "token_budget_select", "outlier_mad", "agg_percentile",
     "rerank_topk", "pretrain_corpus", "dedup_semantic_clusters",
     "join_interval_attrib", "window_ntile",

@@ -1989,3 +1989,113 @@ def chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
         ).alias("boundary_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf law fit per source (corpus health analytics)
+# --------------------------------------------------------------------------
+
+_ZIPF_FIT_ORACLE = """\
+WITH tf AS (
+    SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ) WHERE term <> '' GROUP BY source, term
+),
+ranked AS (
+    SELECT source, cnt,
+           row_number() OVER (
+               PARTITION BY source ORDER BY cnt DESC, term ASC
+           ) AS rnk
+    FROM tf
+),
+pts AS (
+    SELECT source, ln(CAST(rnk AS DOUBLE)) AS x,
+           ln(CAST(cnt AS DOUBLE)) AS y
+    FROM ranked WHERE rnk <= 500
+),
+m AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM pts GROUP BY source
+)
+SELECT source, n AS n_ranks,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS intercept,
+       round(
+           (n * sxy - sx * sy) * (n * sxy - sx * sy)
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m ORDER BY source\n"""
+
+
+@register("corpus_zipf_fit", oracle=_ZIPF_FIT_ORACLE, tags=("text",))
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf law fit per source: OLS slope/intercept/R^2 of
+    ln(frequency) vs ln(rank) over each source's top-500 term ranks —
+    the classic corpus-health diagnostic (natural text sits near
+    slope -1; template/boilerplate-heavy or synthetic sources flatten
+    or steepen it), used to screen whole SOURCES the way per-doc
+    quality signals screen documents.
+
+    Closed-form OLS: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) from
+    one aggregate over the ranked points — no iterative fitting, no
+    UDFs. The rank tie-break (count desc, term asc) is total, so both
+    engines rank identically; ln/round(6) are cross-engine stable at
+    these magnitudes (the mixture_temperature pow precedent).
+
+    Scale shape: explode -> map-side-combined (source, term) counts
+    (vocab-sized, not corpus-sized, after the combine), a rank window
+    partitioned BY SOURCE over the vocab-sized count table, a rank <=
+    500 filter, then one tiny per-source aggregate. The corpus is
+    touched once; everything after the first aggregate is
+    vocabulary-bounded."""
+    d = io.table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("cnt"), F.asc("term")
+    )
+    pts = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 500)
+        .select(
+            "source",
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    m = pts.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "source",
+        n.alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("source")

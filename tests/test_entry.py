@@ -57,7 +57,7 @@ def test_driver_order_covers_registry_exactly():
     # r8+r12; the quantized family keeps six head rows) for the
     # promoted simhash oracle twin and the ROUGE/BLEU eval metrics.
     for must in ("dedup_simhash_exact", "eval_rouge_bleu",
-                 "multivec_maxsim",
+                 "corpus_zipf_fit",
                  # r10: outlier_mad / token_budget_select /
                  # agg_percentile rotated to the tail (green r8+r9 /
                  # r8+r9 / r6-r9) for the three new oracle queries.
