@@ -2047,11 +2047,20 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     these magnitudes (the mixture_temperature pow precedent).
 
     Scale shape: explode -> map-side-combined (source, term) counts
-    (vocab-sized, not corpus-sized, after the combine), a rank window
-    partitioned BY SOURCE over the vocab-sized count table, a rank <=
-    500 filter, then one tiny per-source aggregate. The corpus is
-    touched once; everything after the first aggregate is
-    vocabulary-bounded."""
+    (vocab-sized, not corpus-sized, after the combine), then the
+    top-500 rank runs as a SALTED TWO-PHASE exact top-k (the
+    sample_group_topk pattern, plans/pipeline.py): a plain
+    `Window.partitionBy("source")` would put each source's ENTIRE
+    vocabulary through one reducer — with a handful of sources over
+    100 TB that is maximal skew. Phase 1 ranks within
+    (source, pmod(hash(term), 64)) and keeps 500 per salt group,
+    shrinking each source to <= 64*500 = 32k survivor rows; phase 2
+    re-ranks only those survivors per source. Any term in the true
+    per-source top-500 is also in its salt group's top-500
+    (pigeonhole), so the result is EXACTLY the single-window answer
+    (the oracle) while the heavy pass fans out over 64x more
+    reducers. The final window and the per-source OLS aggregate touch
+    O(sources * 32k) rows, never the corpus or the full vocabulary."""
     d = io.table(spark, sf_dir, "documents")
     tf = (
         d.select(
@@ -2064,11 +2073,18 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("source").orderBy(
-        F.desc("cnt"), F.asc("term")
+    order = (F.desc("cnt"), F.asc("term"))
+    salted = Window.partitionBy(
+        "source", F.pmod(F.hash("term"), F.lit(64))
+    ).orderBy(*order)
+    survivors = (
+        tf.withColumn("r1", F.row_number().over(salted))
+        .where(F.col("r1") <= 500)
+        .drop("r1")
     )
+    w = Window.partitionBy("source").orderBy(*order)
     pts = (
-        tf.withColumn("rnk", F.row_number().over(w))
+        survivors.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 500)
         .select(
             "source",

@@ -284,6 +284,29 @@ def test_group_topk_is_salted_two_phase(spark):
     )  # final reduced pass
 
 
+def test_zipf_fit_rank_is_salted_two_phase(spark):
+    """corpus_zipf_fit's top-500-per-source rank must keep the salted
+    two-phase shape (VERDICT r13 #2): phase 1 partitions by
+    (source, pmod(hash(term), 64)) so no single reducer ever sorts a
+    whole source's vocabulary; only the <=32k survivors per source
+    meet the final per-source window."""
+    plan = _plan(spark, "corpus_zipf_fit")
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    # salted pass: source plus the computed pmod(hash(term),64) salt
+    # key (printed as the _w0 window partition attribute — the pmod
+    # itself is folded into the upstream aggregate's output project)
+    assert any("source" in p and "_w0" in p for p in parts)
+    # final reduced pass: source alone
+    assert any(
+        "source" in p and "_w0" not in p and "term" not in p
+        for p in parts
+    )
+    # two ranking windows: the salted phase-1 and the survivor phase-2
+    assert plan.count("windowspecdefinition") == 2
+
+
 def test_quality_stack_composes_without_cartesian(spark):
     """The composed filter stack joins three corpus-linear branches on
     doc_id plus a broadcast scalar cutoff — never a cartesian
