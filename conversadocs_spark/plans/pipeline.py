@@ -380,7 +380,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEQ_PACK_ORACLE = """\
 WITH RECURSIVE ordered AS (
     SELECT doc_id, source,
-           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
                AS n_tokens,
            CAST(doc_id // 65536 AS BIGINT) AS shard,
            CAST(row_number() OVER (

@@ -39,6 +39,14 @@ _STAGE_ROOT = os.path.join(
 _COUNTER = itertools.count()
 
 
+#: scratch families this module mints (the first token of every
+#: _scratch prefix). The sweep below deletes ONLY names in these
+#: families — a new consumer must add its family here, and _scratch
+#: fails fast if it doesn't (a loud error beats a silent forever-leak
+#: OR an over-broad sweep deleting someone else's data).
+_SCRATCH_FAMILIES = ("fb_ckpt", "ivf_ckpt", "hll", "upd", "cdc", "decay")
+
+
 def _scratch(prefix: str) -> str:
     """Per-run scratch path under .stream_stage:
     ``{prefix}_{pid}_{counter}`` — and SELF-SWEEPING (VERDICT r12 #7,
@@ -48,23 +56,34 @@ def _scratch(prefix: str) -> str:
     checkpoints must be FRESH per run (reusing one resumes the prior
     query instead of reprocessing) and two concurrent processes
     (pytest + bench) must never share a dir — so the names cannot
-    simply be made deterministic. Instead, each call removes EVERY
-    scratch-shaped sibling (``*_{pid}_{n}`` with an optional
-    chg/tbl/ckpt suffix — the shapes only this helper mints) whose
-    embedded pid is no longer alive: leftovers of finished
-    processes, deletable by definition, and deliberately NOT
-    prefix-bound — a tag that never runs again (a one-off fixture
-    dir) would otherwise leak its dirs forever. The stage root
-    therefore stays bounded at one dir set per LIVE process instead
-    of growing forever. Non-scratch names (staged event dirs,
-    ``{name}_{tag}_{dirhash}`` IVF stages, ``*.build.{pid}`` temp
-    dirs) don't match the shape and are never touched.
+    simply be made deterministic. Instead, each call removes every
+    sibling minted by THIS helper — names anchored to a registered
+    ``_SCRATCH_FAMILIES`` prefix with the ``_{pid}_{n}`` shape and an
+    optional chg/tbl/ckpt suffix — whose embedded pid is no longer
+    alive: leftovers of finished processes, deletable by definition.
+    The prefix anchor is load-bearing (ADVICE r13): an unanchored
+    ``*_{digits}_{digits}`` sweep would also match names this helper
+    never minted — a staged fixture dir like ``run_2024_01``, or an
+    IVF stage whose tag ends in digits and whose dirhash happens to
+    be all-decimal — and delete live data when the misparsed 'pid'
+    is dead. Only registered-family names are ever touched; the
+    stage root stays bounded at one dir set per LIVE process.
     """
     import re
     import shutil
 
+    if not prefix.startswith(
+        tuple(f + "_" for f in _SCRATCH_FAMILIES)
+    ):
+        raise ValueError(
+            f"unregistered scratch family for {prefix!r}: add its "
+            "family to _SCRATCH_FAMILIES or its dirs leak forever"
+        )
     os.makedirs(_STAGE_ROOT, exist_ok=True)
-    pat = re.compile(r"^.+_(\d+)_\d+(_(chg|tbl|ckpt))?$")
+    fam = "|".join(_SCRATCH_FAMILIES)
+    pat = re.compile(
+        rf"^(?:{fam})_.+_(\d+)_\d+(_(chg|tbl|ckpt))?$"
+    )
     for d in os.listdir(_STAGE_ROOT):
         m = pat.match(d)
         if not m or int(m.group(1)) == os.getpid():
