@@ -79,15 +79,18 @@ _DRIVER_ORDER = [
     # generation-eval metrics leg (clipped n-gram overlap: ROUGE-1
     # P/R/F, ROUGE-2 recall, BLEU-2 with brevity penalty).
     "dedup_simhash_exact", "eval_rouge_bleu",
+    # r14: ROUGE-L — the eval leg's completion (VERDICT r13 #5):
+    # LCS-based P/R/F per pair, pandas_udf DP Spark-side, prefix-max
+    # recursive-CTE LCS replay oracle-side (new, zero driver rows ->
+    # head slot). Displaced: knn_int8_batch (green r9+r12+r13; the
+    # quantized serving family keeps knn_binary_batch /
+    # knn_matryoshka_batch / multivec_maxsim_batch /
+    # knn_filtered_int8_batch head rows).
+    "eval_rouge_l",
     # r13: multivec_maxsim likewise to the tail (green r8+r12; the
     # family keeps multivec_maxsim_batch) for the per-source Zipf
     # law fit (closed-form OLS over the top-500 term ranks).
     "corpus_zipf_fit",
-    # r9: SQ8 batch retrieval completing the quantized serving matrix
-    # (oracle-backed, new — rotated in; out goes join_fuzzy, green
-    # r7+r8, the join family keeps null_safe/correlated/interval/
-    # lateral/gapfill head rows)
-    "knn_int8_batch",
     # r9: Matryoshka batch retrieval, third cell of the serving
     # matrix (oracle-backed, new — rotated in; out goes
     # resample_gapfill, green r7+r8, the time-series family keeps
@@ -421,6 +424,10 @@ _DRIVER_ORDER = [
     # MMR diversified re-ranking (greedy-iterative, rows-only by
     # design; independent numpy re-derivation pins the selection)
     "mmr_rerank",
+    # r14: knn_int8_batch rotated to the tail (green r9+r12+r13;
+    # displaced by eval_rouge_l per the rotation policy — the
+    # quantized family keeps four other head rows)
+    "knn_int8_batch",
     # r8: distributed Newton/IRLS quality-classifier training
     # (rows-only by design — iterative model state; NumPy IRLS
     # re-derivation + >=0.95 separation accuracy pinned)

@@ -21,6 +21,7 @@ is the final division, rounded to 6 decimals per the repo convention
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1193,7 +1194,7 @@ def eval_rouge_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     bp = F.when(F.col("n1c") >= F.col("n1r"), F.lit(1.0)).otherwise(
         F.exp(1.0 - F.col("n1r").cast("double") / F.col("n1c"))
     )
-    return m.select(
+    out = m.select(
         "pair_id", "ov1", "ov2",
         F.round(p1, 6).alias("rouge1_p"),
         F.round(r1, 6).alias("rouge1_r"),
@@ -1209,4 +1210,154 @@ def eval_rouge_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rouge2_r"),
         F.round(bp * F.sqrt(p1 * p2), 6).alias("bleu2"),
+    )
+    # the five pairs-consumers must evaluate BEFORE the cache dies (a
+    # lazy return would recompute the pairing self-join per consumer
+    # after unpersist), so eagerly materialize the pair-level metric
+    # rows — one narrow row per pair, corpus-width smaller than the
+    # twice-tokenized `pairs` — then release the cache (ADVICE r13:
+    # each invocation leaked a corpus-sized MEMORY_AND_DISK entry;
+    # same localCheckpoint trade as dedup_clusters' label table).
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out
+
+
+# --------------------------------------------------------------------------
+# eval metrics: ROUGE-L (LCS F-measure) — oracle-checked (VERDICT r13 #5)
+# --------------------------------------------------------------------------
+
+# LCS via recursive CTE: the DP row update has an intra-row dependency
+# (new[j] = max(old[j], new[j-1]) in the mismatch branch) that blocks a
+# plain list comprehension — removed with the PREFIX-MAX identity: since
+# adjacent LCS DP cells differ by at most 1 (new[j-1] <= old[j-1]+1),
+#     new[j] = max over j' <= j of A_{j'},
+#     A_j    = old[j-1] + 1   if c_i = r_j   else old[j]
+# which is comprehension-expressible (property-tested against the
+# classic two-row DP on randomized token lists, tests/test_lm.py).
+# Each recursion step consumes one candidate token and carries the full
+# DP row as a BIGINT list; rows = one per (pair, candidate token).
+# doc_id < 400 and the [1:48] token slice bound the recursion to a
+# CONSTANT size at every sf (the bpe/simhash/chunk fixture rule).
+_ROUGE_L_ORACLE = """\
+WITH RECURSIVE d AS (
+    SELECT doc_id, (string_split(lower(text), ' '))[1:48] AS toks
+    FROM documents WHERE doc_id < 400
+),
+pairs AS (
+    SELECT c.doc_id AS pair_id, c.toks AS ct, r.toks AS rt
+    FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+),
+dp AS (
+    SELECT pair_id, 0 AS i,
+           [CAST(0 AS BIGINT) for j in range(0, len(rt) + 1)] AS row,
+           ct, rt
+    FROM pairs
+  UNION ALL
+    SELECT pair_id, i + 1,
+           [CAST(0 AS BIGINT)] || [
+               list_max([CASE WHEN ct[i + 1] = rt[jj]
+                              THEN row[jj] + 1 ELSE row[jj + 1] END
+                         for jj in range(1, j + 1)])
+               for j in range(1, len(rt) + 1)],
+           ct, rt
+    FROM dp WHERE i < len(ct)
+),
+m AS (
+    SELECT pair_id, row[len(rt) + 1] AS lcs,
+           CAST(len(ct) AS BIGINT) AS n_c,
+           CAST(len(rt) AS BIGINT) AS n_r
+    FROM dp WHERE i = len(ct)
+)
+SELECT pair_id, lcs, n_c, n_r,
+       round(CAST(lcs AS DOUBLE) / n_c, 6) AS rouge_l_p,
+       round(CAST(lcs AS DOUBLE) / n_r, 6) AS rouge_l_r,
+       round(CASE WHEN lcs > 0 THEN
+                 2 * (CAST(lcs AS DOUBLE) / n_c)
+                   * (CAST(lcs AS DOUBLE) / n_r)
+                 / (CAST(lcs AS DOUBLE) / n_c + CAST(lcs AS DOUBLE) / n_r)
+             ELSE 0.0 END, 6) AS rouge_l_f
+FROM m
+"""
+
+
+@register("eval_rouge_l", oracle=_ROUGE_L_ORACLE, tags=("lm", "pipeline"))
+def eval_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L: LCS-based precision/recall/F per candidate/reference
+    pair (Lin 2004 section 3.1) — the order-sensitive eval metric the
+    clipped-n-gram `eval_rouge_bleu` cannot see (it scores bag
+    overlap; LCS rewards in-sequence matches only). Same doc_id+1
+    pairing as eval_rouge_bleu, on the bounded doc_id < 400 slice
+    with tokens cut to the first 48 — constants chosen so the
+    ORACLE's recursive-CTE DP replay stays constant-size at every sf
+    (the bpe/simhash/chunk fixture rule).
+
+    Spark side: the LCS DP runs in an Arrow-batched pandas_udf — the
+    textbook case for the Python path (a data-dependent O(n*m)
+    recurrence with no relational form; the seq_pack bounded-kernel
+    precedent). Scale shape: one co-partitioned doc_id+1 self-join,
+    then the UDF is per-row embarrassing parallelism over
+    48x48-bounded cells — corpus-linear, no shuffle after the join,
+    no driver-side anything. The oracle replays the SAME values via
+    the prefix-max recursive CTE (see _ROUGE_L_ORACLE).
+
+    Reference analog: none (the reference never evaluates its
+    generations) — this completes the eval leg VERDICT r13 #5 named.
+    """
+    d = (
+        io.table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.slice(
+                F.split(F.lower(F.col("text")), " "), 1, 48
+            ).alias("toks"),
+        )
+    )
+    pairs = d.alias("c").join(
+        d.select(
+            (F.col("doc_id") - 1).alias("doc_id"),
+            F.col("toks").alias("rtoks"),
+        ),
+        "doc_id",
+    ).select(F.col("doc_id").alias("pair_id"), "toks", "rtoks")
+
+    @F.pandas_udf("long")
+    def lcs_len(ct: pd.Series, rt: pd.Series) -> pd.Series:
+        def lcs(a, b) -> int:
+            prev = [0] * (len(b) + 1)
+            for x in a:
+                cur = [0] * (len(b) + 1)
+                for j, y in enumerate(b, 1):
+                    cur[j] = (
+                        prev[j - 1] + 1
+                        if x == y
+                        else max(prev[j], cur[j - 1])
+                    )
+                prev = cur
+            return prev[-1]
+
+        return pd.Series(
+            [lcs(list(a), list(b)) for a, b in zip(ct, rt)],
+            dtype="int64",
+        )
+
+    m = pairs.select(
+        "pair_id",
+        lcs_len("toks", "rtoks").alias("lcs"),
+        F.size("toks").cast("long").alias("n_c"),
+        F.size("rtoks").cast("long").alias("n_r"),
+    )
+    p = F.col("lcs").cast("double") / F.col("n_c")
+    r = F.col("lcs").cast("double") / F.col("n_r")
+    return m.select(
+        "pair_id", "lcs", "n_c", "n_r",
+        F.round(p, 6).alias("rouge_l_p"),
+        F.round(r, 6).alias("rouge_l_r"),
+        F.round(
+            F.when(
+                F.col("lcs") > 0, 2 * p * r / (p + r)
+            ).otherwise(0.0),
+            6,
+        ).alias("rouge_l_f"),
     )

@@ -100,3 +100,91 @@ def test_rouge_bleu_known_values(spark):
     assert r.rouge1_f == round(5 / 6, 6)
     assert r.rouge2_r == round(3 / 5, 6)
     assert r.bleu2 == round(math.sqrt((5 / 6) * (3 / 5)), 6)
+
+
+def test_rouge_l_known_values(spark):
+    """eval_rouge_l on the same hand pair: LCS('the cat sat on the
+    mat', 'the cat lay on the mat') = 5 ('the cat ? on the mat' minus
+    the mismatched verb), both lengths 6."""
+    from conversadocs_spark.plans.lm import eval_rouge_l
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the cat lay on the mat"),
+        ],
+        "doc_id long, text string",
+    )
+
+    import conversadocs_spark.io as cio
+
+    orig = cio.table
+    try:
+        cio.table = lambda _s, _d, _t: df  # noqa: ARG005
+        out = {r.pair_id: r for r in eval_rouge_l(spark, "x").collect()}
+    finally:
+        cio.table = orig
+    r = out[0]
+    assert (r.lcs, r.n_c, r.n_r) == (5, 6, 6)
+    assert r.rouge_l_p == round(5 / 6, 6)
+    assert r.rouge_l_r == round(5 / 6, 6)
+    assert r.rouge_l_f == round(5 / 6, 6)
+
+
+def test_rouge_l_oracle_prefix_max_identity():
+    """The oracle's recursive-CTE LCS uses the prefix-max identity
+    (new[j] = max_{j'<=j} A_j', valid because adjacent LCS DP cells
+    differ by <= 1) to remove the intra-row dependency a list
+    comprehension cannot express. Property-test that identity against
+    the classic two-row DP on randomized token lists, through DuckDB
+    itself (the engine that will run the oracle)."""
+    import random
+
+    import duckdb
+
+    def lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                cur[j] = (
+                    prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    vals = []
+    for p in range(80):
+        n, m = rng.randint(0, 12), rng.randint(0, 12)
+        ct = [rng.choice("abc") for _ in range(n)] or [""]
+        rt = [rng.choice("abc") for _ in range(m)] or [""]
+        vals.append((p, ct, rt))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (pair_id INT, ct VARCHAR[], rt VARCHAR[])")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", vals)
+    got = [
+        tuple(r)
+        for r in con.execute(
+            """
+WITH RECURSIVE dp AS (
+    SELECT pair_id, 0 AS i,
+           [CAST(0 AS BIGINT) for j in range(0, len(rt) + 1)] AS row,
+           ct, rt
+    FROM t
+  UNION ALL
+    SELECT pair_id, i + 1,
+           [CAST(0 AS BIGINT)] || [
+               list_max([CASE WHEN ct[i + 1] = rt[jj]
+                              THEN row[jj] + 1 ELSE row[jj + 1] END
+                         for jj in range(1, j + 1)])
+               for j in range(1, len(rt) + 1)],
+           ct, rt
+    FROM dp WHERE i < len(ct)
+)
+SELECT pair_id, row[len(rt) + 1] AS lcs
+FROM dp WHERE i = len(ct) ORDER BY pair_id
+"""
+        ).fetchall()
+    ]
+    assert got == [(p, lcs(c, r)) for p, c, r in vals]
