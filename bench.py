@@ -23,6 +23,90 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# ---------------------------------------------------------------------------
+# box-state instrumentation (VERDICT r13 #1): three straight rounds of
+# headline-ledger ambiguity were resolved only by manual forensics
+# (r10 bisect, r12 fixture diff, r13 judge replication) because the
+# JSON recorded wall times but nothing about the machine they ran on.
+# Stamp (a) loadavg + /proc/pressure/cpu at start AND end, and (b) per
+# query, for the SAME run the min wall came from: CPU seconds consumed
+# by THIS session's process tree (python driver + the local-mode JVM +
+# its pyspark.daemon workers) and by the BOX as a whole. tree_cpu/wall
+# is the parallelism the query actually got; box_cpu - tree_cpu is
+# other tenants' load during the run — the direct contention signal.
+# ---------------------------------------------------------------------------
+
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def _psi_cpu_avg10() -> float | None:
+    """avg10 from /proc/pressure/cpu ("some" line) — fraction of the
+    last 10 s in which runnable tasks stalled waiting for CPU."""
+    try:
+        with open("/proc/pressure/cpu") as f:
+            line = f.readline()
+        return float(line.split("avg10=")[1].split()[0])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _box_cpu_seconds() -> float | None:
+    """Total non-idle CPU seconds across all cores (/proc/stat)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (sum(vals) - vals[3] - vals[4]) / _CLK  # - idle - iowait
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _tree_cpu_seconds() -> float | None:
+    """CPU seconds (utime+stime) summed over this process's subtree:
+    the bench driver, the py4j-launched JVM, and any pyspark.daemon /
+    Arrow worker descendants. One /proc walk; parent-chain membership."""
+    me = os.getpid()
+    procs: dict[int, tuple[int, int]] = {}
+    try:
+        entries = os.listdir("/proc")
+    except OSError:
+        return None
+    for p in entries:
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                data = f.read()
+            rest = data[data.rindex(")") + 2:].split()
+            procs[int(p)] = (
+                int(rest[1]),                    # ppid
+                int(rest[11]) + int(rest[12]),   # utime + stime
+            )
+        except (OSError, ValueError, IndexError):
+            continue
+
+    def in_tree(pid: int) -> bool:
+        seen: set[int] = set()
+        while pid in procs and pid not in seen:
+            if pid == me:
+                return True
+            seen.add(pid)
+            pid = procs[pid][0]
+        return pid == me
+
+    return (
+        sum(cpu for pid, (_, cpu) in procs.items() if in_tree(pid))
+        / _CLK
+    )
+
+
+def _box_snapshot() -> dict:
+    try:
+        l1, l5, _ = os.getloadavg()
+        load = [round(l1, 2), round(l5, 2)]
+    except OSError:
+        load = None
+    return {"loadavg_1m_5m": load, "psi_cpu_avg10": _psi_cpu_avg10()}
+
 # Headline queries: one per major operator family, each a plan whose
 # shape survives 100 TB (see docstrings in conversadocs_spark/plans/).
 HEADLINE = (
@@ -108,7 +192,9 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    box_start = _box_snapshot()
     timings: dict[str, float] = {}
+    query_cpu: dict[str, dict] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         # min of 3 runs at the target sf: run-to-run noise on a busy
@@ -116,7 +202,9 @@ def main() -> None:
         # can inflate a single pass by 40%); the min is the stable
         # steady-state figure the regression budget should track.
         best = None
+        best_cpu = None
         for _ in range(3):
+            tree0, box0 = _tree_cpu_seconds(), _box_cpu_seconds()
             t0 = time.perf_counter()
             # noop-format write materializes EVERY output column
             # end-to-end (count() would let Catalyst prune unreferenced
@@ -125,8 +213,23 @@ def main() -> None:
                 "overwrite"
             ).save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best = dt
+                tree1, box1 = _tree_cpu_seconds(), _box_cpu_seconds()
+                best_cpu = {
+                    "tree_cpu": (
+                        round(tree1 - tree0, 2)
+                        if tree0 is not None and tree1 is not None
+                        else None
+                    ),
+                    "box_cpu": (
+                        round(box1 - box0, 2)
+                        if box0 is not None and box1 is not None
+                        else None
+                    ),
+                }
         timings[name] = round(best, 3)
+        query_cpu[name] = best_cpu
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -157,6 +260,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_cpu": query_cpu,
+                "box": {"start": box_start, "end": _box_snapshot()},
                 "fixture": fixture,
                 "components_rounds": _components.LAST_RUN_ROUNDS,
                 "sf": float(sf) if sf else None,
