@@ -36,6 +36,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+#: executed-plan string of the FIRST CHECKPOINTED segment (the first
+#: `checkpoint_every` rounds) of the most recent pagerank_fixedpoint
+#: call, captured AFTER execution so AQE plans are final —
+#: observability for scale gates (the components.LAST_RUN_ROUNDS
+#: precedent): the sf100 graph gate pins the round shape (links read
+#: from cache, no corpus-wide exchange beyond the inherent ones) on
+#: the plan that actually ran, not on a reconstruction.
+LAST_ROUND_PLAN: str | None = None
+
 
 def pagerank(
     edges: DataFrame,
@@ -53,9 +62,17 @@ def pagerank(
     ``max_iter`` rounds — never returns silently-unconverged ranks
     (the components.py non-convergence contract).
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # persisted for the same reason as the fixedpoint twin: nodes /
+    # out_deg / keepers / links each re-derive e, and without the
+    # cache each materialization re-runs the caller's whole
+    # edge-construction subtree.
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -66,6 +83,7 @@ def pagerank(
     if n_nodes == 0:
         # empty graph: empty result, not a divide-by-zero
         nodes.unpersist()
+        e.unpersist()
         return nodes.select("id", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # flow relation: (src, dst, out_deg) PLUS one keeper self-row —
@@ -89,6 +107,15 @@ def pagerank(
         .repartition(F.col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # static dangling id set, once (see the fixedpoint twin's note)
+    dang = (
+        nodes.join(out_deg, nodes["id"] == out_deg["src"], "left_anti")
+        .repartition(F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dang.count()
+    links.count()  # materialize the loop relation once, then free e
+    e.unpersist()
     ranks = nodes.select(
         "id", F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint(eager=False)
@@ -107,7 +134,7 @@ def pagerank(
         # dangling nodes (no out-edges) leak their rank; redistribute
         # it uniformly. 1-row aggregate, broadcast via crossJoin.
         dangling = (
-            ranks.join(out_deg, ranks["id"] == out_deg["src"], "left_anti")
+            ranks.join(dang, "id", "semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
         )
         new_ranks = (
@@ -141,6 +168,7 @@ def pagerank(
             break
     links.unpersist()
     nodes.unpersist()
+    dang.unpersist()
     if not converged:
         raise RuntimeError(
             f"pagerank did not converge below {tol} in {max_iter} "
@@ -337,17 +365,29 @@ def _pagerank_fixedpoint_body(
         .repartition(F.col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # dangling id set: computed ONCE (left-anti of nodes vs out-degree)
+    # — the per-round dangling mass is then a co-partitioned semi-join
+    # of the current ranks against this static, persisted set instead
+    # of a per-round left_anti whose out_deg lineage would re-derive
+    # the caller's whole edge subtree every round (r14: the e-cache is
+    # released after links materializes, so recomputation would be
+    # corpus-priced, not cache-priced).
+    dang = (
+        nodes.join(out_deg, nodes["id"] == out_deg["src"], "left_anti")
+        .repartition(F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_dangling = dang.count()
     if dangling == "none":
-        n_dangling = nodes.join(
-            out_deg, nodes["id"] == out_deg["src"], "left_anti"
-        ).count()
         if n_dangling > 0:
             links.unpersist()
             nodes.unpersist()
+            dang.unpersist()
             e.unpersist()
             raise ValueError(
                 "dangling='none' but the graph has dangling nodes"
             )
+        dang.unpersist()
     links.count()  # materialize the loop relation once, then free e
     e.unpersist()
     ranks = nodes.select(
@@ -355,6 +395,7 @@ def _pagerank_fixedpoint_body(
     ).localCheckpoint(eager=True)
 
     every = 1 if dangling != "none" else max(1, checkpoint_every)
+    _captured = False
     prev = ranks
     for _i in range(iters):
         rside = F.broadcast(ranks) if broadcast_ranks else ranks
@@ -376,9 +417,11 @@ def _pagerank_fixedpoint_body(
                 ).alias("rank_fp"),
             )
         else:
-            dangling_nodes = ranks.join(
-                out_deg, ranks["id"] == out_deg["src"], "left_anti"
-            )
+            # semi-join against the static dangling set: ranks leaves
+            # the groupBy(nid) hash-partitioned on id, dang is
+            # persisted partitioned on id -> zero-exchange semi join
+            # + a 1-row aggregate, broadcast into the update.
+            dangling_nodes = ranks.join(dang, "id", "semi")
             dshare = (
                 dangling_nodes.select(
                     F.expr(f"rank_fp div {n_nodes}L").alias("ds")
@@ -403,6 +446,13 @@ def _pagerank_fixedpoint_body(
         prev = ranks
         if (_i + 1) % every == 0 or _i == iters - 1:
             ranks = new_ranks.localCheckpoint(eager=True)
+            global LAST_ROUND_PLAN
+            if _captured is False:
+                _captured = True
+                LAST_ROUND_PLAN = (
+                    new_ranks._jdf.queryExecution()
+                    .executedPlan().toString()
+                )
         else:
             ranks = new_ranks
     residual = (
@@ -418,6 +468,8 @@ def _pagerank_fixedpoint_body(
     )
     links.unpersist()
     nodes.unpersist()
+    if dangling != "none":
+        dang.unpersist()
     if residual > tol_fp:
         raise RuntimeError(
             f"pagerank_fixedpoint residual {residual} > tol_fp "
