@@ -91,11 +91,15 @@ _DRIVER_ORDER = [
     # family keeps multivec_maxsim_batch) for the per-source Zipf
     # law fit (closed-form OLS over the top-500 term ranks).
     "corpus_zipf_fit",
-    # r9: Matryoshka batch retrieval, third cell of the serving
-    # matrix (oracle-backed, new — rotated in; out goes
-    # resample_gapfill, green r7+r8, the time-series family keeps
-    # window_range_time + join_interval_attrib)
-    "knn_matryoshka_batch",
+    # r14: MinHash LSH pairs promoted to value-hash-checked (the r13
+    # simhash move applied to the signature 100 TB operator):
+    # md5-derived per-seed signature mins, band values, in-bucket
+    # pair explode and exact-Jaccard re-check all replayed by DuckDB
+    # (new, zero driver rows -> head slot). Displaced:
+    # knn_matryoshka_batch (green r9+r12+r13; the quantized family
+    # keeps knn_binary_batch / multivec_maxsim_batch /
+    # knn_filtered_int8_batch head rows).
+    "dedup_minhash_exact",
     # r9: MaxSim batch — fourth and last serving-matrix cell
     # (oracle-backed, new — rotated in; out goes
     # scan_json_corrupt_tolerant, green r7+r8, the scan family keeps
@@ -424,10 +428,11 @@ _DRIVER_ORDER = [
     # MMR diversified re-ranking (greedy-iterative, rows-only by
     # design; independent numpy re-derivation pins the selection)
     "mmr_rerank",
-    # r14: knn_int8_batch rotated to the tail (green r9+r12+r13;
-    # displaced by eval_rouge_l per the rotation policy — the
-    # quantized family keeps four other head rows)
-    "knn_int8_batch",
+    # r14: knn_int8_batch + knn_matryoshka_batch rotated to the tail
+    # (both green r9+r12+r13; displaced by eval_rouge_l and
+    # dedup_minhash_exact per the rotation policy — the quantized
+    # family keeps three other head rows)
+    "knn_int8_batch", "knn_matryoshka_batch",
     # r8: distributed Newton/IRLS quality-classifier training
     # (rows-only by design — iterative model state; NumPy IRLS
     # re-derivation + >=0.95 separation accuracy pinned)

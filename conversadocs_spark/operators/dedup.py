@@ -563,6 +563,118 @@ def minhash_near_dups(
     return cross.unionByName(intra)
 
 
+def minhash_near_dups_md5(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Oracle-REPLAYABLE MinHash LSH twin (the simhash64_md5 move
+    applied to the minhash family): the same banded pipeline shape as
+    :func:`minhash_near_dups` — distinct word n-gram shingles ->
+    per-seed signature mins -> band values -> in-bucket pair explode
+    (the shared ``_expand_member_pairs`` machinery) -> exact-Jaccard
+    re-check — but every hash is md5-DERIVED (per-seed hash of a
+    shingle = the first 15 hex chars of md5("{seed}:{shingle}") as a
+    60-bit BIGINT; band value = the comma-joined min string, not an
+    xxhash64), so a DuckDB oracle replays every signature, every
+    bucket, and every surviving pair bit for bit. Unlike the simhash
+    pigeonhole (banding there is EXACT for radius <= bands-1), MinHash
+    banding is probabilistic — so the checkable contract is the
+    PIPELINE itself: output pairs are exactly {share >= 1 band} AND
+    {exact Jaccard >= threshold}, which the oracle recomputes
+    independently. The xxhash64 production path (two-level hashing,
+    identical-content collapse, hot-bucket caps) stays
+    :func:`minhash_near_dups`; this twin is for bounded value-checked
+    fixtures (dedup_minhash_exact)."""
+    rows = num_hashes // bands
+    sh = shingle_docs(df, text_col, id_col, n)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = sh.select(
+        "id",
+        F.aggregate(
+            "shingles",
+            F.transform(seeds, lambda _i: F.lit(1 << 62).cast("long")),
+            lambda acc, sng: F.zip_with(
+                acc,
+                seeds,
+                lambda m, i: F.least(
+                    m,
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    i.cast("string"), F.lit(":"), sng
+                                ).cast("binary")
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                ),
+            ),
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    buckets = (
+        banded.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_set("id")).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
+    cand = (
+        _expand_member_pairs(buckets)
+        .select(F.col("p1").alias("id1"), F.col("p2").alias("id2"))
+        .distinct()
+    )
+    hs = sh.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                "shingles",
+                lambda sng: F.conv(
+                    F.substring(F.md5(sng.cast("binary")), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("hs"),
+    )
+    j = jaccard(F.col("h1"), F.col("h2"))
+    return (
+        cand.join(
+            hs.select(F.col("id").alias("id1"), F.col("hs").alias("h1")),
+            "id1",
+        )
+        .join(
+            hs.select(F.col("id").alias("id2"), F.col("hs").alias("h2")),
+            "id2",
+        )
+        .where(j >= threshold)
+        .select("id1", "id2", F.round(j, 6).alias("jaccard_sim"))
+    )
+
+
 def simhash64(col: F.Column) -> F.Column:
     """64-bit SimHash of whitespace tokens, as a signed long column.
 

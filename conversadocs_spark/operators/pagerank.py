@@ -372,22 +372,30 @@ def _pagerank_fixedpoint_body(
     # the caller's whole edge subtree every round (r14: the e-cache is
     # released after links materializes, so recomputation would be
     # corpus-priced, not cache-priced).
-    dang = (
-        nodes.join(out_deg, nodes["id"] == out_deg["src"], "left_anti")
-        .repartition(F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_dangling = dang.count()
     if dangling == "none":
+        # the none path only needs the COUNT (the loud-failure check):
+        # skip the repartition+persist the uniform path's per-round
+        # semi-join needs
+        n_dangling = nodes.join(
+            out_deg, nodes["id"] == out_deg["src"], "left_anti"
+        ).count()
         if n_dangling > 0:
             links.unpersist()
             nodes.unpersist()
-            dang.unpersist()
             e.unpersist()
             raise ValueError(
                 "dangling='none' but the graph has dangling nodes"
             )
-        dang.unpersist()
+        dang = None
+    else:
+        dang = (
+            nodes.join(
+                out_deg, nodes["id"] == out_deg["src"], "left_anti"
+            )
+            .repartition(F.col("id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        dang.count()
     links.count()  # materialize the loop relation once, then free e
     e.unpersist()
     ranks = nodes.select(
@@ -468,7 +476,7 @@ def _pagerank_fixedpoint_body(
     )
     links.unpersist()
     nodes.unpersist()
-    if dangling != "none":
+    if dang is not None:
         dang.unpersist()
     if residual > tol_fp:
         raise RuntimeError(

@@ -2115,3 +2115,117 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# MinHash LSH near-dup pairs, ORACLE-CHECKED (r14 — the simhash r13
+# promotion applied to the signature 100 TB operator). MinHash banding
+# is probabilistic (no pigeonhole guarantee), so the checkable
+# contract is the PIPELINE itself: output pairs are exactly
+# {share >= 1 of 16 band values} AND {exact Jaccard >= 0.5}, both
+# recomputed independently by DuckDB from the same md5-derived
+# hashes. A MATCH value-checks every stage cross-engine: shingling
+# (incl. the <n-token fallback), the 64 per-seed signature mins, the
+# band grouping, the in-bucket candidate expansion, and the exact
+# Jaccard re-check. doc_id < 300 bounds the oracle's 64x per-shingle
+# rehash and its banded join to a constant 600 docs at every sf (the
+# bpe/simhash fixture rule); the UNBOUNDED two-level-xxhash64
+# production path stays `dedup_minhash` (bench-tracked every round).
+# --------------------------------------------------------------------------
+
+_MINHASH_EXACT_ORACLE = """\
+WITH doubled AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 300
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' zq' AS text
+    FROM documents WHERE doc_id < 300
+),
+toks AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM doubled
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN [array_to_string(t[i:i+2], ' ')
+                     for i in range(1, len(t) - 1)]
+               ELSE [array_to_string(t, ' ')] END) AS shingles
+    FROM toks
+),
+hsx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+mins AS (
+    SELECT doc_id, seeds.i,
+           min(CAST(('0x' || substr(
+                   md5(CAST(seeds.i AS VARCHAR) || ':' || s), 1, 15))
+               AS BIGINT)) AS m
+    FROM hsx CROSS JOIN (SELECT unnest(range(0, 64)) AS i) seeds
+    GROUP BY doc_id, seeds.i
+),
+bands AS (
+    SELECT doc_id, i // 4 AS band,
+           string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bval
+    FROM mins GROUP BY doc_id, i // 4
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+),
+hsets AS (
+    SELECT doc_id,
+           list_distinct([CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+                          for x in shingles]) AS hset
+    FROM sh
+)
+SELECT c.id1, c.id2,
+       round(CAST(len(list_intersect(h1.hset, h2.hset)) AS DOUBLE)
+             / len(list_distinct(h1.hset || h2.hset)), 6) AS jaccard_sim
+FROM cand c
+JOIN hsets h1 ON h1.doc_id = c.id1
+JOIN hsets h2 ON h2.doc_id = c.id2
+WHERE CAST(len(list_intersect(h1.hset, h2.hset)) AS DOUBLE)
+      / len(list_distinct(h1.hset || h2.hset)) >= 0.5
+ORDER BY id1, id2\n"""
+
+
+@register(
+    "dedup_minhash_exact",
+    oracle=_MINHASH_EXACT_ORACLE,
+    tags=("text", "dedup"),
+)
+def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs, ORACLE-CHECKED — the promotion of
+    the minhash family's VALUE path from rows-only to
+    value-hash-checked (the dedup_simhash_exact move, r13). The
+    engine runs the banded pipeline with md5-derived hashes
+    (operators/dedup.py:minhash_near_dups_md5 — same shingle /
+    band / in-bucket-pair-explode / exact-re-check shape as the
+    production operator); the oracle recomputes every signature,
+    bucket, and surviving pair independently in DuckDB. Banding is
+    probabilistic, so the contract checked is pipeline identity
+    ({>=1 shared band} AND {Jaccard >= 0.5}), not equality with the
+    brute-force join — the production operator's recall is audited
+    separately (sf100 banded-candidate gates).
+
+    Fixture: the bounded doc_id < 300 slice doubled with a
+    one-token-appended copy (ids +1e6): appending one token adds ~3
+    shingles and removes none, so each (d, d+1e6) pair sits at
+    Jaccard k/(k+3) — near-dup by construction at every sf.
+
+    Reference analog: near-dup screening over the corpus the
+    reference re-indexes wholesale (conversadocs/bones.py:107-119)
+    and never dedups."""
+    from conversadocs_spark.operators.dedup import minhash_near_dups_md5
+
+    d = (
+        io.table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    mutated = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    return minhash_near_dups_md5(
+        d.unionByName(mutated), threshold=0.5, n=3,
+        num_hashes=64, bands=16,
+    )

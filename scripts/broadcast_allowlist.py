@@ -70,8 +70,9 @@ Bounds, per file (reviewed r9):
 - operators/knn.py 3: 1-row query vector / k-row probe shortlist
   (the filtered-kNN semi-join side is deliberately UNhinted).
 - operators/lsh.py 3: hyperplane matrix + 1-row query signature.
-- operators/pagerank.py 2: 1-row dangling-mass aggregates (float
-  pagerank + the fixed-point twin's integer dangling share).
+- operators/pagerank.py 3: 1-row dangling-mass aggregates (float
+  pagerank + the fixed-point twin's integer dangling share) + the
+  opt-in broadcast_ranks hint (bounded-graph serving mode, r14).
 - operators/pq.py 8: codebooks (m×k rows, model state) + 1-row
   query codes.
 """
@@ -82,7 +83,7 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "operators/ivf.py": 3,
     "operators/knn.py": 3,
     "operators/lsh.py": 3,
-    "operators/pagerank.py": 2,
+    "operators/pagerank.py": 3,
     "operators/pq.py": 8,
     "plans/aggregates.py": 6,
     "plans/analytics.py": 11,

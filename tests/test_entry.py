@@ -123,9 +123,13 @@ def test_driver_order_covers_registry_exactly():
                  "sql_lateral_topk", "contamination_bloom",
                  "dedup_ppjoin", "quality_char_entropy",
                  "dsir_resample", "graph_triangles",
-                 "mixture_temperature", "knn_int8_batch",
+                 # (knn_int8_batch + knn_matryoshka_batch rotated to
+                 # the tail in r14 — green r9+r12+r13 — for the
+                 # eval_rouge_l and dedup_minhash_exact oracle
+                 # queries)
+                 "mixture_temperature", "eval_rouge_l",
                  "seq_pack_ffd",
-                 "knn_matryoshka_batch", "multivec_maxsim_batch",
+                 "dedup_minhash_exact", "multivec_maxsim_batch",
                  "pareto_frontier", "interval_concurrency",
                  "path_mining_3step",
                  # (grouped_linreg rotated to the tail in r12 — green
