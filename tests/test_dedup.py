@@ -615,3 +615,79 @@ def test_simhash_md5_twin_layout_and_banding(spark, sf_dir):
     }
     assert banded == brute
     sigs_df.unpersist()
+
+
+def test_minhash_md5_twin_finds_all_constructed_neardups(spark, sf_dir):
+    """Semantic check on the oracle-replayable MinHash twin (beyond
+    the cross-engine identity the driver gate proves): on the doubled
+    fixture every (d, d+1e6) mutated pair sits at Jaccard k/(k+3)
+    (appending one token adds <=3 shingles, removes none), so with 16
+    bands of 4 rows the miss probability per pair is (1-J^4)^16 ~ 0 —
+    ALL constructed pairs must survive banding AND the re-check, and
+    every reported pair must genuinely clear the threshold (verified
+    against an independent exact-Jaccard join over the same md5
+    shingle hashes)."""
+    from pyspark.sql import functions as F
+
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.dedup import (
+        jaccard,
+        minhash_near_dups_md5,
+        shingle_docs,
+    )
+
+    d = (
+        io.table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    doubled = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+        )
+    )
+    got = {
+        (r.id1, r.id2): r.jaccard_sim
+        for r in minhash_near_dups_md5(doubled, threshold=0.5).collect()
+    }
+    n_docs = d.count()
+    mutated = {
+        (r.doc_id, r.doc_id + 1000000) for r in d.select("doc_id").collect()
+    }
+    assert mutated <= set(got), (
+        f"banding missed {len(mutated - set(got))} of {n_docs} "
+        "constructed near-dup pairs"
+    )
+    # no false positives vs an independent exact-Jaccard join over
+    # the same hashed shingle sets
+    sh = shingle_docs(doubled, "text", "doc_id", 3)
+    hs = sh.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                "shingles",
+                lambda s: F.conv(
+                    F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
+                ).cast("long"),
+            )
+        ).alias("hs"),
+    )
+    a, b = hs.alias("a"), hs.alias("b")
+    brute = {
+        (r.id1, r.id2): r.j
+        for r in (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id1"),
+                F.col("b.id").alias("id2"),
+                F.round(
+                    jaccard(F.col("a.hs"), F.col("b.hs")), 6
+                ).alias("j"),
+            )
+            .where(F.col("j") >= 0.5)
+            .collect()
+        )
+    }
+    assert set(got) <= set(brute)  # every reported pair is real
+    assert all(got[k] == brute[k] for k in got)  # with the true sim
