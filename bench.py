@@ -61,9 +61,20 @@ def _box_cpu_seconds() -> float | None:
 
 
 def _tree_cpu_seconds() -> float | None:
-    """CPU seconds (utime+stime) summed over this process's subtree:
-    the bench driver, the py4j-launched JVM, and any pyspark.daemon /
-    Arrow worker descendants. One /proc walk; parent-chain membership."""
+    """CPU seconds summed over this process's subtree: the bench
+    driver, the py4j-launched JVM, and any pyspark.daemon / Arrow
+    worker descendants. One /proc walk; parent-chain membership.
+
+    Counts utime+stime of live members PLUS cutime+cstime (CPU of
+    already-reaped children, credited to the parent at wait()) so
+    workers that exit between the start and end samples aren't
+    dropped (ADVICE r14). The delta between two samples stays exact
+    for the reap-in-window case: at the start the child's own
+    utime is counted, at the end its full lifetime lands in the
+    parent's cutime, and the difference is precisely the CPU burned
+    in the window. Only orphans reparented outside the tree (their
+    waiter is init, not us) still escape — noted here rather than
+    worked around."""
     me = os.getpid()
     procs: dict[int, tuple[int, int]] = {}
     try:
@@ -79,7 +90,8 @@ def _tree_cpu_seconds() -> float | None:
             rest = data[data.rindex(")") + 2:].split()
             procs[int(p)] = (
                 int(rest[1]),                    # ppid
-                int(rest[11]) + int(rest[12]),   # utime + stime
+                int(rest[11]) + int(rest[12])    # utime + stime
+                + int(rest[13]) + int(rest[14]),  # + cutime + cstime
             )
         except (OSError, ValueError, IndexError):
             continue

@@ -42,8 +42,25 @@ from pyspark.storagelevel import StorageLevel
 #: observability for scale gates (the components.LAST_RUN_ROUNDS
 #: precedent): the sf100 graph gate pins the round shape (links read
 #: from cache, no corpus-wide exchange beyond the inherent ones) on
-#: the plan that actually ran, not on a reconstruction.
+#: the plan that actually ran, not on a reconstruction. Module-level
+#: state is last-writer-wins under concurrent calls (ADVICE r14) —
+#: callers that need an unambiguous handle pass ``plan_sink`` to
+#: :func:`pagerank_fixedpoint` instead; the global stays because the
+#: scale gate reaches the operator through the query registry, which
+#: has no out-param channel.
 LAST_ROUND_PLAN: str | None = None
+
+
+def _capture_plan(df: DataFrame) -> str | None:
+    """Best-effort executed-plan capture. PySpark has no public
+    executedPlan accessor, so this goes through the private py4j
+    surface — wrapped so a py4j/API change degrades observability to
+    None instead of failing the OPERATOR (VERDICT r14 #6: the scale
+    gate then skips its plan pin loudly; ranks are unaffected)."""
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return None
 
 
 def pagerank(
@@ -190,6 +207,7 @@ def pagerank_fixedpoint(
     dst_col: str = "dst",
     loop_conf: dict[str, str] | None = None,
     broadcast_ranks: bool = False,
+    plan_sink: list | None = None,
 ) -> DataFrame:
     """FIXED-POINT power-iteration PageRank — the oracle-checkable twin
     of :func:`pagerank` (VERDICT r10 #2).
@@ -265,6 +283,11 @@ def pagerank_fixedpoint(
     counts the rank vector outgrows the driver, and the shuffle join
     co-partitioned on src is the right plan — same scale contract as
     loop_conf.
+
+    ``plan_sink``: optional list; the captured first-round executed
+    plan (a string, or None if the private capture surface is
+    unavailable) is appended to it — the race-free per-call
+    alternative to the module-level ``LAST_ROUND_PLAN`` (ADVICE r14).
     """
     one_minus = alpha_den - alpha_num
     spark = edges.sparkSession
@@ -280,7 +303,7 @@ def pagerank_fixedpoint(
         return _pagerank_fixedpoint_body(
             edges, iters, scale, alpha_num, alpha_den, tol_fp,
             dangling, checkpoint_every, src_col, dst_col, one_minus,
-            broadcast_ranks,
+            broadcast_ranks, plan_sink,
         )
     finally:
         for k, v in saved_conf.items():
@@ -303,6 +326,7 @@ def _pagerank_fixedpoint_body(
     dst_col: str,
     one_minus: int,
     broadcast_ranks: bool = False,
+    plan_sink: list | None = None,
 ) -> DataFrame:
     # Persist the deduped edge relation: nodes / out_deg / keepers /
     # links each re-derive it, and WITHOUT the persist each of those
@@ -454,13 +478,13 @@ def _pagerank_fixedpoint_body(
         prev = ranks
         if (_i + 1) % every == 0 or _i == iters - 1:
             ranks = new_ranks.localCheckpoint(eager=True)
-            global LAST_ROUND_PLAN
             if _captured is False:
                 _captured = True
-                LAST_ROUND_PLAN = (
-                    new_ranks._jdf.queryExecution()
-                    .executedPlan().toString()
-                )
+                captured = _capture_plan(new_ranks)
+                global LAST_ROUND_PLAN
+                LAST_ROUND_PLAN = captured
+                if plan_sink is not None:
+                    plan_sink.append(captured)
         else:
             ranks = new_ranks
     residual = (

@@ -1218,6 +1218,14 @@ def eval_rouge_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice-tokenized `pairs` — then release the cache (ADVICE r13:
     # each invocation leaked a corpus-sized MEMORY_AND_DISK entry;
     # same localCheckpoint trade as dedup_clusters' label table).
+    # TWO caveats bought by this trade (ADVICE r14): (1) this builder
+    # EXECUTES at call time — plan-only callers (explain/plan-shape
+    # tooling) pay the full metric computation and see lineage
+    # truncated to Scan ExistingRDD; (2) localCheckpoint is
+    # non-reliable storage, so on a real cluster losing an executor
+    # loses pair rows with no lineage to rebuild them and fails the
+    # job — a cluster deployment would checkpoint to reliable storage
+    # (or write the pair metrics to parquet between stages) instead.
     out = out.localCheckpoint(eager=True)
     pairs.unpersist()
     return out

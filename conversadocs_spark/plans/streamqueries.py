@@ -72,17 +72,26 @@ def _scratch(prefix: str) -> str:
     import re
     import shutil
 
-    if not prefix.startswith(
-        tuple(f + "_" for f in _SCRATCH_FAMILIES)
+    if not any(
+        prefix.startswith(f + "_") and len(prefix) > len(f) + 1
+        for f in _SCRATCH_FAMILIES
     ):
+        # the tag remainder must be NON-EMPTY too (ADVICE r14): a
+        # bare "fam_" prefix would mint "fam__<pid>_<n>" names; the
+        # sweep regex below now matches those, but rejecting them at
+        # mint time keeps every name round-trippable by construction.
         raise ValueError(
-            f"unregistered scratch family for {prefix!r}: add its "
-            "family to _SCRATCH_FAMILIES or its dirs leak forever"
+            f"unregistered or empty-tag scratch prefix {prefix!r}: "
+            "use '<family>_<tag>' with a registered family and a "
+            "non-empty tag, or its dirs leak forever"
         )
     os.makedirs(_STAGE_ROOT, exist_ok=True)
     fam = "|".join(_SCRATCH_FAMILIES)
+    # `.*` (not `.+`) so historical empty-tag names minted before the
+    # non-empty-tag check are still sweepable (ADVICE r14); the
+    # trailing _(\d+)_\d+ anchor keeps the prefix-anchored safety.
     pat = re.compile(
-        rf"^(?:{fam})_.+_(\d+)_\d+(_(chg|tbl|ckpt))?$"
+        rf"^(?:{fam})_.*_(\d+)_\d+(_(chg|tbl|ckpt))?$"
     )
     for d in os.listdir(_STAGE_ROOT):
         m = pat.match(d)

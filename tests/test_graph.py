@@ -120,6 +120,39 @@ def test_pagerank_fixedpoint_contracts(spark):
         pagerank_fixedpoint(df, iters=1, tol_fp=0, dangling="uniform")
 
 
+def test_pagerank_plan_capture_degrades_not_raises(spark):
+    """VERDICT r14 #6: the executed-plan capture rides the PRIVATE
+    _jdf.queryExecution() surface — a py4j/API change must degrade
+    observability to None, never fail the operator. _capture_plan
+    swallows both a missing surface and one that raises; the
+    plan_sink out-param (ADVICE r14) receives the same value the
+    LAST_ROUND_PLAN global gets, race-free per call."""
+    from conversadocs_spark.operators import pagerank as pr
+
+    # broken surfaces: no _jdf at all, and a _jdf whose access raises
+    assert pr._capture_plan(object()) is None
+
+    class _Boom:
+        @property
+        def _jdf(self):
+            raise RuntimeError("py4j surface changed")
+
+    assert pr._capture_plan(_Boom()) is None
+
+    # healthy path: the sink gets the per-call plan (== the global)
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    sink: list = []
+    ranks = pr.pagerank_fixedpoint(
+        df, iters=4, tol_fp=10**12, dangling="none", plan_sink=sink
+    ).collect()
+    assert len(ranks) == 3
+    assert len(sink) == 1
+    assert sink[0] is not None and "HashAggregate" in sink[0]
+    assert pr.LAST_ROUND_PLAN == sink[0]
+
+
 def test_graph_pagerank_exact_matches_oracle(spark, sf_oracle_dir):
     """The fixed-24-iteration integer power iteration replays in
     DuckDB's recursive CTE (VERDICT r10 #2; budget raised 16->24 by

@@ -888,3 +888,35 @@ def test_scratch_stage_self_sweeps_dead_pid_dirs():
 
         for p in (dead, dead_other, live, plain, ivf_stage):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_scratch_rejects_empty_tag_and_sweeps_legacy_empty_tags():
+    """ADVICE r14: a bare 'fam_' prefix would mint 'fam__<pid>_<n>'
+    names; mint-time now rejects the empty tag remainder, and the
+    sweep regex (relaxed .+ -> .*) still collects any such legacy
+    dirs left by older code."""
+    import pytest
+
+    from conversadocs_spark.plans.streamqueries import (
+        _STAGE_ROOT,
+        _scratch,
+    )
+
+    with pytest.raises(ValueError, match="empty-tag"):
+        _scratch("hll_")
+    with pytest.raises(ValueError, match="unregistered"):
+        _scratch("hll")  # bare family name, no separator at all
+
+    os.makedirs(_STAGE_ROOT, exist_ok=True)
+    dead_pid = 2**22 + 13  # above default pid_max: never alive
+    legacy = os.path.join(_STAGE_ROOT, f"hll__{dead_pid}_0")
+    os.makedirs(legacy, exist_ok=True)
+    try:
+        _scratch("hll_sfT")
+        assert not os.path.isdir(legacy), (
+            "legacy empty-tag dead-pid dir must be swept"
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(legacy, ignore_errors=True)
