@@ -73,12 +73,18 @@ _DRIVER_ORDER = [
     # multivec_maxsim(+_batch) / knn_filtered_int8_batch head rows)
     # so the two NEW oracle-backed queries get their first rows:
     # dedup_simhash_exact — the simhash family's promotion from
-    # rows-only to value-hash-checked (md5-derived signature bits,
-    # brute-force hamming oracle re-proving the banded join's
-    # pigeonhole exactness cross-engine) — and eval_rouge_bleu — the
-    # generation-eval metrics leg (clipped n-gram overlap: ROUGE-1
-    # P/R/F, ROUGE-2 recall, BLEU-2 with brevity penalty).
-    "dedup_simhash_exact", "eval_rouge_bleu",
+    # rows-only to value-hash-checked — and eval_rouge_bleu (clipped
+    # n-gram overlap metrics). r15: BOTH rotated to the tail (green
+    # r13+r14 per the two-green rule); in their slots: ann_ivf_exact
+    # — the ANN ladder's md5-twin promotion (the last
+    # rows-only-BY-DESIGN family gets a value-hash-checked member:
+    # md5-seeded IVF build, fixed Lloyd rounds, probe + in-cell
+    # top-k all replayed by a chained-CTE DuckDB oracle) — and
+    # lm_bigram_score, promoted BACK from the tail (green r6-judge +
+    # r8; the oldest driver row of any oracle query, and this
+    # round's new sf100 lm gate row makes a fresh driver row on the
+    # same plan the right companion evidence).
+    "ann_ivf_exact", "lm_bigram_score",
     # r14: ROUGE-L — the eval leg's completion (VERDICT r13 #5):
     # LCS-based P/R/F per pair, pandas_udf DP Spark-side, prefix-max
     # recursive-CTE LCS replay oracle-side (new, zero driver rows ->
@@ -89,8 +95,14 @@ _DRIVER_ORDER = [
     "eval_rouge_l",
     # r13: multivec_maxsim likewise to the tail (green r8+r12; the
     # family keeps multivec_maxsim_batch) for the per-source Zipf
-    # law fit (closed-form OLS over the top-500 term ranks).
-    "corpus_zipf_fit",
+    # law fit (closed-form OLS over the top-500 term ranks). r15:
+    # corpus_zipf_fit rotated to the tail (green r13 + r14-on-the-
+    # salted-plan per the two-green rule; the VERDICT r14 rotation
+    # note cleared it explicitly); in its slot quality_filter_stack,
+    # promoted BACK from the tail (green r7+r8 — with lm_bigram_score
+    # the stalest driver rows in the registry; the composed quality
+    # screen is a 100 TB pillar and deserves a current-round row).
+    "quality_filter_stack",
     # r14: MinHash LSH pairs promoted to value-hash-checked (the r13
     # simhash move applied to the signature 100 TB operator):
     # md5-derived per-seed signature mins, band values, in-bucket
@@ -309,10 +321,18 @@ _DRIVER_ORDER = [
     # the temperature-scaled mixture gets its first driver row; the
     # text family keeps arrow_text_stats + quality_char_entropy
     "mixture_temperature", "arrow_text_stats",
-    # ANSI try_* safety family (oracle-backed, new — rotated in; out
-    # goes dedup_clusters: green r5 driver row, oracle-swept every
-    # gate run, and bench-tracked per round regardless)
-    "ansi_try_funcs",
+    # ANSI try_* safety family took this slot in r6 (out went
+    # dedup_clusters: green r5 driver row, oracle-swept every gate
+    # run, and bench-tracked per round regardless). r15:
+    # ansi_try_funcs rotated to the tail (NINE consecutive green
+    # rows r6-r14 — the longest streak in the head; the relational /
+    # SQL family keeps join_null_safe, join_bucketed_colocated and
+    # the three sql_* rows) for ann_lsh_exact — the md5-twin
+    # promotion's third ANN application (hyperplane LSH: md5-derived
+    # integer planes, exact BIGINT sign-bit dots, bucket join +
+    # exact re-rank, all replayed by a chained-CTE DuckDB oracle),
+    # completing value-hash-checked coverage of the ANN ladder.
+    "ann_lsh_exact",
     # joins (join_left/right/full rotated to the tail: green driver rows
     # in r1/r2/r4/r5; join_inner rotated to the tail too — green
     # r1-r5; join_fuzzy = new edit-distance-blocked join;
@@ -345,11 +365,17 @@ _DRIVER_ORDER = [
     "token_budget_select", "outlier_mad", "agg_percentile",
     "rerank_topk", "pretrain_corpus", "dedup_semantic_clusters",
     "join_interval_attrib", "window_ntile",
+    # r15 tail rotations (green r13+r14 driver rows — ansi_try_funcs
+    # green r6-r14; see head notes — displaced by ann_ivf_exact,
+    # ann_lsh_exact, and the lm_bigram_score / quality_filter_stack
+    # re-promotions)
+    "dedup_simhash_exact", "eval_rouge_bleu", "corpus_zipf_fit",
+    "ansi_try_funcs",
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
-    "lm_bigram_score", "agg_grouping_sets", "span_dedup",
+    "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",
     "table_diff", "agg_unpivot", "stable_row_ids",
-    "quality_filter_stack", "anomaly_zscore", "lake_compact_files",
+    "anomaly_zscore", "lake_compact_files",
     "knn_auto_indexed", "cohort_retention", "event_transitions",
     "basket_lift", "latest_per_key", "sample_group_topk",
     "length_histogram", "kfold_split", "mixture_realize",

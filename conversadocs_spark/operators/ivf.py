@@ -73,7 +73,11 @@ def _cell_means(
 
 
 def _assign(
-    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    digits: int = 9,
 ) -> DataFrame:
     """Nearest-centroid assignment with ZERO shuffle: fold the K
     centroids into ONE array-of-structs row, broadcast it, and take
@@ -121,7 +125,7 @@ def _assign(
                 F.round(
                     dot_product(F.col(vec_col), c["centroid"])
                     / (F.col("_vn") * c["cn"]),
-                    9,
+                    digits,
                 ).alias("csim"),
                 (-c["list_id"]).alias("neg_list"),
             ),
@@ -171,6 +175,97 @@ def ivf_build(
     return assigned, centroids
 
 
+def ivf_exact_md5(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_lists: int = 8,
+    refine_iters: int = 2,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Oracle-REPLAYABLE IVF twin (the dedup minhash_near_dups_md5
+    recipe, operators/dedup.py, applied to the ANN ladder — VERDICT
+    r14 #3): the same build->refine->probe pipeline as
+    :func:`ivf_build` + :func:`ivf_search`, but every
+    non-replayable ingredient swapped for one DuckDB can recompute
+    bit for bit:
+
+    - seeding: ``list_id0 = md5_60bit(id) % n_lists`` instead of
+      xxhash64 (md5 exists on both engines; 15 hex chars -> positive
+      60-bit BIGINT, so ``pmod == %``);
+    - a FIXED number of Lloyd rounds (no convergence test — the
+      recursion-free chained-CTE replay needs a static plan);
+    - per-cell means through exact DECIMAL(28,10) sums (the
+      production :func:`_cell_means` already does this — partition-
+      order independent, so both engines produce the same doubles);
+    - every cosine rounded to 6 decimals BEFORE any argmax/rank
+      (round(9) would leave ~1e-14 summation-order noise within one
+      rounding step of a boundary often enough to flip an argmax at
+      corpus scale; at 6 the noise is 8 orders of magnitude inside
+      the step), ties broken on lowest list_id / vec_id.
+
+    The checkable contract is the PIPELINE: assignment after each
+    round, the probed cells, and the in-cell exact top-k all replay
+    in one chained-CTE DuckDB query (ann_ivf_exact). The xxhash64
+    production path stays :func:`ivf_build`/:func:`ivf_search` with
+    its recall audits; this twin is for bounded value-checked
+    fixtures."""
+    init = vectors.select(
+        id_col,
+        vec_col,
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.col(id_col).cast("string").cast("binary")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_lists),
+        )
+        .cast("int")
+        .alias("list_id"),
+    )
+    assigned = init
+    # eager-localCheckpoint each round's K-row centroid relation:
+    # without it round r's assignment plan embeds EVERY prior round's
+    # means+argmax lineage and Catalyst re-derives the whole chain
+    # per action (measured 25 s for a 500-vector fixture); with it
+    # each round is one broadcast-join corpus pass over a K-row leaf.
+    # Values are identical (checkpointing only truncates lineage) —
+    # the pagerank cadence note, applied to a K-row state. Executes
+    # at build time; K rows, so the non-reliable-storage caveat is
+    # immaterial (re-running the build is one corpus pass).
+    centroids = _cell_means(init, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    for _ in range(refine_iters):
+        assigned = _assign(
+            vectors, centroids, id_col, vec_col, digits=6
+        )
+        centroids = _cell_means(
+            assigned, id_col, vec_col
+        ).localCheckpoint(eager=True)
+    return ivf_search(
+        assigned,
+        centroids,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        probe_digits=6,
+    )
+
+
 def ivf_search(
     assignments: DataFrame,
     centroids: DataFrame,
@@ -181,6 +276,7 @@ def ivf_search(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    probe_digits: int = 9,
 ) -> DataFrame:
     """Probe the ``nprobe`` nearest cells per query, exact-cosine
     re-rank their members: (query_id, vec_id, sim, rank<=k).
@@ -202,7 +298,7 @@ def ivf_search(
             query_id_col,
             query_vec_col,
             "list_id",
-            F.round(qsim, 9).alias("qsim"),
+            F.round(qsim, probe_digits).alias("qsim"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)

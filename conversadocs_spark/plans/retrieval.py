@@ -380,7 +380,20 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos offsets) is the right shape when MANY phrase queries share
     one positional index; for a single ad-hoc phrase the scan plan
     wins because it reads each doc once and keeps everything
-    pipelined."""
+    pipelined.
+
+    The gram relation feeds BOTH the top-phrase aggregate and the
+    final match scan; without materialization Catalyst re-derives
+    the per-doc `transform(sequence(...), concat_ws)` gram build —
+    the expensive part — once per branch, so the corpus pays it
+    twice (VERDICT r14 #2: the heaviest sf100 quality row at 471 s,
+    4x contamination_ngram). Persist it once — the
+    cache-the-shared-pass move of lm_bigram_score (plans/lm.py),
+    with the same documented no-natural-unpersist-point caveat (LRU
+    eviction bounds it; at real scale this is the relation you'd
+    checkpoint to parquet between pipeline stages anyway)."""
+    from pyspark.storagelevel import StorageLevel
+
     d = io.table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     grams = F.when(
@@ -390,7 +403,9 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    with_g = d.select("doc_id", grams.alias("grams"))
+    with_g = d.select("doc_id", grams.alias("grams")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     top = (
         with_g.select(F.explode("grams").alias("gram"))
         .groupBy("gram")

@@ -399,6 +399,280 @@ def ann_ivf(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# IVF promoted to ORACLE-CHECKED (r15 — the dedup_minhash_exact md5-twin
+# recipe applied to the ANN ladder, VERDICT r14 #3). The production
+# xxhash64 IVF stays rows-only-with-recall-audits (`ann_ivf` above);
+# this twin swaps the seeding for md5 and fixes the Lloyd budget so a
+# chained-CTE DuckDB query replays the WHOLE pipeline value-for-value:
+# md5 seed assignment -> exact-decimal cell means -> two argmax
+# re-assignment rounds -> probe-cell selection -> in-cell exact top-k.
+# vec_id < 2005 bounds the oracle's K x n scoring joins to <=2000
+# corpus vectors at every sf (the bpe/simhash/minhash fixture rule).
+# --------------------------------------------------------------------------
+
+_ANN_IVF_EXACT_ORACLE = """
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id >= 5 AND vec_id < 2005
+),
+e AS (
+    SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM corpus
+),
+a0 AS (
+    SELECT vec_id,
+           CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 8 AS INTEGER) AS list_id
+    FROM corpus
+),
+c0 AS (
+    SELECT a.list_id, e.i,
+           CAST(SUM(CAST(e.x AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*) AS m
+    FROM e JOIN a0 a USING (vec_id)
+    GROUP BY a.list_id, e.i
+),
+s1 AS (
+    SELECT e.vec_id, c.list_id,
+           ROUND(SUM(CAST(e.x AS DOUBLE) * c.m)
+                 / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                    * SQRT(SUM(c.m * c.m))), 6) AS csim
+    FROM e JOIN c0 c USING (i)
+    GROUP BY e.vec_id, c.list_id
+),
+a1 AS (
+    SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, list_id ASC) AS rn
+        FROM s1) WHERE rn = 1
+),
+c1 AS (
+    SELECT a.list_id, e.i,
+           CAST(SUM(CAST(e.x AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*) AS m
+    FROM e JOIN a1 a USING (vec_id)
+    GROUP BY a.list_id, e.i
+),
+s2 AS (
+    SELECT e.vec_id, c.list_id,
+           ROUND(SUM(CAST(e.x AS DOUBLE) * c.m)
+                 / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                    * SQRT(SUM(c.m * c.m))), 6) AS csim
+    FROM e JOIN c1 c USING (i)
+    GROUP BY e.vec_id, c.list_id
+),
+a2 AS (
+    SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, list_id ASC) AS rn
+        FROM s2) WHERE rn = 1
+),
+c2 AS (
+    SELECT a.list_id, e.i,
+           CAST(SUM(CAST(e.x AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*) AS m
+    FROM e JOIN a2 a USING (vec_id)
+    GROUP BY a.list_id, e.i
+),
+q AS (
+    SELECT vec_id AS query_id, unnest(embedding) AS y,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id < 5
+),
+ps AS (
+    SELECT q.query_id, c.list_id,
+           ROUND(SUM(CAST(q.y AS DOUBLE) * c.m)
+                 / (SQRT(SUM(CAST(q.y AS DOUBLE) * CAST(q.y AS DOUBLE)))
+                    * SQRT(SUM(c.m * c.m))), 6) AS qsim
+    FROM q JOIN c2 c USING (i)
+    GROUP BY q.query_id, c.list_id
+),
+pr AS (
+    SELECT query_id, list_id FROM (
+        SELECT query_id, list_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY qsim DESC, list_id ASC) AS rn
+        FROM ps) WHERE rn <= 2
+),
+sims AS (
+    SELECT pr.query_id, a2.vec_id,
+           ROUND(SUM(CAST(e.x AS DOUBLE) * CAST(q.y AS DOUBLE))
+                 / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                    * SQRT(SUM(CAST(q.y AS DOUBLE)
+                               * CAST(q.y AS DOUBLE)))),
+                 6) AS sim
+    FROM pr
+    JOIN a2 USING (list_id)
+    JOIN e ON e.vec_id = a2.vec_id
+    JOIN q ON q.query_id = pr.query_id AND q.i = e.i
+    GROUP BY pr.query_id, a2.vec_id
+)
+SELECT query_id, vec_id, sim, CAST(rk AS INTEGER) AS rank FROM (
+    SELECT query_id, vec_id, sim,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id ASC) AS rk
+    FROM sims) WHERE rk <= 3
+"""
+
+
+@register("ann_ivf_exact", oracle=_ANN_IVF_EXACT_ORACLE, tags=("vector",))
+def ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build + probe, value-hash-checked end to end (VERDICT r14
+    #3 — the last rows-only-BY-DESIGN ANN family gets its
+    value-checked member, via the md5-twin recipe that promoted
+    simhash in r13 and MinHash in r14). Pipeline over <=2000 bounded
+    corpus vectors: md5-seeded 8-cell assignment, two exact-decimal
+    Lloyd refinement rounds (cosine argmax rounded to 6, lowest
+    list_id tie-break), then per query (vec_id < 5) the 2 nearest
+    cells by centroid cosine are probed and their members
+    exact-cosine top-3 re-ranked. The DuckDB oracle replays every
+    stage as a chained CTE — seeding, both refinement rounds, the
+    final means, the probe choice, and the in-cell top-k — so a
+    MATCH certifies the distributed Lloyd/probe machinery, not just
+    the final ranking. The unbounded xxhash64 production path stays
+    `ann_ivf` with its recall audit; scale posture is identical (the
+    twin reuses the production _cell_means/_assign/ivf_search
+    operators, which never shuffle anything wider than
+    (list_id, pos))."""
+    from conversadocs_spark.operators.ivf import ivf_exact_md5
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") < 2005)
+    )
+    return ivf_exact_md5(
+        corpus, queries, n_lists=8, refine_iters=2, k=3, nprobe=2
+    )
+
+
+# --------------------------------------------------------------------------
+# hyperplane LSH promoted to ORACLE-CHECKED (r15 — the md5-twin recipe's
+# third application: simhash r13, MinHash + IVF r14/r15, now the LSH leg,
+# completing value-checked coverage of every ANN-ladder family). The
+# production numpy-Gaussian path stays `ann_topk` (rows-only + recall
+# audit); the twin swaps the planes for md5-derived integers and the
+# sign-bit dot for exact BIGINT fixed-point so no near-zero float
+# projection can flip a bucket bit across engines.
+# --------------------------------------------------------------------------
+
+_ANN_LSH_EXACT_ORACLE = """
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id >= 5 AND vec_id < 2005
+),
+e AS (
+    SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM corpus
+),
+q AS (
+    SELECT vec_id AS query_id, unnest(embedding) AS y,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id < 5
+),
+planes AS (
+    SELECT s.seed, j.j, i.i,
+           CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' ||
+                                     CAST(j.j AS VARCHAR) || ':' ||
+                                     CAST(i.i AS VARCHAR)), 1, 15))
+                AS BIGINT) % 2000001 - 1000000 AS p
+    FROM (SELECT unnest([0, 1]) AS seed) s
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+),
+vdot AS (
+    SELECT e.vec_id, p.seed, p.j,
+           SUM(CAST(ROUND(CAST(e.x AS DOUBLE) * 1000000.0) AS BIGINT)
+               * p.p) AS dot
+    FROM e JOIN planes p ON p.i = e.i - 1
+    GROUP BY e.vec_id, p.seed, p.j
+),
+vb AS (
+    SELECT vec_id, seed,
+           SUM(CASE WHEN dot > 0
+                    THEN CAST(ROUND(POW(2, j)) AS BIGINT)
+                    ELSE 0 END) AS bucket
+    FROM vdot GROUP BY vec_id, seed
+),
+qdot AS (
+    SELECT q.query_id, p.seed, p.j,
+           SUM(CAST(ROUND(CAST(q.y AS DOUBLE) * 1000000.0) AS BIGINT)
+               * p.p) AS dot
+    FROM q JOIN planes p ON p.i = q.i - 1
+    GROUP BY q.query_id, p.seed, p.j
+),
+qb AS (
+    SELECT query_id, seed,
+           SUM(CASE WHEN dot > 0
+                    THEN CAST(ROUND(POW(2, j)) AS BIGINT)
+                    ELSE 0 END) AS bucket
+    FROM qdot GROUP BY query_id, seed
+),
+cand AS (
+    SELECT DISTINCT qb.query_id, vb.vec_id
+    FROM vb JOIN qb USING (seed, bucket)
+),
+sims AS (
+    SELECT c.query_id, c.vec_id,
+           ROUND(SUM(CAST(e.x AS DOUBLE) * CAST(q.y AS DOUBLE))
+                 / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                    * SQRT(SUM(CAST(q.y AS DOUBLE)
+                               * CAST(q.y AS DOUBLE)))),
+                 6) AS sim
+    FROM cand c
+    JOIN e ON e.vec_id = c.vec_id
+    JOIN q ON q.query_id = c.query_id AND q.i = e.i
+    GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id, sim, CAST(rk AS INTEGER) AS rank FROM (
+    SELECT query_id, vec_id, sim,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id ASC) AS rk
+    FROM sims) WHERE rk <= 3
+"""
+
+
+@register("ann_lsh_exact", oracle=_ANN_LSH_EXACT_ORACLE, tags=("vector",))
+def ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket retrieval, value-hash-checked end to end
+    — the md5-twin recipe's third ANN application, completing the
+    ladder (IVF got ann_ivf_exact this round; PQ's ADC arithmetic is
+    already exact-decimal in its tests). Pipeline over the bounded
+    <=2000-vector corpus: 2 seeds x 4 md5-derived integer hyperplanes
+    (operators/lsh.py:_md5_plane_int), sign-bit buckets via exact
+    BIGINT fixed-point dots (round(v*1e6) components — a near-zero
+    float projection can never flip a bit across engines), bucket
+    join, dedup, exact-cosine top-3 (round 6, vec_id tie-break). The
+    DuckDB oracle replays every stage — plane derivation, both
+    bucketings, the candidate join, the re-rank — as a chained CTE,
+    so a MATCH certifies the banded retrieval machinery itself.
+    Scale posture == production `ann_topk` (operators/lsh.py
+    ann_topk_lsh): corpus bucketed in one narrow map pass per seed,
+    shuffle keyed on (seed, bucket), candidates << corpus, planes
+    ride a broadcast."""
+    from conversadocs_spark.operators.lsh import lsh_exact_md5
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") < 2005)
+    )
+    return lsh_exact_md5(
+        corpus, queries, dim=64, k=3, n_planes=4, seeds=(0, 1)
+    )
+
+
+# --------------------------------------------------------------------------
 # cost-based retrieval planning (SURVEY.md §4.2.3 rewrite, realized)
 # --------------------------------------------------------------------------
 
@@ -2203,14 +2477,41 @@ sims AS (
     WHERE d.vec_id >= 5
       AND d.vec_id IN (SELECT doc_id FROM allowed)
     GROUP BY q.vec_id, d.vec_id
+),
+sl AS (
+    SELECT query_id, vec_id, sim_q FROM (
+        SELECT query_id, vec_id, sim_q,
+               dense_rank() OVER (PARTITION BY query_id
+                   ORDER BY sim_q DESC) AS rk_band,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim_q DESC, vec_id ASC) AS rn
+        FROM sims) WHERE rk_band <= 20 AND rn <= 4096
+),
+exact AS (
+    SELECT q.q_id AS query_id, e.vec_id,
+           ROUND(
+               SUM(CAST(e.x AS DOUBLE) * CAST(q.y AS DOUBLE))
+               / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                  * SQRT(SUM(CAST(q.y AS DOUBLE) * CAST(q.y AS DOUBLE)))),
+               6) AS sim
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings
+          WHERE vec_id IN (SELECT DISTINCT vec_id FROM sl)) e
+    JOIN (SELECT vec_id AS q_id, unnest(embedding) AS y,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id < 5) q USING (i)
+    GROUP BY q.q_id, e.vec_id
 )
-SELECT t.query_id, t.vec_id, t.sim_q,
+SELECT t.query_id, t.vec_id, t.sim_q, t.sim,
        CAST(t.rk AS INTEGER) AS rank, dd.lang, dd.source
 FROM (
-    SELECT query_id, vec_id, sim_q,
-           row_number() OVER (PARTITION BY query_id
-               ORDER BY sim_q DESC, vec_id ASC) AS rk
-    FROM sims) t
+    SELECT s.query_id, s.vec_id, s.sim_q, x.sim,
+           row_number() OVER (PARTITION BY s.query_id
+               ORDER BY x.sim DESC, s.vec_id ASC) AS rk
+    FROM sl s
+    JOIN exact x ON s.query_id = x.query_id
+                AND s.vec_id = x.vec_id) t
 JOIN documents dd ON dd.doc_id = t.vec_id
 WHERE t.rk <= 5
 """
@@ -2230,8 +2531,26 @@ def knn_filtered_int8_batch_query(
     scoring (the reference's retriever, bones.py:74, is the
     unfiltered single-query corner of this matrix). Vectors vec_id<5
     are the query batch; the corpus is restricted to documents with
-    lang='en' AND source<>'src0'; per query, top-5 by SQ8-dequantized
-    cosine, annotated with provenance.
+    lang='en' AND source<>'src0'; per query, a TIE-AWARE
+    SQ8-dequantized shortlist (dense_rank() <= 20: the top-20
+    DISTINCT quantized sims, each plateau kept whole; row_number()
+    <= 4096 worst-case bound), then an EXACT fp32 re-rank of that
+    query-bounded candidate set emits the top-5, annotated with
+    provenance.
+
+    The re-rank stage is the r15 recall-margin fix (VERDICT r14 #1):
+    at 5M near-dup-heavy vectors the filtered corpus halves the pool
+    and promotes float near-ties inside one 8-bit quantization step
+    into the top-5 cut — measured recall sat EXACTLY at the 0.80
+    gate floor, and the sf100 diagnosis showed WHY a plain top-(k*C)
+    superset can never fix it: the true winners sit at dense_rank 2
+    BEHIND a ~1000-deep plateau of int8 rounding noise, so every
+    row-count-based cut (row_number OR rank(), which counts rows
+    above) puts them at 1001+ (see the shortlist comment below).
+    The value-band shortlist + fp32 rescore (the matryoshka
+    coarse->refine cadence applied to the SQ8 tier) recovers every
+    true top-5 member whose band reaches the top-20 distinct values;
+    sf100 gate floor raised 0.75 -> 0.95.
 
     Order of operations is the scale contract: the documents
     predicate is pushed to the documents scan (PushedFilters), the
@@ -2244,11 +2563,15 @@ def knn_filtered_int8_batch_query(
     predicates). Then the knn_int8_batch cadence: one scan of the
     filtered corpus scores all Q broadcast dequantized queries, only
     the skinny (query_id, vec_id, sim_q) projection reaches the
-    map-side-pruned per-query top-5 window — the corpus floats never
-    shuffle (plan-pinned: semi-join below the window, every hash
-    exchange keyed on query_id). The Q x 5 result — never the
-    unbounded documents side — is the broadcast side of the
-    provenance join."""
+    per-query shortlist windows — the corpus floats never shuffle
+    (plan-pinned: semi-join below the windows, every hash exchange
+    keyed on query_id). The refine stage broadcasts the
+    Q x (<=4096) shortlist into a SECOND embeddings scan (a
+    broadcast hash join prunes the scan to the candidate rows — no
+    corpus exchange) and the Q-row fp32 query batch into that, so
+    exact cosine runs over the query-bounded candidate rows only.
+    The Q x 5 result — never the unbounded documents side — is the
+    broadcast side of the provenance join."""
     from pyspark.sql import Window
 
     from conversadocs_spark.operators.quant import (
@@ -2286,16 +2609,62 @@ def knn_filtered_int8_batch_query(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim_q"), F.asc("vec_id")
     )
+    w_tie = Window.partitionBy("query_id").orderBy(F.desc("sim_q"))
+    # TIE-AWARE shortlist: dense_rank() (not row_number, not rank) so
+    # the shortlist is "the top-20 DISTINCT sim_q values, each
+    # plateau kept WHOLE". Per-vector SQ8 resolves ~1e-3 of cosine,
+    # so at 5M near-dup-heavy vectors >=1000 corpus rows can share
+    # one rounded sim_q — sf100 measured the true fp32 top-5 at
+    # dense_rank 2 BEHIND a 1000-deep higher plateau of quantization
+    # noise (int8 rounds junk UP past the winners), i.e. row_number
+    # and rank() both put them at 1001+: no fixed row_number cut-off
+    # survives, and rank()<=20 fails too (rank counts ROWS above, so
+    # one deep plateau pushes everything below it past any row-count
+    # threshold). dense_rank()<=20 admits every member of the top-20
+    # value bands; the row_number()<=4096 companion is the documented
+    # worst-case bound that keeps the candidate set query-bounded
+    # (recall within bands cut by it is then best-effort by lowest
+    # vec_id — the honest limit of an 8-bit first stage).
+    shortlist = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .withColumn("rk_band", F.dense_rank().over(w_tie))
+        .where((F.col("rk_band") <= 20) & (F.col("rn") <= 4096))
+        .select("query_id", "vec_id", "sim_q")
+    )
+    # fp32 refine over the query-bounded Q x 20 shortlist: broadcast
+    # it into a second embeddings scan (BHJ prunes the scan — the
+    # corpus never exchanges) and score exactly against the Q-row
+    # raw query batch.
+    qraw = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_q"),
+    )
+    refined = (
+        F.broadcast(shortlist)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qraw), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "sim_q",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("_q")), 6
+            ).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
     top = (
-        sims.withColumn("rank", F.row_number().over(w))
+        refined.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= 5)
-        .select("query_id", "vec_id", "sim_q", "rank")
+        .select("query_id", "vec_id", "sim_q", "sim", "rank")
     )
     prov = docs.select(
         F.col("doc_id").alias("vec_id"), "lang", "source"
     )
     return F.broadcast(top).join(prov, "vec_id").select(
-        "query_id", "vec_id", "sim_q", "rank", "lang", "source"
+        "query_id", "vec_id", "sim_q", "sim", "rank", "lang", "source"
     )
 
 

@@ -62,14 +62,22 @@ Bounds, per file (reviewed r9):
   (allowed-id semi-join likewise UNhinted, inside the planner); r11
   MMR pair adds the Q x 12 candidate-vector fetch broadcasts (the
   plan audit caught Catalyst building on the corpus side at fixture
-  scale — SMJ-shuffling the corpus at 100 TB).
+  scale — SMJ-shuffling the corpus at 100 TB); r15
+  knn_filtered_int8_batch's fp32 refine stage adds the
+  Q x (<=4096) tie-aware shortlist (row_number()<=4096 bounds it by
+  construction) and the Q-row raw fp32 query batch — both
+  query-bounded, and hinting them is what keeps the second
+  embeddings scan a BHJ prune instead of a corpus exchange.
 - streaming/cdc.py 1: per-micro-batch CDC delta.
 - functions/zorder.py 1: 1-row min/max bounds aggregate.
 - operators/incremental.py 1: O(batch) new-doc signatures.
 - operators/ivf.py 3: k-row centroid table (k ≪ corpus).
 - operators/knn.py 3: 1-row query vector / k-row probe shortlist
   (the filtered-kNN semi-join side is deliberately UNhinted).
-- operators/lsh.py 3: hyperplane matrix + 1-row query signature.
+- operators/lsh.py 6: hyperplane matrix + 1-row query signature;
+  r15 lsh_exact_md5 mirrors the production trio (integer planes
+  frame on both bucketing sides + the Q-row bucketed query batch —
+  all bounded by seeds x n_planes x dim / the query batch).
 - operators/pagerank.py 3: 1-row dangling-mass aggregates (float
   pagerank + the fixed-point twin's integer dangling share) + the
   opt-in broadcast_ranks hint (bounded-graph serving mode, r14).
@@ -82,7 +90,7 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "operators/incremental.py": 1,
     "operators/ivf.py": 3,
     "operators/knn.py": 3,
-    "operators/lsh.py": 3,
+    "operators/lsh.py": 6,
     "operators/pagerank.py": 3,
     "operators/pq.py": 8,
     "plans/aggregates.py": 6,
@@ -96,6 +104,6 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "plans/retrieval.py": 4,
     "plans/streamqueries.py": 2,
     "plans/text.py": 2,
-    "plans/vector.py": 23,
+    "plans/vector.py": 25,
     "streaming/cdc.py": 1,
 }

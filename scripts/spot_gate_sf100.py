@@ -65,17 +65,27 @@ SPECS: dict[str, tuple[int, int | None, bool]] = {
 #: Floors are QUALITY bands vs the float-exact top-k at the same
 #: scale, not correctness gates — each tier's own semantics
 #: (dequantized scoring, Hamming shortlist, IVF probe) are
-#: value-hash-checked against DuckDB at sf0.01/sf1/sf10. The SQ8
-#: tiers get 0.75: at 5M vectors the near-dup-heavy fixture packs
+#: value-hash-checked against DuckDB at sf0.01/sf1/sf10. The raw SQ8
+#: tier gets 0.75: at 5M vectors the near-dup-heavy fixture packs
 #: near-ties inside one 8-bit quantization step, so int8's top-5 can
-#: legitimately drift from the float top-5 (measured here: unfiltered
+#: legitimately drift from the float top-5 (r14 measured: unfiltered
 #: 1.00, filtered 0.80 — the filtered corpus halves the pool and
-#: promotes ties into the cut). Binary is a 1-bit code: 0.6.
+#: promotes ties into the cut). The FILTERED tier re-ranks a
+#: TIE-AWARE int8 shortlist (dense_rank()<=20: the top-20 DISTINCT
+#: quantized sims with plateaus whole — sf100 measured the true
+#: top-5 at dense_rank 2 BEHIND a 1000-deep plateau of int8 rounding
+#: noise, so every row-count cut (row_number AND rank(), which
+#: counts rows above) puts them at 1001+; row_number()<=4096 bounds
+#: the worst case) in fp32 since r15 (VERDICT r14 #1 — the filtered
+#: recall sat exactly at its old 0.80 floor), so its floor is 0.95:
+#: only a true top-5 member whose value band misses the top-20
+#: distinct sims, or cut by the 4096 bound, escapes. Binary is a
+#: 1-bit code: 0.6.
 RECALL_FLOORS = {
     "knn_int8_batch": 0.75,
     "knn_matryoshka_batch": 0.9,
     "knn_binary_batch": 0.6,
-    "knn_filtered_int8_batch": 0.75,
+    "knn_filtered_int8_batch": 0.95,
     "knn_auto_filtered_batch": 0.6,
 }
 

@@ -56,8 +56,18 @@ def test_driver_order_covers_registry_exactly():
     # r13: knn_binary + knn_matryoshka rotated to the tail (green
     # r8+r12; the quantized family keeps six head rows) for the
     # promoted simhash oracle twin and the ROUGE/BLEU eval metrics.
-    for must in ("dedup_simhash_exact", "eval_rouge_bleu",
-                 "corpus_zipf_fit",
+    # r15: dedup_simhash_exact + eval_rouge_bleu + corpus_zipf_fit
+    # rotated to the tail (green r13+r14 per the two-green rule;
+    # zipf's r14 row ran the salted plan, cleared by VERDICT r14's
+    # rotation note) for the ann_ivf_exact md5 twin and the
+    # lm_bigram_score / quality_filter_stack re-promotions (the
+    # stalest driver rows in the registry — last rows r8 — and the
+    # two queries this round's sf100 lm/quality gates re-measure).
+    # r15 also: ansi_try_funcs rotated to the tail (green r6-r14,
+    # the head's longest streak) for ann_lsh_exact — the LSH leg of
+    # the ANN ladder's twin promotion.
+    for must in ("ann_ivf_exact", "ann_lsh_exact", "lm_bigram_score",
+                 "quality_filter_stack",
                  # r10: outlier_mad / token_budget_select /
                  # agg_percentile rotated to the tail (green r8+r9 /
                  # r8+r9 / r6-r9) for the three new oracle queries.

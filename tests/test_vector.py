@@ -1099,3 +1099,149 @@ def test_pca_power_fixed_converges_to_numpy_eigenvector(
     vv = np.array(v, dtype=float)
     cos = abs(vv @ pc) / (np.linalg.norm(vv) * np.linalg.norm(pc))
     assert cos >= 0.99, cos
+
+
+def test_ann_ivf_exact_matches_oracle(spark, sf_oracle_dir):
+    """The md5-twin IVF pipeline (VERDICT r14 #3): seeding, both
+    Lloyd rounds, probe choice, and in-cell top-k all replay in the
+    chained-CTE DuckDB oracle."""
+    assert_query_matches_oracle(spark, "ann_ivf_exact", sf_oracle_dir)
+
+
+def test_ann_ivf_exact_is_nondegenerate(spark, sf_oracle_dir):
+    """The twin must actually exercise the IVF machinery: every query
+    fills k=3 from its 2 probed cells, and the md5-seeded 8-cell
+    index is non-trivial (the corpus spreads over >= 4 cells after
+    refinement — a collapsed one-cell index would make the probe a
+    no-op and the 'twin' a brute-force scan in disguise)."""
+    from conversadocs_spark.operators.ivf import ivf_exact_md5
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["ann_ivf_exact"](spark, sf_oracle_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert len(per_q) == 5
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.ivf import _assign, _cell_means
+
+    emb = io.table(spark, sf_oracle_dir, "embeddings")
+    corpus = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 2005))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_exact_md5(corpus, queries, n_lists=8, refine_iters=2)
+    assert out.count() == 15
+    # replay the build legs (same params) and check the refined index
+    # spreads over >= 4 of the 8 cells
+    init = corpus.select(
+        "vec_id",
+        "embedding",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.col("vec_id").cast("string").cast("binary")),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(8),
+        ).cast("int").alias("list_id"),
+    )
+    cents = _cell_means(init, "vec_id", "embedding")
+    for _ in range(2):
+        assigned = _assign(corpus, cents, "vec_id", "embedding", digits=6)
+        cents = _cell_means(assigned, "vec_id", "embedding")
+    n_cells = assigned.select("list_id").distinct().count()
+    assert n_cells >= 4, f"index collapsed to {n_cells} cells"
+
+
+def test_ann_lsh_exact_matches_oracle(spark, sf_oracle_dir):
+    """The md5-twin LSH pipeline (r15, completing the ANN ladder's
+    value-checked coverage): plane derivation, integer sign-bit
+    bucketing, candidate join, and exact re-rank all replay in the
+    chained-CTE DuckDB oracle."""
+    assert_query_matches_oracle(spark, "ann_lsh_exact", sf_oracle_dir)
+
+
+def test_ann_lsh_exact_buckets_actually_prune(spark, sf_oracle_dir):
+    """The twin must exercise real LSH machinery: the integer
+    bucketing spreads the corpus over >= 4 distinct (seed, bucket)
+    cells, every query fills k=3, and at least one query's candidate
+    set is a strict subset of the corpus (a single-bucket collapse
+    would make the 'twin' a brute-force scan in disguise)."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.lsh import (
+        bucket_expr_int,
+        lsh_exact_md5,
+        planes_frame_md5,
+    )
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["ann_lsh_exact"](spark, sf_oracle_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert len(per_q) == 5
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+    emb = io.table(spark, sf_oracle_dir, "embeddings")
+    corpus = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 2005))
+    n_corpus = corpus.count()
+    pf = planes_frame_md5(spark, dim=64, n_planes=4, seeds=(0, 1))
+    vint = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
+    )
+    vb = corpus.crossJoin(F.broadcast(pf)).select(
+        "vec_id",
+        "seed",
+        bucket_expr_int(vint, F.col("planes")).alias("bucket"),
+    )
+    n_cells = vb.select("seed", "bucket").distinct().count()
+    assert n_cells >= 4, f"bucketing collapsed to {n_cells} cells"
+    # candidate volume per query << corpus: recompute one query's
+    # candidate set through the same operator path and require strict
+    # pruning (union over 2 seeds of same-bucket members)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    qint = F.transform(
+        F.col("query_vec"),
+        lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
+    )
+    qb = queries.crossJoin(F.broadcast(pf)).select(
+        "query_id",
+        "seed",
+        bucket_expr_int(qint, F.col("planes")).alias("bucket"),
+    )
+    cand_counts = {
+        r.query_id: r.n
+        for r in vb.join(qb, ["seed", "bucket"])
+        .select("query_id", "vec_id")
+        .distinct()
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert any(n < n_corpus for n in cand_counts.values()), (
+        f"no pruning: candidates == corpus for every query "
+        f"({cand_counts} vs {n_corpus})"
+    )
+    # determinism of the driver-side plane derivation (the oracle
+    # recomputes these ints from md5 strings — pin one value so a
+    # formatting drift fails here, not in the driver compare)
+    from conversadocs_spark.operators.lsh import _md5_plane_int
+
+    assert _md5_plane_int(0, 0, 0) == _md5_plane_int(0, 0, 0)
+    import hashlib
+
+    want = (
+        int(hashlib.md5(b"1:2:3").hexdigest()[:15], 16) % 2000001
+        - 1000000
+    )
+    assert _md5_plane_int(1, 2, 3) == want
