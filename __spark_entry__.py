@@ -319,8 +319,15 @@ _DRIVER_ORDER = [
     "scan_schema_evolution", "pareto_frontier",
     # text normalization rotated to the tail in r9 (green r7+r8) so
     # the temperature-scaled mixture gets its first driver row; the
-    # text family keeps arrow_text_stats + quality_char_entropy
-    "mixture_temperature", "arrow_text_stats",
+    # text family keeps arrow_text_stats + quality_char_entropy.
+    # r15: arrow_text_stats rotated to the tail (green r6-r14 — nine
+    # rows; the Arrow-kernel family keeps arrow_grouped_seq, text
+    # keeps quality_char_entropy) for ann_pq_exact — the md5-twin
+    # promotion's fourth application (product quantization: md5
+    # init, one exact-decimal Lloyd round, argmin codes, ADC, pool,
+    # exact refine — all replayed by a chained-CTE oracle), CLOSING
+    # the ANN ladder's value-checked coverage.
+    "mixture_temperature", "ann_pq_exact",
     # ANSI try_* safety family took this slot in r6 (out went
     # dedup_clusters: green r5 driver row, oracle-swept every gate
     # run, and bench-tracked per round regardless). r15:
@@ -370,7 +377,7 @@ _DRIVER_ORDER = [
     # ann_lsh_exact, and the lm_bigram_score / quality_filter_stack
     # re-promotions)
     "dedup_simhash_exact", "eval_rouge_bleu", "corpus_zipf_fit",
-    "ansi_try_funcs",
+    "ansi_try_funcs", "arrow_text_stats",
     # r9 tail rotations (green r6-judge/r7 + r8 driver rows; see head)
     "agg_grouping_sets", "span_dedup",
     "join_fuzzy", "resample_gapfill", "scan_json_corrupt_tolerant",

@@ -71,10 +71,15 @@ def _pack(codebook: DataFrame) -> DataFrame:
     )
 
 
-def _codes_expr(vec: Column, m: int, dsub: int) -> Column:
+def _codes_expr(
+    vec: Column, m: int, dsub: int, digits: int = 9
+) -> Column:
     """All m nearest-code assignments in one expression over the
     broadcast ``cb`` row — no explode, no shuffle. Tie-break on the
-    lowest code via the negated field in the struct ordering."""
+    lowest code via the negated field in the struct ordering.
+    ``digits`` rounds the argmin distances (9 production; the md5
+    twin uses 6 so cross-engine summation-order noise sits far
+    inside one rounding step — the ivf_exact_md5 rule)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: -(
@@ -87,7 +92,7 @@ def _codes_expr(vec: Column, m: int, dsub: int) -> Column:
                                 F.slice(vec, j * dsub + 1, F.lit(dsub)),
                                 e["centroid"],
                             ),
-                            9,
+                            digits,
                         ).alias("nd"),
                         (-e["code"]).alias("negcode"),
                     ),
@@ -104,6 +109,7 @@ def pq_encode(
     dsub: int,
     id_col: str,
     vec_col: str,
+    digits: int = 9,
 ) -> DataFrame:
     """(id, vec, codes array<int>) — the PQ-compressed corpus. At
     100 TB you persist (id, codes) and drop the raw vectors from the
@@ -111,7 +117,9 @@ def pq_encode(
     return normed.crossJoin(F.broadcast(_pack(codebook))).select(
         id_col,
         vec_col,
-        _codes_expr(F.col(vec_col), m, dsub).alias("codes"),
+        _codes_expr(F.col(vec_col), m, dsub, digits=digits).alias(
+            "codes"
+        ),
     )
 
 
@@ -475,6 +483,188 @@ def ivfpq_topk(
         vectors.select(id_col, vec_col), on=id_col
     ).join(
         F.broadcast(queries.select(query_id_col, query_vec_col)),
+        on=query_id_col,
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    return (
+        refined.select(
+            query_id_col, id_col, F.round(sim, 6).alias("sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_exact_md5(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 3,
+    pool: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Oracle-REPLAYABLE PQ twin (the md5-twin recipe's fourth
+    application — simhash r13, MinHash r14, IVF + LSH r15 — closing
+    the ANN ladder): the same train -> encode -> ADC -> pool ->
+    exact-refine pipeline as :func:`pq_train` / :func:`pq_topk`, with
+    every non-replayable ingredient swapped for one DuckDB recomputes
+    bit for bit:
+
+    - init: ``code0 = md5_60bit("id:sub") % ksub`` instead of
+      xxhash64 (both engines evaluate the identical hex arithmetic);
+    - ONE fixed Lloyd refinement round (static chained-CTE plan);
+    - per-(sub, code, pos) means through exact DECIMAL(28,10) sums
+      (the production :func:`_means`, unchanged — raw parquet doubles
+      in, identical doubles out on both engines);
+    - RAW vectors, no L2 normalize: the twin's checkable contract is
+      the quantization machinery (subspace split, cell means, argmin
+      codes, ADC lookups, pool, refine), and dividing by a
+      float-summed norm ahead of the decimal-exact mean stage would
+      inject the one cross-engine noise source the recipe exists to
+      avoid; the exact re-rank stays cosine, so the emitted ranking
+      contract matches the ladder's other twins;
+    - argmin distances and the summed ADC rounded to 6 BEFORE any
+      rank (noise ~1e-15 sits 9 orders inside the step), ties on
+      lowest code / vec_id.
+
+    Production stays :func:`pq_topk` with its recall audits; this
+    twin is for bounded value-checked fixtures."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    raw = vectors.select(id_col, vec_col)
+    subs = raw.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), j * dsub + 1, dsub)
+                    for j in range(m)
+                ]
+            )
+        ).alias("sub", "subvec"),
+    ).withColumn(
+        "code",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col(id_col).cast("string"),
+                            F.col("sub").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(ksub),
+        ).cast("int"),
+    )
+    # eager-localCheckpoint each codebook (<= m*ksub rows): the
+    # ivf_exact_md5 lineage rule — without it the refine round's plan
+    # embeds the full init-means chain per action. K-row state, so
+    # the non-reliable-storage caveat is immaterial.
+    c0 = _means(subs).localCheckpoint(eager=True)
+    enc1 = pq_encode(raw, c0, m, dsub, id_col, vec_col, digits=6)
+    a1 = enc1.select(
+        id_col,
+        vec_col,
+        F.posexplode("codes").alias("sub", "code"),
+    ).select(
+        "sub",
+        "code",
+        F.slice(
+            F.col(vec_col), F.col("sub") * dsub + 1, F.lit(dsub)
+        ).alias("subvec"),
+    )
+    c1 = _means(a1).localCheckpoint(eager=True)
+    encoded = pq_encode(raw, c1, m, dsub, id_col, vec_col, digits=6)
+
+    qn = queries.select(query_id_col, query_vec_col)
+
+    def _dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # per-query ADC tables over the UNrounded per-subspace dots; the
+    # summed ADC is rounded to 6 below (one final rounding of the
+    # 64-term total — the cross-engine-safe point)
+    tab = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda c: F.coalesce(
+                F.get(
+                    F.transform(
+                        F.filter(
+                            F.col("cb"),
+                            lambda e: (e["sub"] == j) & (e["code"] == c),
+                        ),
+                        lambda e: _dot(
+                            F.slice(
+                                F.col(query_vec_col),
+                                j * dsub + 1,
+                                F.lit(dsub),
+                            ),
+                            e["centroid"],
+                        ),
+                    ),
+                    0,
+                ),
+                F.lit(-1e9),
+            ),
+        ),
+    )
+    qtab = qn.crossJoin(F.broadcast(_pack(c1))).select(
+        query_id_col, query_vec_col, tab.alias("tab")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("tab"),
+            lambda c, t: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        encoded.crossJoin(F.broadcast(qtab))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(adc, 6).alias("adc"),
+        )
+    )
+    wpool = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc"), F.asc(id_col)
+    )
+    pooled = (
+        cand.withColumn("rn", F.row_number().over(wpool))
+        .where(F.col("rn") <= pool)
+        .select(query_id_col, id_col)
+    )
+    refined = pooled.join(
+        vectors.select(id_col, vec_col), on=id_col
+    ).join(
+        F.broadcast(qn.select(query_id_col, query_vec_col)),
         on=query_id_col,
     )
     sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))

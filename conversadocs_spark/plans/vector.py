@@ -673,6 +673,156 @@ def ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# product quantization promoted to ORACLE-CHECKED (r15 — the md5-twin
+# recipe's fourth application, CLOSING the ANN ladder: LSH, IVF, and PQ
+# now all carry value-hash-checked members; production paths keep their
+# recall audits). md5 init, one fixed Lloyd round, exact-decimal means,
+# ADC + pool + exact refine — every stage replayed by the chained CTE.
+# --------------------------------------------------------------------------
+
+_ANN_PQ_EXACT_ORACLE = """
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id >= 5 AND vec_id < 2005
+),
+e AS (
+    SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM corpus
+),
+s AS (
+    SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS sub,
+           CAST((i - 1) % 16 AS INTEGER) AS pos,
+           CAST(x AS DOUBLE) AS x
+    FROM e
+),
+a0 AS (
+    SELECT DISTINCT vec_id, sub,
+           CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':'
+                          || CAST(sub AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 8 AS INTEGER) AS code
+    FROM s
+),
+c0 AS (
+    SELECT a.sub, a.code, s.pos,
+           CAST(SUM(CAST(s.x AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*) AS m
+    FROM s JOIN a0 a ON a.vec_id = s.vec_id AND a.sub = s.sub
+    GROUP BY a.sub, a.code, s.pos
+),
+d1 AS (
+    SELECT s.vec_id, s.sub, c.code,
+           ROUND(SUM((s.x - c.m) * (s.x - c.m)), 6) AS dist
+    FROM s JOIN c0 c ON c.sub = s.sub AND c.pos = s.pos
+    GROUP BY s.vec_id, s.sub, c.code
+),
+a1 AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                   ORDER BY dist ASC, code ASC) AS rn
+        FROM d1) WHERE rn = 1
+),
+c1 AS (
+    SELECT a.sub, a.code, s.pos,
+           CAST(SUM(CAST(s.x AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*) AS m
+    FROM s JOIN a1 a ON a.vec_id = s.vec_id AND a.sub = s.sub
+    GROUP BY a.sub, a.code, s.pos
+),
+d2 AS (
+    SELECT s.vec_id, s.sub, c.code,
+           ROUND(SUM((s.x - c.m) * (s.x - c.m)), 6) AS dist
+    FROM s JOIN c1 c ON c.sub = s.sub AND c.pos = s.pos
+    GROUP BY s.vec_id, s.sub, c.code
+),
+codes AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                   ORDER BY dist ASC, code ASC) AS rn
+        FROM d2) WHERE rn = 1
+),
+qfull AS (
+    SELECT vec_id AS query_id, unnest(embedding) AS y,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id < 5
+),
+qs AS (
+    SELECT query_id, CAST((i - 1) // 16 AS INTEGER) AS sub,
+           CAST((i - 1) % 16 AS INTEGER) AS pos,
+           CAST(y AS DOUBLE) AS y
+    FROM qfull
+),
+adcx AS (
+    SELECT q.query_id, cd.vec_id,
+           ROUND(SUM(q.y * c.m), 6) AS adc
+    FROM codes cd
+    JOIN c1 c ON c.sub = cd.sub AND c.code = cd.code
+    JOIN qs q ON q.sub = cd.sub AND q.pos = c.pos
+    GROUP BY q.query_id, cd.vec_id
+),
+pooled AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc DESC, vec_id ASC) AS rn
+        FROM adcx) WHERE rn <= 32
+),
+sims AS (
+    SELECT p.query_id, p.vec_id,
+           ROUND(SUM(CAST(e.x AS DOUBLE) * CAST(qf.y AS DOUBLE))
+                 / (SQRT(SUM(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE)))
+                    * SQRT(SUM(CAST(qf.y AS DOUBLE)
+                               * CAST(qf.y AS DOUBLE)))),
+                 6) AS sim
+    FROM pooled p
+    JOIN e ON e.vec_id = p.vec_id
+    JOIN qfull qf ON qf.query_id = p.query_id AND qf.i = e.i
+    GROUP BY p.query_id, p.vec_id
+)
+SELECT query_id, vec_id, sim, CAST(rk AS INTEGER) AS rank FROM (
+    SELECT query_id, vec_id, sim,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id ASC) AS rk
+    FROM sims) WHERE rk <= 3
+"""
+
+
+@register("ann_pq_exact", oracle=_ANN_PQ_EXACT_ORACLE, tags=("vector",))
+def ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization retrieval, value-hash-checked end to end
+    — the md5-twin recipe's fourth application, CLOSING the ANN
+    ladder (LSH + IVF twins landed earlier this round; production
+    `ann_pq`/`ann_ivfpq` keep their recall audits). Pipeline over the
+    bounded <=2000-vector corpus: 4 subspaces x 8 codes, md5-seeded
+    init, ONE exact-decimal Lloyd refinement, argmin codes (squared
+    distances rounded to 6, lowest-code tie-break), per-query ADC
+    over the code table (summed dot rounded to 6), top-32 pool,
+    exact-cosine top-3 re-rank. The DuckDB oracle replays every stage
+    — init hash, both codebooks, both assignments, the ADC lookups,
+    the pool, and the refine — as a chained CTE
+    (operators/pq.py:pq_exact_md5 reuses the production
+    _means/_codes_expr/_pack machinery). Scale posture == production
+    pq_topk: codebook rides a broadcast, the corpus-sized stage emits
+    slim (query_id, vec_id, adc) rows, nothing shuffles wider than
+    (sub, code, pos)."""
+    from conversadocs_spark.operators.pq import pq_exact_md5
+
+    emb = io.table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") < 2005)
+    )
+    return pq_exact_md5(
+        corpus, queries, dim=64, m=4, ksub=8, k=3, pool=32
+    )
+
+
+# --------------------------------------------------------------------------
 # cost-based retrieval planning (SURVEY.md §4.2.3 rewrite, realized)
 # --------------------------------------------------------------------------
 

@@ -81,8 +81,10 @@ Bounds, per file (reviewed r9):
 - operators/pagerank.py 3: 1-row dangling-mass aggregates (float
   pagerank + the fixed-point twin's integer dangling share) + the
   opt-in broadcast_ranks hint (bounded-graph serving mode, r14).
-- operators/pq.py 8: codebooks (m×k rows, model state) + 1-row
-  query codes.
+- operators/pq.py 11: codebooks (m×k rows, model state) + 1-row
+  query codes; r15 pq_exact_md5 mirrors the production trio (packed
+  twin codebook, Q-row ADC table batch, Q-row refine query batch —
+  all bounded by m*ksub / the query batch).
 """
 
 BROADCAST_ALLOWED: dict[str, int] = {
@@ -92,7 +94,7 @@ BROADCAST_ALLOWED: dict[str, int] = {
     "operators/knn.py": 3,
     "operators/lsh.py": 6,
     "operators/pagerank.py": 3,
-    "operators/pq.py": 8,
+    "operators/pq.py": 11,
     "plans/aggregates.py": 6,
     "plans/analytics.py": 11,
     "plans/eventtime.py": 1,

@@ -63,10 +63,12 @@ def test_driver_order_covers_registry_exactly():
     # lm_bigram_score / quality_filter_stack re-promotions (the
     # stalest driver rows in the registry — last rows r8 — and the
     # two queries this round's sf100 lm/quality gates re-measure).
-    # r15 also: ansi_try_funcs rotated to the tail (green r6-r14,
-    # the head's longest streak) for ann_lsh_exact — the LSH leg of
-    # the ANN ladder's twin promotion.
-    for must in ("ann_ivf_exact", "ann_lsh_exact", "lm_bigram_score",
+    # r15 also: ansi_try_funcs and arrow_text_stats rotated to the
+    # tail (green r6-r14, the head's two longest streaks) for
+    # ann_lsh_exact and ann_pq_exact — the LSH and PQ legs of the
+    # ANN ladder's twin promotion, closing the ladder.
+    for must in ("ann_ivf_exact", "ann_lsh_exact", "ann_pq_exact",
+                 "lm_bigram_score",
                  "quality_filter_stack",
                  # r10: outlier_mad / token_budget_select /
                  # agg_percentile rotated to the tail (green r8+r9 /

@@ -1245,3 +1245,86 @@ def test_ann_lsh_exact_buckets_actually_prune(spark, sf_oracle_dir):
         - 1000000
     )
     assert _md5_plane_int(1, 2, 3) == want
+
+
+def test_ann_pq_exact_matches_oracle(spark, sf_oracle_dir):
+    """The md5-twin PQ pipeline (r15, closing the ANN ladder): init
+    hash, both codebooks, both assignments, ADC, pool, and refine all
+    replay in the chained-CTE DuckDB oracle."""
+    assert_query_matches_oracle(spark, "ann_pq_exact", sf_oracle_dir)
+
+
+def test_ann_pq_exact_is_nondegenerate(spark, sf_oracle_dir):
+    """The twin must exercise real PQ machinery: every query fills
+    k=3, the refined codebook keeps >= 4 distinct codes in use across
+    subspaces (a collapsed one-code-per-subspace book would make ADC
+    a constant and the pool arbitrary), and the ADC pool actually
+    prunes (pool=32 < corpus)."""
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.pq import (
+        _means,
+        pq_encode,
+        pq_exact_md5,
+    )
+    from conversadocs_spark.plans import QUERIES
+
+    rows = QUERIES["ann_pq_exact"](spark, sf_oracle_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert len(per_q) == 5
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+    emb = io.table(spark, sf_oracle_dir, "embeddings")
+    corpus = emb.where(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") < 2005)
+    ).select("vec_id", "embedding")
+    m, dsub, ksub = 4, 16, 8
+    subs = corpus.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding"), j * dsub + 1, dsub)
+                    for j in range(m)
+                ]
+            )
+        ).alias("sub", "subvec"),
+    ).withColumn(
+        "code",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("vec_id").cast("string"),
+                            F.col("sub").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(ksub),
+        ).cast("int"),
+    )
+    c0 = _means(subs)
+    enc1 = pq_encode(corpus, c0, m, dsub, "vec_id", "embedding", digits=6)
+    a1 = enc1.select(
+        "vec_id", "embedding", F.posexplode("codes").alias("sub", "code")
+    ).select(
+        "sub",
+        "code",
+        F.slice(
+            F.col("embedding"), F.col("sub") * dsub + 1, F.lit(dsub)
+        ).alias("subvec"),
+    )
+    c1 = _means(a1)
+    n_codes = c1.select("sub", "code").distinct().count()
+    assert n_codes >= 4, f"codebook collapsed to {n_codes} cells"
+    n_corpus = corpus.count()
+    assert n_corpus > 32, (
+        f"fixture corpus {n_corpus} <= pool 32 — the ADC pool would "
+        "not prune and the 'twin' would be a brute scan in disguise"
+    )
