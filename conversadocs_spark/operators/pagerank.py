@@ -79,10 +79,10 @@ def pagerank(
     ``max_iter`` rounds — never returns silently-unconverged ranks
     (the components.py non-convergence contract).
     """
-    # persisted for the same reason as the fixedpoint twin: nodes /
-    # out_deg / keepers / links each re-derive e, and without the
-    # cache each materialization re-runs the caller's whole
-    # edge-construction subtree.
+    # persisted for the same reason as the fixedpoint twin: the degree
+    # relation and links each re-derive e, and without the cache each
+    # materialization re-runs the caller's whole edge-construction
+    # subtree.
     e = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -90,50 +90,70 @@ def pagerank(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
+    # ONE degree pass replaces the old nodes-distinct + two left-anti
+    # joins (r15, guide §2.4 — remove shuffles outright): per node,
+    # out_deg = number of rows where it is a src, has_in = whether it
+    # is ever a dst. From this single grouped relation fall out the
+    # node set (every id), the keeper set (has_in = 0), the dangling
+    # set (out_deg = 0) and the out-degree join side — identical sets
+    # to the old formulation, one exchange instead of four.
+    deg = (
+        e.select(
+            F.col("src").alias("id"),
+            F.lit(1).alias("o"),
+            F.lit(0).alias("i"),
+        )
+        .unionAll(
+            e.select(
+                F.col("dst").alias("id"),
+                F.lit(0).alias("o"),
+                F.lit(1).alias("i"),
+            )
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("o").cast("long").alias("out_deg"),
+            F.max("i").alias("has_in"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_nodes = nodes.count()  # scalar: also materializes the cache
+    n_nodes = deg.count()  # scalar: also materializes the cache
     if n_nodes == 0:
         # empty graph: empty result, not a divide-by-zero
-        nodes.unpersist()
+        deg.unpersist()
         e.unpersist()
-        return nodes.select("id", F.lit(0.0).alias("rank"))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+        return deg.select("id", F.lit(0.0).alias("rank"))
     # flow relation: (src, dst, out_deg) PLUS one keeper self-row —
     # NULL out_deg, contribution ignored by SUM but the group
     # survives — for each node that would otherwise drop out of the
     # per-round aggregation. Only no-IN-edge nodes need one (any
-    # other node's group survives via its real inflow rows), so the
-    # keeper set is one one-time left-anti, empty on symmetric edge
-    # lists. Hash-partitioned once on src: every round's contribution
-    # join reuses this distribution.
-    keepers = nodes.join(
-        e.select(F.col("dst").alias("id")).distinct(), "id", "left_anti"
-    ).select(
+    # other node's group survives via its real inflow rows); empty on
+    # symmetric edge lists. Hash-partitioned once on src: every
+    # round's contribution join reuses this distribution.
+    keepers = deg.where(F.col("has_in") == 0).select(
         F.col("id").alias("src"),
         F.col("id").alias("dst"),
         F.lit(None).cast("long").alias("out_deg"),
     )
+    # a node with out_deg = 0 never appears as src in e, so the inner
+    # join drops it without an explicit filter
     links = (
-        e.join(out_deg, "src")
+        e.join(deg.select(F.col("id").alias("src"), "out_deg"), "src")
         .unionByName(keepers)
         .repartition(F.col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # static dangling id set, once (see the fixedpoint twin's note)
     dang = (
-        nodes.join(out_deg, nodes["id"] == out_deg["src"], "left_anti")
+        deg.where(F.col("out_deg") == 0)
+        .select("id")
         .repartition(F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dang.count()
     links.count()  # materialize the loop relation once, then free e
     e.unpersist()
-    ranks = nodes.select(
+    ranks = deg.select(
         "id", F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint(eager=False)
 
@@ -184,7 +204,7 @@ def pagerank(
             converged = True
             break
     links.unpersist()
-    nodes.unpersist()
+    deg.unpersist()
     dang.unpersist()
     if not converged:
         raise RuntimeError(
@@ -344,23 +364,47 @@ def _pagerank_fixedpoint_body(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
+    # ONE degree pass replaces the old nodes-distinct + left-anti
+    # joins (r15, guide §2.4 — remove shuffles outright): per node,
+    # out_deg = count of rows where it is a src, has_in = whether it
+    # ever appears as a dst. The node set (every id), the keeper set
+    # (has_in = 0), the dangling set (out_deg = 0) and the out-degree
+    # join side all read this one persisted relation — identical sets
+    # to the old formulation (re-gated bit-identical), one exchange
+    # instead of four and ONE setup action instead of three
+    # (n_nodes + n_dangling come from a single aggregate row).
+    deg = (
+        e.select(
+            F.col("src").alias("id"),
+            F.lit(1).alias("o"),
+            F.lit(0).alias("i"),
+        )
+        .unionAll(
+            e.select(
+                F.col("dst").alias("id"),
+                F.lit(0).alias("o"),
+                F.lit(1).alias("i"),
+            )
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("o").cast("bigint").alias("out_deg"),
+            F.max("i").alias("has_in"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_nodes = nodes.count()
+    stats = deg.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("out_deg") == 0).alias("d"),
+    ).first()
+    n_nodes, n_dangling = stats["n"], stats["d"]
     if n_nodes == 0:
-        nodes.unpersist()
+        deg.unpersist()
         e.unpersist()
-        return nodes.select(
+        return deg.select(
             "id", F.lit(0).cast("bigint").alias("rank_fp")
         )
     base = scale // n_nodes
-    out_deg = e.groupBy("src").agg(
-        F.count("*").cast("bigint").alias("out_deg")
-    )
     # keeper self-rows (NULL deg): zero-INFLOW nodes survive the
     # per-round aggregation without a nodes join — the same flow
     # relation the DuckDB oracle builds (plans/graph.py), and values
@@ -370,42 +414,35 @@ def _pagerank_fixedpoint_body(
     # FOLDED (VERDICT r12 #5): only nodes that never appear as an
     # edge DESTINATION actually need a keeper — every other node's
     # group survives via its real inflow rows. Keepers are therefore
-    # restricted to the no-in-edge set (ONE one-time left-anti; empty
-    # for any symmetric/union-of-both-directions edge list, e.g. the
-    # co-purchase graph), shrinking every round's scanned+aggregated
-    # relation by n_nodes rows with bit-identical output: a keeper
-    # for a node with inflow only ever added a SUM-ignored NULL to a
-    # group that already existed.
-    keepers = nodes.join(
-        e.select(F.col("dst").alias("id")).distinct(), "id", "left_anti"
-    ).select(
+    # the has_in = 0 slice of the degree relation (empty for any
+    # symmetric/union-of-both-directions edge list, e.g. the
+    # co-purchase graph): a keeper for a node with inflow only ever
+    # added a SUM-ignored NULL to a group that already existed.
+    keepers = deg.where(F.col("has_in") == 0).select(
         F.col("id").alias("src"),
         F.col("id").alias("dst"),
         F.lit(None).cast("bigint").alias("out_deg"),
     )
+    # a node with out_deg = 0 never appears as src in e, so the inner
+    # join drops its degree row without an explicit filter
     links = (
-        e.join(out_deg, "src")
+        e.join(deg.select(F.col("id").alias("src"), "out_deg"), "src")
         .unionByName(keepers)
         .repartition(F.col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # dangling id set: computed ONCE (left-anti of nodes vs out-degree)
-    # — the per-round dangling mass is then a co-partitioned semi-join
+    # dangling id set: the out_deg = 0 slice of the degree relation —
+    # the per-round dangling mass is then a co-partitioned semi-join
     # of the current ranks against this static, persisted set instead
     # of a per-round left_anti whose out_deg lineage would re-derive
     # the caller's whole edge subtree every round (r14: the e-cache is
     # released after links materializes, so recomputation would be
     # corpus-priced, not cache-priced).
     if dangling == "none":
-        # the none path only needs the COUNT (the loud-failure check):
-        # skip the repartition+persist the uniform path's per-round
-        # semi-join needs
-        n_dangling = nodes.join(
-            out_deg, nodes["id"] == out_deg["src"], "left_anti"
-        ).count()
+        # loud-failure check comes free from the stats row above
         if n_dangling > 0:
             links.unpersist()
-            nodes.unpersist()
+            deg.unpersist()
             e.unpersist()
             raise ValueError(
                 "dangling='none' but the graph has dangling nodes"
@@ -413,18 +450,18 @@ def _pagerank_fixedpoint_body(
         dang = None
     else:
         dang = (
-            nodes.join(
-                out_deg, nodes["id"] == out_deg["src"], "left_anti"
-            )
+            deg.where(F.col("out_deg") == 0)
+            .select("id")
             .repartition(F.col("id"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         dang.count()
     links.count()  # materialize the loop relation once, then free e
     e.unpersist()
-    ranks = nodes.select(
+    ranks = deg.select(
         "id", F.lit(base).cast("bigint").alias("rank_fp")
     ).localCheckpoint(eager=True)
+    deg.unpersist()
 
     every = 1 if dangling != "none" else max(1, checkpoint_every)
     _captured = False
@@ -499,7 +536,6 @@ def _pagerank_fixedpoint_body(
         .first()["r"]
     )
     links.unpersist()
-    nodes.unpersist()
     if dang is not None:
         dang.unpersist()
     if residual > tol_fp:

@@ -191,20 +191,29 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         eu.select(F.col("y").alias("src"), F.col("x").alias("dst"))
     )
     # loop_conf (VERDICT r12 #5): this graph is query-BOUNDED
-    # (l_orderkey < 2000 -> ~6.5k nodes at every gate scale), so the
-    # loop's 48 shuffle stages each carry a few thousand rows — AQE's
+    # (l_orderkey < 2000 -> ~6.5k nodes / ~33k links at EVERY corpus
+    # scale — the predicate, not the corpus, sets the graph size), so
+    # the loop's shuffle stages each carry a few thousand rows — AQE's
     # per-stage re-planning is one dispatched local-mode job per
-    # stage of pure scheduling latency and 32-wide shuffles are
-    # mostly empty tasks. Static planning + 8-wide shuffles for the
-    # call only (conf restored after): ~90 -> 27 stage-jobs,
-    # bit-identical ranks re-gated at sf0.01/sf1/sf10. A corpus-scale
-    # graph would omit loop_conf and keep session AQE.
+    # stage of pure scheduling latency. Static planning + ONE-wide
+    # shuffles for the call only (conf restored after): with a
+    # single-partition loop every per-round groupBy/join requirement
+    # is satisfied by SinglePartition, so the 24-round loop runs
+    # exchange-FREE inside each checkpoint job (guide §2.4 — remove
+    # shuffles outright; r15 A/B at sf0.1: partitions 8 -> 1 took the
+    # query 5.5-6.1 s -> 4.0-4.5 s with bit-identical top-20, and the
+    # preferSortMergeJoin=false companion lets the planner pick the
+    # sort-free shuffled-hash join for the bounded setup joins, guide
+    # §3.1). A corpus-scale graph must NOT set this — it keeps the
+    # session's AQE coalescing/skew handling and shuffle width (the
+    # sf100 graph gate runs exactly that path).
     ranks = pagerank_fixedpoint(
         edges, iters=24, scale=10**12, tol_fp=50_000_000,
         dangling="none", checkpoint_every=4,
         loop_conf={
             "spark.sql.adaptive.enabled": "false",
-            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.shuffle.partitions": "1",
+            "spark.sql.join.preferSortMergeJoin": "false",
         },
         # broadcast_ranks measured and REJECTED for the local fixture
         # (r14, VERDICT r13 #3): same-session A/B at sf0.1 put the
