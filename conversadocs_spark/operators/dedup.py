@@ -154,23 +154,25 @@ def minhash_banded(
 ) -> DataFrame:
     """(id, band, band_hash) from (id, sig): one SLIM row per band —
     shingle arrays deliberately do NOT enter the bucket-join shuffle
-    (they are re-joined by id only for surviving candidates)."""
+    (they are re-joined by id only for surviving candidates).
+
+    band_hash hashes the BIGINT slice directly (Spark's hash
+    expressions recurse into arrays) instead of the old
+    cast-to-string + concat_ws form (r15, guide §4.2 spirit: no
+    per-element string materialization) — per rep this removes
+    num_hashes string casts and bands string builds. Bucket keys
+    change value but not semantics: equal slices still collide
+    exactly, unequal slices collide with the same 2^-64 budget, so
+    candidate recall is unchanged (LSH == brute-force pinned by
+    tests/test_dedup.py either way)."""
     return sig_df.select(
         "id",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    "sig",
-                                    b * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
+                        F.slice(
+                            "sig", b * rows_per_band + 1, rows_per_band
                         )
                     )
                     for b in range(bands)
@@ -392,19 +394,19 @@ def minhash_rep_near_dups(
     # are dropped up front: they can never reach the output (their
     # jaccard is 0/0 = null against anything), and their degenerate
     # all-identical signatures otherwise bucket together wastefully.
+    # ck hashes the sorted BIGINT array directly (r15): the old form
+    # cast every hashed shingle to a string and concat_ws'd ~KBs per
+    # doc just to feed xxhash64 — the array overload hashes the same
+    # information with zero string materialization. Group membership
+    # is unchanged: equal shingle sets still collide exactly, and the
+    # accidental-collision budget stays ~n^2/2^64 (pinned vs the
+    # string-exact oracle by the test suite).
     keyed = (
         hashed_shingles(df, text_col, id_col, n)
         .select(
             "id",
             "hs",
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort("hs"), lambda x: x.cast("string")
-                    ),
-                )
-            ).alias("ck"),
+            F.xxhash64(F.array_sort("hs")).alias("ck"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
