@@ -301,8 +301,11 @@ def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(words).cast("double")
     n_uniq = F.size(F.array_distinct(words)).cast("double")
     n_chars = F.length("text").cast("double")
-    n_punct = F.size(
-        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    # regexp_count, not size(regexp_extract_all(...)): same count of
+    # single-char class matches, no per-match array allocation (r15,
+    # guide §1.2 per-task work; verified 0 disagreements on the fixture)
+    n_punct = F.regexp_count(
+        "text", F.lit(r"[^A-Za-z0-9\s]")
     ).cast("double")
     quality = (
         F.least(n_words / 50, F.lit(1.0)) * 0.4
@@ -390,8 +393,11 @@ def quality_lr_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(words).cast("double")
     n_uniq = F.size(F.array_distinct(words)).cast("double")
     n_chars = F.length("text").cast("double")
-    n_punct = F.size(
-        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    # regexp_count, not size(regexp_extract_all(...)): same count of
+    # single-char class matches, no per-match array allocation (r15,
+    # guide §1.2 per-task work; verified 0 disagreements on the fixture)
+    n_punct = F.regexp_count(
+        "text", F.lit(r"[^A-Za-z0-9\s]")
     ).cast("double")
     quality = (
         F.least(n_words / 50, F.lit(1.0)) * 0.4
@@ -499,8 +505,11 @@ def quality_lr_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(words).cast("double")
     n_uniq = F.size(F.array_distinct(words)).cast("double")
     n_chars = F.length("text").cast("double")
-    n_punct = F.size(
-        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    # regexp_count, not size(regexp_extract_all(...)): same count of
+    # single-char class matches, no per-match array allocation (r15,
+    # guide §1.2 per-task work; verified 0 disagreements on the fixture)
+    n_punct = F.regexp_count(
+        "text", F.lit(r"[^A-Za-z0-9\s]")
     ).cast("double")
     featured = d.select(
         "doc_id",
