@@ -120,18 +120,60 @@ def _stage(spark: SparkSession, sf_dir: str, duplicate_rows: bool) -> str:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _replay_width(spark: SparkSession):
+    """Shuffle width for the BOUNDED replay harness (r15, guide §2.2
+    fewer-larger-partitions applied to streaming state): every
+    stateful operator materializes one state-store instance PER
+    shuffle partition PER micro-batch (delta + snapshot + CRC files
+    on the checkpoint dir), so a 3-batch replay of a bounded fixture
+    at the session's 32-wide default paid ~hundreds of tiny state
+    files of pure I/O latency. Measured at sf0.01 (2 reps, rows
+    identical): interval-join replay 18-26 s -> 4-6 s, session_chat
+    4.5-5.3 -> 2.7-3.0, tumbling 4.3-5.8 -> 2.1-2.6 at width 8.
+
+    Parameterised, not hard-coded for local mode: the replay fixture
+    is 3 bounded micro-batches by construction, and a production
+    deployment sizes shuffle partitions to stream volume through the
+    session conf — SPARK_GRAFT_REPLAY_PARTITIONS overrides for a
+    bigger replay. Restored after the run; batch queries in the same
+    session are unaffected. State partition count does not change
+    keyed-aggregation results (pinned replay == batch in
+    tests/test_streaming.py)."""
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(
+        key, os.environ.get("SPARK_GRAFT_REPLAY_PARTITIONS", "8")
+    )
+    try:
+        yield
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
+def _run_available_now(spark: SparkSession, writer) -> None:
+    """start() + awaitTermination() under the bounded replay width
+    (see _replay_width) — shared by every foreachBatch replay site."""
+    with _replay_width(spark):
+        writer.trigger(availableNow=True).start().awaitTermination()
+
+
 def _replay(stream_df: DataFrame, mode: str) -> DataFrame:
     """Run the streaming DF to completion (AvailableNow) into a memory
     sink; return the sink contents as a batch DataFrame."""
     name = f"replay_{os.getpid()}_{next(_COUNTER)}"
-    q = (
+    _run_available_now(
+        stream_df.sparkSession,
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
+        .outputMode(mode),
     )
-    q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
@@ -187,13 +229,11 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch(f"fb_ckpt_{tag}")
     shutil.rmtree(index_dir, ignore_errors=True)
     ev = read_events_stream(spark, path)
-    q = (
+    _run_available_now(
+        spark,
         ev.writeStream.foreachBatch(foreach_batch_index_writer(index_dir))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        .option("checkpointLocation", ckpt),
     )
-    q.awaitTermination()
     return spark.read.parquet(index_dir)
 
 
@@ -252,16 +292,14 @@ def streaming_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_vector_files(
         spark, sf_dir, arrivals, n_files=3, min_id=split_id
     )
-    q = (
+    _run_available_now(
+        spark,
         read_vectors_stream(spark, arrivals)
         .writeStream.foreachBatch(
             foreach_batch_ivf_assign(centroids, index_dir)
         )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        .option("checkpointLocation", ckpt),
     )
-    q.awaitTermination()
     return (
         spark.read.parquet(index_dir)
         .where(F.col("batch_id") >= 0)
@@ -316,13 +354,11 @@ def streaming_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = table + "_ckpt"
     shutil.rmtree(table, ignore_errors=True)
     ev = read_events_stream(spark, path)
-    q = (
+    _run_available_now(
+        spark,
         ev.writeStream.foreachBatch(foreach_batch_hll_merger(table))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        .option("checkpointLocation", ckpt),
     )
-    q.awaitTermination()
     sk = read_versioned(spark, table).select(
         "event_type",
         F.hll_sketch_estimate("sketch").cast("bigint").alias("est_users"),
@@ -441,14 +477,12 @@ def streaming_update_mode_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = (
+    _run_available_now(
+        spark,
         agg.writeStream.foreachBatch(sink)
         .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        .option("checkpointLocation", ckpt),
     )
-    q.awaitTermination()
     log = spark.read.parquet(out)
     w = Window.partitionBy("win_start", "event_type").orderBy(
         F.desc("batch_id")
@@ -530,13 +564,11 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(changes_dir)
     )
-    q = (
+    _run_available_now(
+        spark,
         stream.writeStream.foreachBatch(foreach_batch_cdc_applier(table))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        .option("checkpointLocation", ckpt),
     )
-    q.awaitTermination()
     return read_versioned(spark, table)
 
 
@@ -581,15 +613,13 @@ def streaming_decay_replay(
     ckpt = table + "_ckpt"
     shutil.rmtree(table, ignore_errors=True)
     ev = read_events_stream(spark, path)
-    q = (
+    _run_available_now(
+        spark,
         ev.writeStream.foreachBatch(
             foreach_batch_decay_merger(table)
         )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        .option("checkpointLocation", ckpt),
     )
-    q.awaitTermination()
     state = read_versioned(spark, table)
     g = state.agg(F.max("anchor_us").alias("t_ref_us"))
     return (
