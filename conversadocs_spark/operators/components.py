@@ -42,6 +42,7 @@ def connected_components(
     src_col: str = "id1",
     dst_col: str = "id2",
     max_iter: int = 25,
+    edges_per_partition: int = 1_000_000,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``pairs``.
 
@@ -49,7 +50,8 @@ def connected_components(
     deterministic, so the result is oracle-checkable against a
     transitive-closure SQL formulation.
     """
-    edges = (
+    spark = pairs.sparkSession
+    edges_raw = (
         pairs.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
@@ -58,11 +60,47 @@ def connected_components(
                 F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
             )
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Scale-adaptive loop width (r15): the iterative joins/aggregates
+    # below run at spark.sql.shuffle.partitions width EVERY round, and
+    # the cached edge distribution is only reusable when the loop width
+    # matches the edge table's width. Near-dup pair graphs are tiny
+    # relative to the corpus (distinct-content reps, pairs only above
+    # threshold), so a session width sized for corpus scans pays
+    # mostly-empty tasks per round here. Derive the width from the
+    # MEASURED edge count instead: one slim row is 16 bytes, so
+    # 1M edges/partition ~ 16 MB blocks; clamped to the session width
+    # so a genuinely large pair graph keeps full parallelism. The
+    # count materializes the persisted edge table — work the first
+    # probe action paid anyway — and every later read is a cache hit.
+    n_edges = edges_raw.count()
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(
+        1, min(sess_parts, -(-n_edges // max(1, edges_per_partition)))
+    )
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _connected_components_loop(edges_raw, loop_parts, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        edges_raw.unpersist()
+
+
+def _connected_components_loop(
+    edges_raw: DataFrame, loop_parts: int, max_iter: int
+) -> DataFrame:
+    """Min-label propagation at a fixed ``loop_parts`` width; every
+    round's localCheckpoint is materialized by its probe action INSIDE
+    the caller's conf scope, so the returned labels are width-stable."""
+    edges = (
         # hash-partition by the join key BEFORE persisting: the cached
-        # distribution satisfies every round's join requirement, so the
-        # (large, immutable) edge table is shuffled once, not once per
-        # round — only the (shrinking-churn) label table moves.
-        .repartition(F.col("dst"))
+        # distribution satisfies every round's join requirement (the
+        # loop runs at the same width), so the (large, immutable) edge
+        # table is shuffled once, not once per round — only the
+        # (shrinking-churn) label table moves.
+        edges_raw.repartition(loop_parts, F.col("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Round 1, fused: the initial labeling is the identity, so the

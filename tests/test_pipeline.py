@@ -388,6 +388,47 @@ def test_components_nonconvergence_raises(spark):
         connected_components(pairs, max_iter=2)
 
 
+def test_components_adaptive_width_restores_conf_and_labels(spark):
+    """r15: the loop runs at a width derived from the MEASURED edge
+    count (clamped to the session width) and must (a) restore the
+    session shuffle width afterward — even when it raises — and
+    (b) produce identical labels at every width: force the 1-wide
+    path (default edges_per_partition on a tiny graph) and a
+    multi-partition path (edges_per_partition=1) and compare."""
+    from conversadocs_spark.operators.components import (
+        connected_components,
+    )
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 9), (9, 5)], ["id1", "id2"]
+    )
+    want = {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 8: 5, 9: 5}
+    narrow = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    wide = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, edges_per_partition=1
+        ).collect()
+    }
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    assert narrow == want and wide == want
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            spark.createDataFrame(
+                [(i, i + 1) for i in range(100)], ["id1", "id2"]
+            ),
+            max_iter=2,
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+
+
 def test_group_topk_exact_budget_per_stratum(spark):
     """k=20 rows per language, ranks 1..k dense, and the salted
     two-phase plan is a pure function of (seed, doc_id): a
