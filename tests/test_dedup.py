@@ -36,6 +36,42 @@ def test_minhash_matches_exact_jaccard(spark, sf_dir):
     assert approx == exact
 
 
+def test_hashed_shingles_agree_with_string_shingles(spark):
+    """r15: hashed_shingles hashes the n-token ARRAY SLICE directly
+    instead of concat_ws'ing a string per shingle. Tokens are
+    whitespace-split (never contain spaces), so the " "-join was
+    injective and slice-hashing must preserve the dedup structure
+    exactly: per-doc hs set size == distinct STRING shingle count
+    (shingle_docs path), equal texts get equal hs sets, and the
+    short-doc (< n tokens) fallback still yields one shingle."""
+    from conversadocs_spark.operators.dedup import (
+        hashed_shingles,
+        shingle_docs,
+    )
+
+    rows = [
+        (0, "a b c d e"),
+        (1, "a b c d e"),          # exact dup of 0
+        (2, "a b c a b c a b c"),  # repeated shingles collapse
+        (3, "x y"),                # shorter than n=3 -> 1 shingle
+        (4, "  a b c d e  "),      # padding whitespace -> empty tokens
+        (5, "q"),                  # single token
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    hs = {
+        r["id"]: sorted(r["hs"])
+        for r in hashed_shingles(docs, "text", "doc_id", 3).collect()
+    }
+    str_sizes = {
+        r["id"]: len(set(r["shingles"]))
+        for r in shingle_docs(docs, "text", "doc_id", 3).collect()
+    }
+    assert {i: len(v) for i, v in hs.items()} == str_sizes
+    assert hs[0] == hs[1]          # identical text -> identical hs set
+    assert hs[0] != hs[4]          # empty tokens shift every slice
+    assert len(hs[2]) == 3 and len(hs[3]) == 1 and len(hs[5]) == 1
+
+
 def test_minhash_deterministic_across_partitionings(spark, sf_dir):
     docs = io.table(spark, sf_dir, "documents")
     one = {
