@@ -163,7 +163,22 @@ def minhash_signatures(
     shingles of xxhash64(h, i), built in ONE aggregate fold carrying a
     num_hashes-wide running-min array (see minhash_rep_near_dups for
     the measured rejections of the per-seed, explode+groupBy, and
-    Kirsch-Mitzenmacher forms)."""
+    Kirsch-Mitzenmacher forms).
+
+    REJECTED (r16, measured — do not resurrect without re-measuring):
+    a mapInArrow NumPy kernel replicating XXH64 hashLong/hashInt
+    bit-exactly (signatures byte-identical on all 3 SFs). Its pure
+    compute IS ~2.4x cheaper (isolated 1-partition stage: 1.3 s wall /
+    1.5 CPU-s -> 0.5 s / 0.6 CPU-s at sf0.1), but per-stage
+    Python-boundary latency (~0.3-0.4 s per query even with warm,
+    reused workers; 32-task worker fan-out pays ~5 CPU-s per cold
+    session) swamps it: full-bench A/B regressed dedup_minhash
+    1.40 -> 1.64 s and dedup_clusters 2.67 -> 3.47 s (tree_cpu 22 ->
+    38). Profiling showed the fold is only ~1.4 of dedup_minhash's
+    ~4.4 executor-CPU-seconds at sf0.1 — the bench row's remaining
+    cost is driver-side plan build + dispatch, not this expression.
+    At 100 TB per-task volume the boundary would amortize; revisit
+    only with a measured at-scale win (OPTIMIZATION_r16.md)."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     return hs_df.select(
         "id",

@@ -260,14 +260,14 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ""
         ),
     )
+    # regexp_count, not size(regexp_extract_all(...)): same match
+    # count, zero per-match array materialization per scanned row
+    # (r16, the f05a5a1 quality-kernel fix applied here — guide §1.2
+    # per-task work; the count is all the query keeps).
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0))
-        .cast("long")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(_SSN_RE), 0))
-        .cast("long")
-        .alias("n_ssns"),
+        F.regexp_count(t, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(_SSN_RE)).cast("long").alias("n_ssns"),
         F.regexp_replace(
             F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"),
             _SSN_RE,

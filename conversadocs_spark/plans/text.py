@@ -296,9 +296,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.length("text").alias("n_chars_computed"),
         F.size(words).alias("n_words"),
-        # idx=0 = whole match: TOKEN_PATTERN has no capture group, and
-        # Spark's default idx=1 raises REGEX_GROUP_INDEX at runtime.
-        F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0)).alias(
+        # regexp_count (r16): same count as
+        # size(regexp_extract_all(..., 0)) with zero per-match array
+        # materialization — the count is all this query keeps.
+        F.regexp_count("text", F.lit(TOKEN_PATTERN)).alias(
             "n_tokens_bpe"
         ),
         F.round(
