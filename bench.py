@@ -165,13 +165,126 @@ HEADLINE = (
 )
 
 
+# ---------------------------------------------------------------------------
+# fixture layout rewrite (VERDICT r15 #2 — "regenerate (or rewrite at
+# bench setup) the sf0.1 fixtures as multi-row-group parquet"): every
+# driver-generated fixture table is ONE parquet row group, so every
+# scan — and the first kernel above it — runs as ONE task regardless
+# of core count. That is not the 100 TB shape (real inputs arrive
+# multi-file/multi-row-group), it makes the 8-vs-32-core scaling
+# block unfalsifiable (r15 measured 8 cores *winning* on dispatch
+# overhead), and it puts a serial floor under every headline query.
+#
+# Fix, per the verdict's own prescription: at bench SETUP (untimed),
+# copy each table into a multi-row-group parquet with IDENTICAL rows,
+# row order and schema (pyarrow round-trip, verified below), and time
+# the queries against that copy. Nothing persists across invocations
+# (the copy is wiped and rebuilt every run — no caching of anything
+# derived), no query function changes, and the raw single-row-group
+# numbers remain available via SPARK_GRAFT_BENCH_RAW=1 (the r15 and
+# earlier BENCH_r*.json rows are all raw-layout; OPTIMIZATION_r16.md
+# records both regimes side by side).
+# ---------------------------------------------------------------------------
+
+#: row groups per table, capped at the local core budget; small tables
+#: keep >=256 rows per group so groups stay non-degenerate.
+_LAYOUT_MAX_GROUPS = 32
+
+
+def bench_layout(sf_dir: str) -> str:
+    """Rewrite ``sf_dir``'s tables into a multi-row-group copy and
+    return the copy's path (or ``sf_dir`` unchanged when disabled via
+    SPARK_GRAFT_BENCH_RAW=1, or on any rewrite/verification failure).
+
+    Row content, order and schema are preserved exactly — only the
+    parquet row-group layout changes; each written file is verified
+    against its source (arrow schema equality + row count) and falls
+    back to a straight copy of the original on mismatch.
+    """
+    if os.environ.get("SPARK_GRAFT_BENCH_RAW") == "1":
+        return sf_dir
+    try:
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        abs_dir = os.path.abspath(sf_dir)
+        import hashlib
+
+        tag = "{}-{}".format(
+            os.path.basename(abs_dir.rstrip("/")),
+            hashlib.md5(abs_dir.encode()).hexdigest()[:8],
+        )
+        dst_dir = os.path.join("/tmp", "spark-graft-bench-layout", tag)
+        # wiped + rebuilt EVERY invocation: the copy is never reused
+        # across runs, so it cannot carry state between them.
+        shutil.rmtree(dst_dir, ignore_errors=True)
+        os.makedirs(dst_dir, exist_ok=True)
+        # Only tables big enough to span several scan splits are
+        # re-grouped: a file below the split size gains nothing from
+        # extra row groups (still one task) but pays per-row-group
+        # reader overhead on every scan — measured as a broad ~5-10%
+        # tax across the headline set when everything was re-grouped.
+        min_bytes = int(
+            os.environ.get("SPARK_GRAFT_LAYOUT_MIN_BYTES", str(4 << 20))
+        )
+        for fname in sorted(os.listdir(abs_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(abs_dir, fname)
+            dst = os.path.join(dst_dir, fname)
+            ok = False
+            if os.path.getsize(src) >= min_bytes:
+                try:
+                    tbl = pq.read_table(src)
+                    rows = tbl.num_rows
+                    groups = max(
+                        1, min(_LAYOUT_MAX_GROUPS, rows // 256)
+                    )
+                    pq.write_table(
+                        tbl,
+                        dst,
+                        row_group_size=-(-rows // groups),
+                        version="2.6",
+                    )
+                    ok = (
+                        pq.ParquetFile(dst).schema_arrow.equals(
+                            pq.ParquetFile(src).schema_arrow
+                        )
+                        and pq.ParquetFile(dst).metadata.num_rows == rows
+                    )
+                except Exception:
+                    ok = False
+            if not ok:
+                shutil.copyfile(src, dst)
+        return dst_dir
+    except Exception:
+        return sf_dir
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    raw_sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    sf_dir = bench_layout(raw_sf_dir)
     from conversadocs_spark.plans import QUERIES
     from conversadocs_spark.session import get_spark
 
     spark = get_spark(app_name="conversadocs-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Split sizing is deliberately NOT touched: shrinking
+    # spark.sql.files.openCostInBytes to chase more scan splits was
+    # measured (r16) and REJECTED — 16 KB-256 KB floors put every
+    # query into a many-tiny-tasks regime that inflated the suite
+    # 16.2 -> 20-30 s (details in OPTIMIZATION_r16.md). The env hook
+    # below exists for re-measuring only.
+    if sf_dir is not raw_sf_dir and os.environ.get(
+        "SPARK_GRAFT_OPEN_COST_BYTES"
+    ):
+        spark.conf.set(
+            "spark.sql.files.openCostInBytes",
+            os.environ["SPARK_GRAFT_OPEN_COST_BYTES"],
+        )
 
     # Warm-up, two layers:
     # 1. footer/page-cache touch of every table a headline query scans;
@@ -244,7 +357,7 @@ def main() -> None:
         query_cpu[name] = best_cpu
 
     total = round(sum(timings.values()), 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf = os.path.basename(raw_sf_dir.rstrip("/")).replace("sf", "")
     # fixture fingerprint: the driver REGENERATES testdata each round,
     # and data-dependent queries (minhash banding, early-fixpoint
     # component rounds) legitimately move with it — r12 measured
@@ -252,9 +365,11 @@ def main() -> None:
     # code changes. Stamping the inputs makes that diagnosis a
     # recorded fact instead of an inference next time.
     fixture = {}
+    # stamp the RAW driver-generated inputs (regeneration tracking),
+    # not the per-invocation layout copy timed above.
     for t in ("documents", "embeddings", "lineitem"):
         try:
-            st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+            st = os.stat(os.path.join(raw_sf_dir, f"{t}.parquet"))
             fixture[t] = f"{st.st_mtime_ns}:{st.st_size}"
         except OSError:
             fixture[t] = None
@@ -275,6 +390,13 @@ def main() -> None:
                 "query_cpu": query_cpu,
                 "box": {"start": box_start, "end": _box_snapshot()},
                 "fixture": fixture,
+                # additive stamp: which physical layout the timed
+                # queries scanned (raw = the driver's single-row-group
+                # files; multi_row_group = the setup-time rewrite
+                # above). Same rows/schema either way.
+                "layout": (
+                    "raw" if sf_dir is raw_sf_dir else "multi_row_group"
+                ),
                 "components_rounds": _components.LAST_RUN_ROUNDS,
                 "sf": float(sf) if sf else None,
             }

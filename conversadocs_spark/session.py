@@ -44,6 +44,21 @@ def get_spark(
     max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES") or (
         "8m" if master is None else None
     )
+    # Shuffle writer choice (r16, measured): with <=200 reduce
+    # partitions Spark picks BypassMergeSortShuffleWriter, which
+    # writes one FILE PER REDUCE PARTITION per map task and then
+    # concatenates them (FileChannel.map/transferTo). On a many-core
+    # local VM that is ~32 tiny file creates + an mmap/munmap pair per
+    # map task — measured as a CPU storm that scales with concurrent
+    # map tasks (set_ops: 2.03 s wall / 28.6 CPU-s -> 0.82 / 7.7 with
+    # the sort-based writer, which writes ONE spill file + index per
+    # map task). Local mode therefore forces the sort writer; a
+    # cluster deployment keeps Spark's default (its wide shuffles
+    # exceed the threshold anyway, and its executors munmap across
+    # far fewer cores). SPARK_GRAFT_BYPASS_MERGE_THRESHOLD overrides.
+    bypass_thr = os.environ.get(
+        "SPARK_GRAFT_BYPASS_MERGE_THRESHOLD"
+    ) or ("1" if master is None else None)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -59,6 +74,10 @@ def get_spark(
     if max_part is not None:
         builder = builder.config(
             "spark.sql.files.maxPartitionBytes", max_part
+        )
+    if bypass_thr is not None:
+        builder = builder.config(
+            "spark.shuffle.sort.bypassMergeThreshold", bypass_thr
         )
     builder = (
         builder

@@ -25,12 +25,25 @@ import bench  # noqa: E402  (reuse the CPU instrumentation)
 def main() -> None:
     names = sys.argv[1:]
     reps = int(os.environ.get("BENCH_SOME_REPS", "3"))
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    raw_sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    # same multi-row-group layout rewrite as bench.py (so A/Bs measure
+    # the regime the driver's bench measures); SPARK_GRAFT_BENCH_RAW=1
+    # for the raw single-row-group regime.
+    sf_dir = bench.bench_layout(raw_sf_dir)
     from conversadocs_spark.plans import QUERIES
     from conversadocs_spark.session import get_spark
 
     spark = get_spark(app_name="bench-some")
     spark.sparkContext.setLogLevel("ERROR")
+    if sf_dir is not raw_sf_dir and os.environ.get(
+        "SPARK_GRAFT_OPEN_COST_BYTES"
+    ):
+        spark.conf.set(
+            "spark.sql.files.openCostInBytes",
+            os.environ["SPARK_GRAFT_OPEN_COST_BYTES"],
+        )
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         if os.path.isdir(warm_dir):
