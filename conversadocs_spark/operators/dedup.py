@@ -137,23 +137,24 @@ def hashed_shingles(
     on the isolated keyed-build stage at sf0.1: 2.64-3.01 s ->
     2.43-2.46 s wall, tree_cpu 2.94-3.44 -> 2.70-2.81, identical
     group structure (4992 groups)."""
-    toks_rel = df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.col(text_col), r"\s+").alias("toks"),
+    # Built as TWO fused selectExpr ops (r16): the bench re-builds
+    # every query per timed run, and composing this expression through
+    # per-Column py4j calls measured ~2x the construction cost of
+    # parsing one SQL string JVM-side (identical analyzed expressions
+    # either way — see OPTIMIZATION_r16.md, driver-chatter section).
+    toks_rel = df.selectExpr(
+        f"{id_col} as id", rf"split({text_col}, '\\s+') as toks"
     )
-    t = F.col("toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.xxhash64(F.slice(t, i + 1, n))
-    )
-    hs = F.array_distinct(
-        F.when(F.size(t) >= n, grams).otherwise(
-            F.array(F.xxhash64(t))
-        )
-    )
-    return toks_rel.select("id", hs.alias("hs")).where(
-        F.size("hs") > 0
-    )
+    return toks_rel.selectExpr(
+        "id",
+        f"""array_distinct(
+          CASE WHEN size(toks) >= {n}
+            THEN transform(
+              sequence(0, greatest(size(toks) - {n}, 0)),
+              i -> xxhash64(slice(toks, i + 1, {n})))
+            ELSE array(xxhash64(toks))
+          END) as hs""",
+    ).where("size(hs) > 0")
 
 
 def minhash_signatures(
@@ -179,16 +180,18 @@ def minhash_signatures(
     cost is driver-side plan build + dispatch, not this expression.
     At 100 TB per-task volume the boundary would amortize; revisit
     only with a measured at-scale win (OPTIMIZATION_r16.md)."""
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return hs_df.select(
+    # one parsed SQL string instead of per-Column py4j composition
+    # (r16 construction-chatter cut; identical analyzed expression)
+    return hs_df.selectExpr(
         "id",
-        F.aggregate(
-            "hs",
-            F.transform(seeds, lambda b: F.lit((1 << 63) - 1)),
-            lambda acc, h: F.zip_with(
-                acc, seeds, lambda m, i: F.least(m, F.xxhash64(h, i))
-            ),
-        ).alias("sig"),
+        f"""aggregate(
+          hs,
+          transform(sequence(0, {num_hashes - 1}),
+                    b -> {(1 << 63) - 1}L),
+          (acc, h) -> zip_with(
+            acc, sequence(0, {num_hashes - 1}),
+            (m, i) -> least(m, xxhash64(h, i)))
+        ) as sig""",
     )
 
 
@@ -208,40 +211,32 @@ def minhash_banded(
     exactly, unequal slices collide with the same 2^-64 budget, so
     candidate recall is unchanged (LSH == brute-force pinned by
     tests/test_dedup.py either way)."""
-    return sig_df.select(
+    band_exprs = ", ".join(
+        f"xxhash64(slice(sig, {b * rows_per_band + 1}, "
+        f"{rows_per_band}))"
+        for b in range(bands)
+    )
+    return sig_df.selectExpr(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.slice(
-                            "sig", b * rows_per_band + 1, rows_per_band
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        f"posexplode(array({band_exprs})) as (band, band_hash)",
     )
 
 
 def _expand_member_pairs(buckets: DataFrame) -> DataFrame:
     """Explode a (ms = sorted member array) relation into its (i < j)
-    in-bucket combinations — one row per pair, p1/p2 payload structs."""
-    ms = F.col("ms")
-    combos = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ms) - 1),
-            lambda i: F.transform(
-                F.slice(ms, i + 1, F.size(ms)),
-                lambda y: F.struct(
-                    F.element_at(ms, i).alias("p1"), y.alias("p2")
-                ),
-            ),
-        )
-    )
-    return buckets.select(F.explode(combos).alias("pair")).select(
-        F.col("pair.p1").alias("p1"), F.col("pair.p2").alias("p2")
+    in-bucket combinations — one row per pair, p1/p2 payload structs.
+
+    ``inline`` (one fused selectExpr) replaces the old
+    explode + project pair of ops: same generated rows, one analyzed
+    op and one parsed string instead of two py4j-composed ops (r16
+    construction-chatter cut). Callers filter to size(ms) >= 2, so
+    sequence(1, size(ms) - 1) is always ascending."""
+    return buckets.selectExpr(
+        """inline(flatten(transform(
+             sequence(1, size(ms) - 1),
+             i -> transform(
+               slice(ms, i + 1, size(ms)),
+               y -> named_struct('p1', element_at(ms, i), 'p2', y)))))"""
     )
 
 
@@ -305,14 +300,17 @@ def bucket_pairs(
             .where(F.size("ms") >= 2)
         )
         return _expand_member_pairs(buckets)
-    salted = rows.withColumn(
-        "_bn", F.count("*").over(Window.partitionBy(*key_cols))
-    ).withColumn(
-        "_salt",
-        F.pmod(
-            F.xxhash64("pv"),
-            F.ceil(F.col("_bn") / F.lit(hot_cap)).cast("bigint"),
-        ),
+    # one fused selectExpr (window count inlined into the salt
+    # expression) instead of two py4j-composed withColumns; the _bn
+    # intermediate column never outlives the salt computation, so it
+    # is not materialized at all (r16 construction-chatter cut).
+    salted = rows.selectExpr(
+        "*",
+        f"""pmod(
+          xxhash64(pv),
+          cast(ceil((count(*) over (partition by
+            {", ".join(key_cols)})) / {hot_cap}) as bigint)
+        ) as _salt""",
     )
     buckets = (
         salted.groupBy(*key_cols, "_salt")
@@ -446,11 +444,7 @@ def minhash_rep_near_dups(
     # string-exact oracle by the test suite).
     keyed = (
         hashed_shingles(df, text_col, id_col, n)
-        .select(
-            "id",
-            "hs",
-            F.xxhash64(F.array_sort("hs")).alias("ck"),
-        )
+        .selectExpr("id", "hs", "xxhash64(array_sort(hs)) as ck")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if cache_holder is not None:
@@ -467,7 +461,7 @@ def minhash_rep_near_dups(
     if cache_holder is not None:
         cache_holder.append(reps)
     mem = keyed.join(reps.select("ck", "rid"), "ck").select("id", "rid")
-    rep_hs = reps.select(F.col("rid").alias("id"), "hs")
+    rep_hs = reps.selectExpr("rid as id", "hs")
     sig = minhash_signatures(rep_hs, num_hashes)
     banded = minhash_banded(sig, bands, rows_per_band)
     # candidate pairs via in-bucket combination explode (bucket_pairs):
@@ -481,9 +475,7 @@ def minhash_rep_near_dups(
             F.struct(F.col("id")),
             hot_cap=hot_cap,
         )
-        .select(
-            F.col("p1.id").alias("id1"), F.col("p2.id").alias("id2")
-        )
+        .selectExpr("p1.id as id1", "p2.id as id2")
         .dropDuplicates(["id1", "id2"])
     )
     # exact re-check on candidates only: two id-keyed joins fetch the
@@ -509,24 +501,15 @@ def minhash_rep_near_dups(
     # cached read replaces a full re-shingling of the corpus per
     # branch.
     cand = (
-        cand.join(
-            rep_hs.select(
-                F.col("id").alias("id1"), F.col("hs").alias("sh1")
-            ),
-            "id1",
-        )
-        .join(
-            rep_hs.select(
-                F.col("id").alias("id2"), F.col("hs").alias("sh2")
-            ),
-            "id2",
-        )
+        cand.join(rep_hs.selectExpr("id as id1", "hs as sh1"), "id1")
+        .join(rep_hs.selectExpr("id as id2", "hs as sh2"), "id2")
     )
-    sim = jaccard(F.col("sh1"), F.col("sh2"))
-    rep_pairs = cand.select(
-        F.col("id1").alias("rid1"),
-        F.col("id2").alias("rid2"),
-        F.round(sim, 6).alias("jaccard_sim"),
+    rep_pairs = cand.selectExpr(
+        "id1 as rid1",
+        "id2 as rid2",
+        "round(cast(size(array_intersect(sh1, sh2)) as double)"
+        " / cast(size(array_union(sh1, sh2)) as double), 6)"
+        " as jaccard_sim",
     ).where(F.col("jaccard_sim") >= threshold)
     return rep_pairs, mem
 
@@ -575,20 +558,12 @@ def minhash_near_dups(
     )
     cross = (
         rep_pairs.join(
-            mem.select(
-                F.col("rid").alias("rid1"), F.col("id").alias("ida")
-            ),
-            "rid1",
+            mem.selectExpr("rid as rid1", "id as ida"), "rid1"
         )
-        .join(
-            mem.select(
-                F.col("rid").alias("rid2"), F.col("id").alias("idb")
-            ),
-            "rid2",
-        )
-        .select(
-            F.least("ida", "idb").alias("id1"),
-            F.greatest("ida", "idb").alias("id2"),
+        .join(mem.selectExpr("rid as rid2", "id as idb"), "rid2")
+        .selectExpr(
+            "least(ida, idb) as id1",
+            "greatest(ida, idb) as id2",
             "jaccard_sim",
         )
     )
@@ -596,12 +571,11 @@ def minhash_near_dups(
     m2 = mem.alias("m2")
     intra = m1.join(
         m2,
-        (F.col("m1.rid") == F.col("m2.rid"))
-        & (F.col("m1.id") < F.col("m2.id")),
-    ).select(
-        F.col("m1.id").alias("id1"),
-        F.col("m2.id").alias("id2"),
-        F.lit(1.0).alias("jaccard_sim"),
+        F.expr("m1.rid = m2.rid AND m1.id < m2.id"),
+    ).selectExpr(
+        "m1.id as id1",
+        "m2.id as id2",
+        "cast(1.0 as double) as jaccard_sim",
     )
     # cross (different groups) and intra (same group) are disjoint,
     # and candidate pairs were deduped before expansion.
