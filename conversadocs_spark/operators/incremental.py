@@ -46,6 +46,54 @@ from conversadocs_spark.operators.dedup import (
 SHINGLES_SUBDIR = "shingles"
 BANDS_SUBDIR = "bands"
 
+#: hash-family / layout version of the on-disk index (ADVICE r15): the
+#: persisted hs and band_hash values are xxhash64 over token-array
+#: slices / bigint slices (the r15 family). An index written under a
+#: DIFFERENT family (e.g. the pre-r15 concat_ws-string family) yields
+#: zero cross-family band matches and empty hs intersections — pairs
+#: silently vanish instead of erroring — so the family is stamped into
+#: the index and verified on every append and query. Bump this string
+#: whenever hashed_shingles / minhash_banded change hash families.
+INDEX_FORMAT = "xxhash64-arrayslice-v2"
+_FORMAT_FILE = "_index_format.json"
+
+
+def _write_format_stamp(path: str, params: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _FORMAT_FILE), "w") as f:
+        json.dump({"format": INDEX_FORMAT, **params}, f)
+
+
+def _check_format_stamp(path: str, params: dict) -> None:
+    """Fail LOUDLY when the on-disk index was written under another
+    hash family or banding parameterization (either silently produces
+    an empty/partial pair set, never an error)."""
+    import json
+    import os
+
+    expected = {"format": INDEX_FORMAT, **params}
+    try:
+        with open(os.path.join(path, _FORMAT_FILE)) as f:
+            found = json.load(f)
+    except OSError:
+        raise ValueError(
+            f"minhash index at {path!r} has no {_FORMAT_FILE} stamp: "
+            "it predates the hash-family versioning (or is not an "
+            "index). Rebuild it with minhash_index_build(mode="
+            "'overwrite') — querying/appending across hash families "
+            "silently drops near-dup pairs."
+        ) from None
+    if found != expected:
+        raise ValueError(
+            f"minhash index at {path!r} was written as {found}, but "
+            f"this code expects {expected}. Rebuild the index with "
+            "minhash_index_build(mode='overwrite') — mixing families "
+            "or banding parameters silently drops near-dup pairs."
+        )
+
 
 def minhash_index_build(
     df: DataFrame,
@@ -64,6 +112,11 @@ def minhash_index_build(
     The hashed-shingle pipeline runs ONCE: hs persists in memory for
     the two writes, then unpersists — the index on disk is the
     long-lived artifact, not the cache."""
+    params = {"n": n, "num_hashes": num_hashes, "bands": bands}
+    if mode == "append":
+        # absorbing into a foreign-family index silently yields zero
+        # cross-family matches on later increments — refuse instead.
+        _check_format_stamp(path, params)
     hs = hashed_shingles(df, text_col, id_col, n).persist()
     try:
         hs.write.mode(mode).parquet(f"{path}/{SHINGLES_SUBDIR}")
@@ -73,6 +126,8 @@ def minhash_index_build(
         banded.write.mode(mode).parquet(f"{path}/{BANDS_SUBDIR}")
     finally:
         hs.unpersist()
+    if mode != "append":
+        _write_format_stamp(path, params)
 
 
 def minhash_incremental_pairs(
@@ -95,6 +150,9 @@ def minhash_incremental_pairs(
     consumers (banding, two re-check branches); an absorb into the
     on-disk index is a separate, explicit ``minhash_index_build(...,
     mode="append")`` so a failed increment never half-commits."""
+    _check_format_stamp(
+        index_path, {"n": n, "num_hashes": num_hashes, "bands": bands}
+    )
     new_hs = hashed_shingles(new_docs, text_col, id_col, n).persist()
     new_banded = minhash_banded(
         minhash_signatures(new_hs, num_hashes), bands, num_hashes // bands

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import itertools
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -118,9 +119,6 @@ def _stage(spark: SparkSession, sf_dir: str, duplicate_rows: bool) -> str:
     return stage_events_files(
         spark, sf_dir, out, n_files=3, duplicate_rows=duplicate_rows
     )
-
-
-from contextlib import contextmanager
 
 
 @contextmanager

@@ -41,12 +41,18 @@ def main() -> int:
 
     spark = get_spark(app_name="conversadocs-plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
+    import contextlib
+    import io as _io
+
     for name in names:
         spark.sparkContext.setJobDescription(f"plan-capture: {name}")
         df = QUERIES[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # public API (ADVICE r15): explain() prints to stdout — capture
+        # it instead of reaching through df._sc._jvm internals.
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         path = os.path.join(outdir, f"{name}_{tag}.txt")
         with open(path, "w") as f:
             f.write(plan)

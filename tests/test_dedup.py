@@ -303,6 +303,52 @@ def test_incremental_absorb_sees_prior_batches(spark, tmp_path):
     assert against_b1, "no pairs against the absorbed batch — vacuous"
 
 
+def test_incremental_index_format_stamp(spark, tmp_path):
+    """The on-disk index is stamped with its hash family + banding
+    parameters (ADVICE r15): querying or appending across families
+    silently yields zero matches instead of erroring, so a missing or
+    mismatched stamp must raise loudly."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from conversadocs_spark import io
+    from conversadocs_spark.operators.incremental import (
+        _FORMAT_FILE,
+        minhash_incremental_pairs,
+        minhash_index_build,
+    )
+
+    d = io.table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = d.where(F.col("doc_id") < 100)
+    batch = d.where(F.col("doc_id") >= 480)
+    idx = str(tmp_path / "idx_stamp")
+    minhash_index_build(corpus, idx)
+    stamp_path = os.path.join(idx, _FORMAT_FILE)
+    with open(stamp_path) as f:
+        stamp = json.load(f)
+    # happy path: stamped index accepts append and query
+    minhash_index_build(batch, idx, mode="append")
+    minhash_incremental_pairs(spark, batch, idx)
+    # parameter mismatch: different banding must refuse
+    with _pytest.raises(ValueError, match="Rebuild"):
+        minhash_incremental_pairs(spark, batch, idx, bands=8)
+    with _pytest.raises(ValueError, match="Rebuild"):
+        minhash_index_build(batch, idx, mode="append", bands=8)
+    # foreign family: pre-versioning / other-family stamp must refuse
+    with open(stamp_path, "w") as f:
+        json.dump({**stamp, "format": "xxhash64-concatws-v1"}, f)
+    with _pytest.raises(ValueError, match="Rebuild"):
+        minhash_incremental_pairs(spark, batch, idx)
+    # missing stamp (pre-change index): refuse with the rebuild hint
+    os.remove(stamp_path)
+    with _pytest.raises(ValueError, match="rebuild|Rebuild"):
+        minhash_incremental_pairs(spark, batch, idx)
+
+
 def test_incremental_index_survives_compaction(spark, tmp_path):
     """Lifecycle glue: absorb a batch into the index (append-mode
     small files), compact both index tables, and get byte-identical
