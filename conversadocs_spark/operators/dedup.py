@@ -119,8 +119,18 @@ def hashed_shingles(
     """(id, hs): each shingle hashed to a long exactly once — the
     two-level-hashing first stage shared by the batch
     (minhash_rep_near_dups) and incremental (operators/incremental.py)
-    MinHash paths. Empty-shingle docs are dropped (they can never
-    reach a pair output: jaccard is 0/0 = null against anything).
+    MinHash paths. ``hs`` is non-empty for EVERY input row — the CASE
+    below always yields >= 1 element (sequence(0, greatest(..)) is
+    never empty; the ELSE arm is a 1-element array; xxhash64 returns
+    the seed, not null, even for a null token array), so no guard
+    filter is needed. An explicit ``where(size(hs) > 0)`` used to sit
+    here "defensively"; Catalyst pushed it below the projection and
+    re-evaluated the ENTIRE shingle-hash expression once more per
+    input row in every consumer (r16, measured: the pushed filter
+    doubled the tokenize+hash work of the minhash cache build and of
+    contamination_ngram). Proven value-identical with and without the
+    filter on null/empty/short-text rows (tests/test_dedup.py pins
+    the never-empty property).
 
     The shingle long is xxhash64 of the n-token ARRAY SLICE directly
     (r15): the old form concat_ws'd every slice into a string only to
@@ -154,7 +164,7 @@ def hashed_shingles(
               i -> xxhash64(slice(toks, i + 1, {n})))
             ELSE array(xxhash64(toks))
           END) as hs""",
-    ).where("size(hs) > 0")
+    )
 
 
 def minhash_signatures(

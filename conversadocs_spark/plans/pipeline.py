@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from conversadocs_spark import io
 from conversadocs_spark.operators.dedup import (
+    hashed_shingles,
     minhash_near_dups,
     normalize_text,
     shingle_docs,
@@ -328,23 +329,32 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partial-aggregated groupBy; no shuffle carries gram strings of
     the big side twice."""
     d = io.table(spark, sf_dir, "documents")
-    g = shingle_docs(d, "text", "doc_id", _CONTAM_N)
-    # explode_outer, not explode: Generate(explode) lets Catalyst infer
-    # and push a `size(shingles) > 0` filter BELOW the shingle
-    # projection, re-evaluating the whole n-gram expression once more
-    # per row (visible in the executed plan). The arrays are never
-    # empty (shingle_docs falls back to a 1-element array), so the
-    # outer form is value-identical and skips the inferred re-eval.
+    # Grams travel as xxhash64 longs, not strings (r16 — the same
+    # slice-hash family the dedup pipeline adopted in r15): the string
+    # path concat_ws'd every 5-token slice into a ~30-60 B gram only
+    # to compare it for set membership, materializing tokens x ~40 B
+    # per training doc and broadcasting eval-gram STRINGS. hashed
+    # grams skip the per-slice string build, the distinct and the
+    # broadcast-join key are fixed-width longs, and the contamination
+    # COUNTS are unchanged unless two distinct grams collide in 64
+    # bits (~grams^2/2^64 per doc — the repo-standard hash budget;
+    # the oracle replays counts from strings and stays bit-equal at
+    # every checked SF). explode_outer (not explode) for the same
+    # reason as before the rewrite: Generate(explode) lets Catalyst
+    # infer a size()>0 filter below the projection, re-evaluating the
+    # gram expression once more per row; the arrays are never empty
+    # (1-element fallback), so the outer form is value-identical.
+    g = hashed_shingles(d, "text", "doc_id", _CONTAM_N)
     ev = (
         g.where(F.col("id") < 20)
-        .select(F.explode_outer("shingles").alias("gram"))
+        .select(F.explode_outer("hs").alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     tr = g.where(F.col("id") >= 20).select(
         F.col("id").alias("doc_id"),
-        F.size("shingles").cast("long").alias("n_grams"),
-        F.explode_outer("shingles").alias("gram"),
+        F.size("hs").cast("long").alias("n_grams"),
+        F.explode_outer("hs").alias("gram"),
     )
     return (
         tr.join(F.broadcast(ev), "gram", "left")

@@ -104,22 +104,36 @@ SELECT o_custkey, 'only_1997' AS cohort FROM (SELECT * FROM c97 EXCEPT SELECT * 
 @register("set_ops", oracle=_SET_OPS_ORACLE, tags=("setop",))
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION ALL over 1996-vs-1997 customer
-    cohorts, labeled and recombined."""
+    cohorts, labeled and recombined — computed as ONE grouped pass
+    (r16, guide §2.4 "remove shuffles outright"): per customer,
+    presence flags for each year, then the cohort label from the flag
+    pair. Set-algebra equivalence to the explicit set-op form:
+    INTERSECT = {in96 AND in97}, the two EXCEPTs = {in96 AND NOT in97}
+    and {in97 AND NOT in96}; each custkey lands in exactly one branch
+    under both forms, with the same label, and every set op emits
+    distinct keys — exactly what one groupBy(o_custkey) yields. The
+    explicit form paid 2 distinct exchanges + 3 hash-set-op joins over
+    6 logical scan branches; this is 1 scan + 1 partial-aggregated
+    exchange. At 100 TB the flag aggregate is map-side-combinable on
+    the same key the set ops would have shuffled twice."""
     o = io.table(spark, sf_dir, "orders")
-    c96 = (
-        o.where(F.year("o_orderdate") == 1996)
-        .select("o_custkey")
-        .distinct()
+    yr = F.year("o_orderdate")
+    flags = (
+        o.where(yr.isin(1996, 1997))
+        .select("o_custkey", (yr == 1996).alias("y96"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max("y96").alias("in96"),
+            F.max(~F.col("y96")).alias("in97"),
+        )
     )
-    c97 = (
-        o.where(F.year("o_orderdate") == 1997)
-        .select("o_custkey")
-        .distinct()
+    return flags.select(
+        "o_custkey",
+        F.when(F.col("in96") & F.col("in97"), F.lit("both"))
+        .when(F.col("in96"), F.lit("only_1996"))
+        .otherwise(F.lit("only_1997"))
+        .alias("cohort"),
     )
-    both = c96.intersect(c97).withColumn("cohort", F.lit("both"))
-    only96 = c96.subtract(c97).withColumn("cohort", F.lit("only_1996"))
-    only97 = c97.subtract(c96).withColumn("cohort", F.lit("only_1997"))
-    return both.unionByName(only96).unionByName(only97)
 
 
 _SET_OPS_ALL_ORACLE = """

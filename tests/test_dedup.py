@@ -72,6 +72,39 @@ def test_hashed_shingles_agree_with_string_shingles(spark):
     assert len(hs[2]) == 3 and len(hs[3]) == 1 and len(hs[5]) == 1
 
 
+def test_hashed_shingles_never_empty_and_unguarded(spark):
+    """r16: hashed_shingles used to carry a defensive
+    ``where(size(hs) > 0)``; Catalyst pushed it below the projection
+    and re-evaluated the whole shingle-hash expression once more per
+    input row in EVERY consumer (measured 2x on the minhash cache
+    build and 7x on contamination_ngram's hashed-gram rewrite). The
+    guard was a provable no-op — the CASE always yields >= 1 element,
+    even for null/empty text (xxhash64 of a null array returns the
+    seed, not null) — so it was removed. Pin both halves: every input
+    row survives with a non-empty hs, and no Filter re-evaluating the
+    hash expression appears in the optimized plan."""
+    from conversadocs_spark.operators.dedup import hashed_shingles
+
+    rows = [
+        (0, None),             # null text
+        (1, ""),               # empty text
+        (2, "   "),            # whitespace only
+        (3, "one two"),        # shorter than n
+        (4, "a b c d e f"),    # normal
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    hs = hashed_shingles(docs, "text", "doc_id", 3)
+    out = {r["id"]: r["hs"] for r in hs.collect()}
+    assert set(out) == {0, 1, 2, 3, 4}      # no row dropped
+    assert all(len(v) >= 1 for v in out.values())
+    plan = hs._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan, (
+        "a guard filter re-appeared above/below the shingle "
+        "projection — it duplicates the hash expression per row:\n"
+        + plan
+    )
+
+
 def test_minhash_deterministic_across_partitionings(spark, sf_dir):
     docs = io.table(spark, sf_dir, "documents")
     one = {
