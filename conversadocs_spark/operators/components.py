@@ -49,6 +49,17 @@ def connected_components(
     cluster_id is the minimum id reachable in the node's component —
     deterministic, so the result is oracle-checkable against a
     transitive-closure SQL formulation.
+
+    Not concurrency-safe (ADVICE r15): the loop narrows the
+    session-global ``spark.sql.shuffle.partitions`` for its duration
+    (restored in ``finally``), so a query submitted concurrently on
+    the SAME SparkSession during the loop would inherit the narrowed
+    width, and interleaved calls could restore a stale value. All
+    repo callers (bench, gates, tests) drive the session from one
+    thread; callers that need concurrency should run the loop on an
+    isolated session (``spark.newSession()``-style conf scope) or
+    serialize calls. Returned labels are materialized in-scope and
+    are safe either way.
     """
     spark = pairs.sparkSession
     edges_raw = (

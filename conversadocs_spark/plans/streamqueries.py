@@ -140,7 +140,13 @@ def _replay_width(spark: SparkSession):
     bigger replay. Restored after the run; batch queries in the same
     session are unaffected. State partition count does not change
     keyed-aggregation results (pinned replay == batch in
-    tests/test_streaming.py)."""
+    tests/test_streaming.py).
+
+    Like connected_components' loop width, this mutates the
+    session-global shuffle width for the scope of the replay
+    (restored in ``finally``) and assumes single-threaded use of the
+    session (ADVICE r15) — concurrent callers need an isolated
+    session."""
     key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(key, None)
     spark.conf.set(
