@@ -214,6 +214,19 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.shuffle.partitions": "1",
             "spark.sql.join.preferSortMergeJoin": "false",
+            # Codegen OFF for the bounded loop (r16, measured): each
+            # checkpoint job compiles a fresh fused 4-round plan whose
+            # generated classes never cache-hit (cache/checkpoint ids
+            # differ per round batch), and compilation dwarfs
+            # execution over ~6.5k rows. Interleaved same-session
+            # ABAB x3: steady-state wall 4.77 -> 4.38 s, tree_cpu
+            # 13.3 -> 8.4, cold first run 19.1 -> 7.3, top-20
+            # bit-identical. Same scale contract as partitions=1:
+            # QUERY-BOUNDED graphs only — the corpus-scale path (the
+            # sf100 graph gate) passes no loop_conf and keeps
+            # whole-stage codegen, where generated code amortizes
+            # over millions of rows per round.
+            "spark.sql.codegen.wholeStage": "false",
         },
         # broadcast_ranks measured and REJECTED for the local fixture
         # (r14, VERDICT r13 #3): same-session A/B at sf0.1 put the

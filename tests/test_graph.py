@@ -194,9 +194,13 @@ def test_pagerank_bounded_loop_is_exchange_free(spark):
         df, iters=4, tol_fp=10**12, dangling="none",
         checkpoint_every=4,
         loop_conf={
+            # mirrors graph_pagerank_exact's loop_conf exactly
+            # (including the r16 codegen-off key) so the pin covers
+            # the conf the bench query actually runs under
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.shuffle.partitions": "1",
             "spark.sql.join.preferSortMergeJoin": "false",
+            "spark.sql.codegen.wholeStage": "false",
         },
         plan_sink=sink,
     ).collect()
